@@ -1,0 +1,621 @@
+"""Deterministic DOM block segmentation + main-content extraction.
+
+This module is the engine's core transform — the analogue of the reference's
+layout-analysis + recognition pass (``ImageAnalyzer.analyzeLayout()`` /
+``recognize()``, src/org/dharts/dia/tesseract/ImageAnalyzer.java:64-99 backed
+by ``TessBaseAPIAnalyseLayout`` / ``TessBaseAPIGetIterator``,
+TesseractHandle.java:534-567).  Tesseract's page segmentation over pixels
+becomes DOM segmentation over markup:
+
+* page → BLOCK → PARA → TEXTLINE → WORD hierarchy (LayoutIterator.Level,
+  LayoutIterator.java:97-117) is reproduced as block/para/line/word span rows
+  with character offsets into the extracted text;
+* ``PolyBlockType`` typing (PublicTypes.java:125-193) becomes DOM-derived
+  block types (heading_text, flowing_text, table, caption_text, ...);
+* boilerplate (nav/header/footer/aside, link farms) is classified NOISE via
+  text-density + link-density heuristics (Arabica/readability lineage) and
+  excluded from the extracted text;
+* adjacent compatible content paragraphs are merged into blocks — the
+  connected-region merging mirroring LayoutHandle/BlockIterator
+  (examples/.../BlockIterator.java:57-81);
+* reading order is document order; non-text blocks (images, rules) appear as
+  zero-length spans carrying "a single paragraph with a single line with a
+  single imaginary word" exactly as the reference models them
+  (BasePageHandle.java:111-114).
+
+Everything is pure Python + stdlib (html.parser), with no randomness and no
+environment dependence: the correctness gate is byte-identical output per url
+across reruns, machines and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from ..config import ExtractConfig, Mode
+from .types import BlockType, ExtractResult, Level, PayloadKind, Span
+
+# ---------------------------------------------------------------------------
+# tag vocabularies
+
+# content inside these is dropped entirely (metadata / code, never content)
+_SKIP_TAGS = frozenset({
+    "script", "style", "noscript", "template", "svg", "head", "iframe",
+    "object", "embed", "canvas", "select", "option", "datalist",
+})
+
+# structural boilerplate containers → everything inside is NOISE
+_BOILER_TAGS = frozenset({"nav", "header", "footer", "aside"})
+_BOILER_ROLES = frozenset({"navigation", "banner", "contentinfo", "complementary"})
+
+# opening/closing one of these terminates the current paragraph
+_FLUSH_TAGS = frozenset({
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "blockquote",
+    "figcaption", "caption", "td", "th", "tr", "table", "thead", "tbody",
+    "tfoot", "ul", "ol", "dl", "dt", "dd", "div", "article", "section",
+    "main", "body", "html", "figure", "form", "fieldset", "address",
+    "details", "summary", "nav", "header", "footer", "aside",
+})
+
+_HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+_WS_RE = re.compile(r"\s+")   # \s matches NBSP etc. on str in Python 3
+_WORD_CHARS_RE = re.compile(r"\w", re.UNICODE)
+
+# ---------------------------------------------------------------------------
+# stopword tables (built-in, tiny) — used by the confidence score's
+# dictionary-hit-rate feature, the TessBaseAPIIsValidWord analogue
+# (TessAPI.java:566): per-token "is this a plausible dictionary word".
+
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("""a an and are as at be by for from has have he her his i in is it its
+        not of on or she that the their they this to was we were will with you""".split()),
+    "de": frozenset("""aber auch auf aus bei bin bis das dass dem den der des die du ein
+        eine einem einen einer es für hat ich im in ist mit nicht sie sind und von war wie
+        wird zu""".split()),
+    "fr": frozenset("""au aux avec ce ces dans de des du elle en est et il ils je la le les
+        mais ne pas pour qui que se ses son sur un une vous""".split()),
+    "es": frozenset("""al como con de del el en es esta la las lo los más no para por que
+        se sin son su sus un una y ya""".split()),
+    "ar": frozenset("""في من على إلى عن أن هذا هذه التي الذي كان كانت هو هي مع لا ما قد و
+        أو ثم بين كل عند لم""".split()),
+}
+_DEFAULT_STOPWORDS = _STOPWORDS["en"]
+
+
+def stopwords_for(lang: str | None) -> frozenset[str]:
+    return _STOPWORDS.get((lang or "en")[:2].lower(), _DEFAULT_STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# parse stage: HTML → flat paragraph list
+
+
+@dataclass
+class _Para:
+    """One pre-block paragraph: the smallest text-bearing unit the parser
+    emits, later merged into blocks (connected-region merging)."""
+
+    group: tuple           # merge key: ("flow",) ("list",i) ("table",i) ("bq",i)
+                           # ("heading",lvl) ("caption",) ("image",kind) ("hline",)
+    lines: list[str] = field(default_factory=list)
+    chars: int = 0         # normalized char count (pre-join)
+    link_chars: int = 0    # normalized chars inside <a>
+    inline_tags: int = 0   # inline tags opened while para open (density input)
+    in_selector: bool = True
+
+    @property
+    def is_text(self) -> bool:
+        return self.group[0] not in ("image", "hline")
+
+
+class _SegmentingParser(HTMLParser):
+    """Single-pass DOM walker producing the flat paragraph stream.
+
+    Plays the role of Tesseract's textord/page-segmentation pass; one instance
+    per document, reset per document (the extractor actor reuses nothing
+    across documents — the deliberate opposite of the reference's adaptive
+    classifier, TessAPI.java:536, which we do NOT replicate because
+    cross-document mutable state breaks determinism).
+    """
+
+    def __init__(self, selector_tag: str | None = None):
+        super().__init__(convert_charrefs=True)
+        self.selector_tag = selector_tag
+        self.paras: list[_Para] = []
+        # open-paragraph state
+        self._items: list[tuple] = []       # ("txt", s, in_link) | ("br",)
+        self._inline_tags = 0
+        # nesting counters
+        self._skip = 0
+        self._boiler = 0
+        self._link = 0
+        self._pre = 0
+        self._selector = 0 if selector_tag else 1   # >0 ⇒ inside ROI
+        # group-instance state
+        self._counter = 0
+        self._group_stack: list[tuple] = []  # innermost-last container groups
+
+    # -- group helpers ------------------------------------------------------
+
+    def _fresh_id(self) -> int:
+        self._counter += 1
+        return self._counter
+
+    def _current_group(self, tag: str, closing: bool = False) -> tuple:
+        # heading/caption apply only while the tag is OPENING — after the end
+        # tag, following bare text must fall back to the container group.
+        if not closing:
+            if tag in _HEADINGS:
+                return ("heading", int(tag[1]))
+            if tag in ("figcaption", "caption"):
+                return ("caption",)
+        if self._group_stack:
+            return self._group_stack[-1]
+        return ("flow",)
+
+    # -- paragraph buffer ---------------------------------------------------
+
+    def _flush(self, tag_hint: str = "") -> None:
+        if not self._items:
+            self._inline_tags = 0
+            return
+        para = _Para(group=self._open_group or ("flow",))
+        lines: list[str] = []
+        cur: list[str] = []
+        cur_link = 0
+        total = 0
+        link_total = 0
+
+        def end_line():
+            nonlocal cur, cur_link, total, link_total
+            text = _WS_RE.sub(" ", "".join(cur)).strip()
+            if text:
+                lines.append(text)
+                total += len(text)
+            cur = []
+
+        for item in self._items:
+            if item[0] == "br":
+                end_line()
+            else:
+                _, s, in_link = item
+                cur.append(s)
+                if in_link:
+                    link_total += len(_WS_RE.sub(" ", s).strip())
+        end_line()
+        if lines:
+            para.lines = lines
+            para.chars = total
+            para.link_chars = min(link_total, total)
+            para.inline_tags = self._inline_tags
+            para.in_selector = self._open_selector
+            if self._open_boiler:
+                para.group = ("boiler",) + para.group
+            self.paras.append(para)
+        self._items = []
+        self._inline_tags = 0
+
+    def _open_para_context(self, tag: str) -> None:
+        # snapshot of context taken when text first arrives; cheap approach:
+        # keep rolling values, consulted at flush time
+        pass
+
+    # rolling context consulted at flush time
+    @property
+    def _open_group(self) -> tuple | None:
+        return self.__dict__.get("_og")
+
+    @property
+    def _open_boiler(self) -> bool:
+        return bool(self.__dict__.get("_ob"))
+
+    @property
+    def _open_selector(self) -> bool:
+        return bool(self.__dict__.get("_os", True))
+
+    def _note_context(self, tag: str, closing: bool = False) -> None:
+        self.__dict__["_og"] = self._current_group(tag, closing)
+        self.__dict__["_ob"] = self._boiler > 0
+        self.__dict__["_os"] = self._selector > 0
+
+    # -- non-text emissions -------------------------------------------------
+
+    def _emit_nontext(self, kind: str, subtype: str) -> None:
+        if self._skip or self._boiler or self._selector <= 0:
+            return
+        self._flush()
+        p = _Para(group=(kind, subtype))
+        p.in_selector = True
+        self.paras.append(p)
+
+    # -- HTMLParser hooks ---------------------------------------------------
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        if tag == "br":
+            self._items.append(("br",))
+            return
+        if tag == "hr":
+            self._emit_nontext("hline", "horz_line")
+            return
+        if tag == "img":
+            in_figure = any(g[0] == "figure" for g in self._group_stack)
+            self._emit_nontext(
+                "image",
+                BlockType.PULLOUT_IMAGE if in_figure else BlockType.FLOWING_IMAGE,
+            )
+            return
+        if self.selector_tag and tag == self.selector_tag:
+            self._selector += 1
+        if tag in _FLUSH_TAGS:
+            self._flush(tag)
+            if tag == "pre":
+                self._pre += 1
+            role = ""
+            for k, v in attrs:
+                if k == "role" and v:
+                    role = v.lower()
+            if tag in _BOILER_TAGS or role in _BOILER_ROLES:
+                self._boiler += 1
+                self._group_stack.append(("boilerctr", tag))
+            elif tag in ("table", "thead", "tbody", "tfoot", "tr"):
+                if tag == "table":
+                    self._group_stack.append(("table", self._fresh_id()))
+            elif tag in ("ul", "ol", "dl"):
+                self._group_stack.append(("list", self._fresh_id()))
+            elif tag == "blockquote":
+                self._group_stack.append(("bq", self._fresh_id()))
+            elif tag == "figure":
+                self._group_stack.append(("figure", self._fresh_id()))
+            self._note_context(tag)
+            return
+        # inline tag
+        if tag == "a":
+            self._link += 1
+        self._inline_tags += 1
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in ("br", "hr", "img"):
+            self.handle_endtag(tag)
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            if self._skip:
+                self._skip -= 1
+            return
+        if self._skip:
+            return
+        if tag in ("br", "hr", "img"):
+            return
+        if self._pre and tag == "pre":
+            self._pre -= 1
+        if tag in _FLUSH_TAGS:
+            self._flush(tag)
+            if tag in _BOILER_TAGS and self._boiler:
+                # pop matching boiler container if present
+                for i in range(len(self._group_stack) - 1, -1, -1):
+                    if self._group_stack[i] == ("boilerctr", tag):
+                        del self._group_stack[i]
+                        self._boiler -= 1
+                        break
+                else:
+                    self._boiler = max(0, self._boiler - 1)
+            elif tag == "table":
+                self._pop_group("table")
+            elif tag in ("ul", "ol", "dl"):
+                self._pop_group("list")
+            elif tag == "blockquote":
+                self._pop_group("bq")
+            elif tag == "figure":
+                self._pop_group("figure")
+            self._note_context(tag, closing=True)
+        elif tag == "a":
+            self._link = max(0, self._link - 1)
+        if self.selector_tag and tag == self.selector_tag:
+            self._selector = max(0, self._selector - 1)
+
+    def _pop_group(self, kind: str) -> None:
+        for i in range(len(self._group_stack) - 1, -1, -1):
+            if self._group_stack[i][0] == kind:
+                del self._group_stack[i]
+                return
+
+    def handle_data(self, data):
+        if self._skip or not data:
+            return
+        if not self._items:
+            # context is captured when the paragraph's first content arrives
+            self.__dict__["_ob"] = self._boiler > 0
+            self.__dict__["_os"] = self._selector > 0
+            if "_og" not in self.__dict__ or self.__dict__["_og"] is None:
+                self.__dict__["_og"] = ("flow",)
+        if "\n" in data and self._pre:
+            parts = data.split("\n")
+            for i, part in enumerate(parts):
+                if i:
+                    self._items.append(("br",))
+                if part:
+                    self._items.append(("txt", part, self._link > 0))
+        else:
+            self._items.append(("txt", data, self._link > 0))
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+# ---------------------------------------------------------------------------
+# classification + merging + assembly
+
+
+def _alpha_ratio(text: str) -> float:
+    if not text:
+        return 0.0
+    alpha = sum(1 for c in text if c.isalpha())
+    return alpha / len(text)
+
+
+def _para_confidence(text: str, link_density: float, stop: frozenset[str]) -> float:
+    """0–100 content-confidence score — the ResultIterator confidence
+    analogue (ResultHandle.java:84-89), computed from extraction features
+    instead of OCR posterior: link density, length saturation, dictionary
+    hit rate (TessBaseAPIIsValidWord analogue) and alphabetic ratio."""
+    words = text.split()
+    n = len(words)
+    if n == 0:
+        return 0.0
+    hits = sum(1 for w in words if w.strip(".,;:!?\"'()[]«»").lower() in stop)
+    score = (
+        0.35 * (1.0 - link_density)
+        + 0.25 * min(1.0, n / 20.0)
+        + 0.25 * min(1.0, 4.0 * hits / n)
+        + 0.15 * _alpha_ratio(text)
+    )
+    return round(100.0 * max(0.0, min(1.0, score)), 4)
+
+
+def _classify(para: _Para, cfg: ExtractConfig) -> str:
+    """Map a paragraph to its block type or NOISE (dropped).
+
+    The NOISE decision is the boilerplate heuristic: structural boilerplate
+    containers are always noise; otherwise link-dense short paragraphs are
+    link farms (readability-style), and word-free paragraphs are separators.
+    """
+    g = para.group
+    if g[0] == "boiler":
+        return BlockType.NOISE
+    if g[0] == "image":
+        return g[1]
+    if g[0] == "hline":
+        return BlockType.HORZ_LINE
+    text = "\n".join(para.lines)
+    n_words = len(text.split())
+    if n_words == 0:
+        return BlockType.NOISE
+    ld = para.link_chars / para.chars if para.chars else 0.0
+    limit = (cfg.long_para_max_link_density
+             if n_words >= cfg.long_para_words else cfg.max_link_density)
+    if ld > limit:
+        return BlockType.NOISE
+    if g[0] == "heading":
+        return BlockType.HEADING_TEXT
+    if g[0] == "caption":
+        return BlockType.CAPTION_TEXT
+    if g[0] == "table":
+        return BlockType.TABLE
+    if g[0] == "bq":
+        return BlockType.PULLOUT_TEXT
+    return BlockType.FLOWING_TEXT
+
+
+def _merge_key(para: _Para, btype: str):
+    """Adjacent kept paragraphs with equal merge keys join one block."""
+    if btype in (BlockType.FLOWING_TEXT,):
+        g = para.group
+        if g[0] in ("list", "figure"):
+            return (btype, g[0], g[1])
+        return (btype, "flow")
+    if btype in (BlockType.TABLE, BlockType.PULLOUT_TEXT):
+        return (btype,) + para.group[:2]
+    return None  # headings, captions, images, rules never merge
+
+
+@dataclass
+class _Block:
+    btype: str
+    paras: list[_Para]
+
+
+def _apply_charfilter(line: str, cfg: ExtractConfig) -> str:
+    if cfg.char_blacklist:
+        line = line.translate({ord(c): None for c in cfg.char_blacklist})
+    if cfg.char_whitelist:
+        keep = set(cfg.char_whitelist) | {" "}
+        line = "".join(c for c in line if c in keep)
+    if cfg.char_blacklist or cfg.char_whitelist:
+        line = _WS_RE.sub(" ", line).strip()
+    return line
+
+
+def segment_html(text: str, cfg: ExtractConfig) -> list[_Block]:
+    """Parse + classify + merge: HTML string → ordered block list."""
+    parser = _SegmentingParser(cfg.selector_tag)
+    try:
+        parser.feed(text)
+        parser.close()
+    except Exception:
+        # html.parser is extremely tolerant; any residual parse error means a
+        # hopeless payload — degrade to whatever paragraphs were collected.
+        parser._flush()
+
+    paras = [p for p in parser.paras if p.in_selector]
+
+    if cfg.char_whitelist or cfg.char_blacklist:
+        for p in paras:
+            p.lines = [ln for ln in (_apply_charfilter(l, cfg) for l in p.lines) if ln]
+            p.chars = sum(len(l) for l in p.lines)
+        paras = [p for p in paras if p.lines or not p.is_text]
+
+    if cfg.mode == Mode.SINGLE_BLOCK:
+        kept = [p for p in paras if p.is_text and p.lines]
+        return [_Block(BlockType.FLOWING_TEXT, kept)] if kept else []
+
+    blocks: list[_Block] = []
+    prev_key = object()
+    for p in paras:
+        btype = _classify(p, cfg)
+        if btype == BlockType.NOISE:
+            prev_key = object()  # noise breaks nothing... see note below
+            continue
+        key = _merge_key(p, btype)
+        # connected-region merging: dropped noise BETWEEN two compatible
+        # content paras does not break the run (they are adjacent after
+        # removal) — so we compare against the last KEPT para's key.
+        if key is not None and blocks and blocks[-1].btype == btype \
+                and _merge_key(blocks[-1].paras[-1], btype) == key:
+            blocks[-1].paras.append(p)
+        else:
+            blocks.append(_Block(btype, [p]))
+    return blocks
+
+
+def assemble(blocks: list[_Block], lang: str | None, cfg: ExtractConfig) -> ExtractResult:
+    """Blocks → final text + span rows in one pass (offsets always index the
+    final text; never post-hoc searched — SURVEY.md §7 hard-part #2).
+
+    Text layout: blocks joined by "\\n\\n"; paragraphs within a block and
+    lines within a paragraph joined by "\\n".  Non-text blocks contribute no
+    text and carry zero-length spans at their reading-order position, with
+    exactly one synthetic para/line/word (BasePageHandle.java:111-114).
+    """
+    stop = stopwords_for(lang)
+    parts: list[str] = []
+    spans: list[Span] = []
+    offset = 0
+    next_id = 0
+    text_block_confs: list[float] = []
+
+    def nid() -> int:
+        nonlocal next_id
+        next_id += 1
+        return next_id - 1
+
+    first_text_block = True
+    for blk in blocks:
+        if not blk.paras or not any(p.lines for p in blk.paras):
+            # non-text block (image / rule): zero-length hierarchy
+            bid = nid()
+            bt = blk.btype
+            spans.append(Span(bid, -1, Level.BLOCK, bt, offset, offset, 0.0, 0.0, 0.0))
+            pid = nid()
+            spans.append(Span(pid, bid, Level.PARA, bt, offset, offset, 0.0, 0.0, 0.0))
+            lid = nid()
+            spans.append(Span(lid, pid, Level.LINE, bt, offset, offset, 0.0, 0.0, 0.0))
+            if cfg.emit_word_spans:
+                spans.append(Span(nid(), lid, Level.WORD, bt, offset, offset, 0.0, 0.0, 0.0))
+            continue
+
+        if not first_text_block:
+            parts.append("\n\n")
+            offset += 2
+        first_text_block = False
+
+        bid = nid()
+        block_span = Span(bid, -1, Level.BLOCK, blk.btype, offset, offset, 0.0, 0.0, 0.0)
+        spans.append(block_span)
+        blk_chars = 0
+        blk_links = 0.0
+        blk_conf_w = 0.0
+
+        first_para = True
+        for para in blk.paras:
+            if not para.lines:
+                continue
+            if not first_para:
+                parts.append("\n")
+                offset += 1
+            first_para = False
+            ptext = "\n".join(para.lines)
+            ld = para.link_chars / para.chars if para.chars else 0.0
+            td = para.chars / (para.chars + 8.0 * (1 + para.inline_tags)) if para.chars else 0.0
+            conf = _para_confidence(ptext, ld, stop)
+            pid = nid()
+            pspan = Span(pid, bid, Level.PARA, blk.btype, offset, offset, conf,
+                         round(td, 4), round(ld, 4))
+            spans.append(pspan)
+            first_line = True
+            for line in para.lines:
+                if not first_line:
+                    parts.append("\n")
+                    offset += 1
+                first_line = False
+                lid = nid()
+                lspan = Span(lid, pid, Level.LINE, blk.btype, offset,
+                             offset + len(line), conf, pspan.text_density, pspan.link_density)
+                spans.append(lspan)
+                if cfg.emit_word_spans:
+                    # line text is already whitespace-collapsed: words are
+                    # maximal runs of non-space, separated by single spaces
+                    pos = 0
+                    for w in line.split(" "):
+                        if w:
+                            spans.append(Span(nid(), lid, Level.WORD, blk.btype,
+                                              offset + pos, offset + pos + len(w),
+                                              conf, pspan.text_density, pspan.link_density))
+                        pos += len(w) + 1
+                parts.append(line)
+                offset += len(line)
+            pspan.end = offset
+            n = len(ptext)
+            blk_chars += n
+            blk_links += ld * n
+            blk_conf_w += conf * n
+        block_span.end = offset
+        if blk_chars:
+            block_span.link_density = round(blk_links / blk_chars, 4)
+            block_span.text_density = round(
+                sum(p.chars for p in blk.paras)
+                / (sum(p.chars for p in blk.paras)
+                   + 8.0 * sum(1 + p.inline_tags for p in blk.paras)), 4)
+            block_span.confidence = round(blk_conf_w / blk_chars, 4)
+            text_block_confs.append(block_span.confidence)
+
+    text = "".join(parts)
+    n_blocks = sum(1 for s in spans if s.level == Level.BLOCK)
+    doc_conf = round(sum(text_block_confs) / len(text_block_confs), 4) if text_block_confs else 0.0
+    return ExtractResult(
+        text=text, spans=spans, doc_confidence=doc_conf, n_blocks=n_blocks,
+        payload_kind=PayloadKind.HTML,
+    )
+
+
+def extract_html(html_text: str, lang: str | None, cfg: ExtractConfig) -> ExtractResult:
+    """Full pass: HTML string → ExtractResult (text + spans + metrics)."""
+    blocks = segment_html(html_text, cfg)
+    return assemble(blocks, lang, cfg)
+
+
+def extract_plain_text(text: str, lang: str | None, cfg: ExtractConfig) -> ExtractResult:
+    """TEXT_ONLY mode / plain-text payloads: paragraphs on blank lines,
+    lines on newlines, one flowing block per paragraph run."""
+    paras: list[_Para] = []
+    for chunk in re.split(r"\n\s*\n", text):
+        lines = [_WS_RE.sub(" ", ln).strip() for ln in chunk.split("\n")]
+        lines = [ln for ln in lines if ln]
+        if lines:
+            p = _Para(group=("flow",))
+            p.lines = lines
+            p.chars = sum(len(l) for l in lines)
+            paras.append(p)
+    blocks = [_Block(BlockType.FLOWING_TEXT, [p]) for p in paras]
+    res = assemble(blocks, lang, cfg)
+    res.payload_kind = PayloadKind.TEXT
+    return res
