@@ -1,0 +1,216 @@
+"""The extraction actor-pool stage — the engine's flagship transform.
+
+This is the Ray-Data reimagining of the reference's per-document recognition
+loop: one ``ImageAnalyzerFactory`` held per thread with documents fed one at
+a time (/root/reference/src/.../ImageAnalyzerFactory.java:40-43, 204-211)
+becomes a callable CLASS passed to ``map_batches`` — expensive state built
+once per actor in ``__init__`` (the ``TesseractHandle.create()/init()``
+analogue, TesseractHandle.java:82-102, 380-459), per-document work in
+``__call__`` over zero-copy Arrow batches.
+
+Output schema = ``extracted`` document rows (SURVEY.md §1.3) plus a nested
+``spans`` list<struct> column: ONE parse pass produces both tables; the
+``spans`` table is a cheap columnar explode downstream
+(:func:`explode_spans`), never a re-parse.  The input ``html`` payload column
+is dropped on output so downstream blocks shrink (SURVEY.md §4 memory note).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import ExtractConfig
+from ..extract.api import extract_one
+from ..extract.types import PayloadKind
+
+SPAN_STRUCT = pa.struct([
+    ("node_id", pa.int32()),
+    ("parent_id", pa.int32()),
+    ("level", pa.string()),
+    ("block_type", pa.string()),
+    ("start", pa.int64()),
+    ("end", pa.int64()),
+    ("confidence", pa.float32()),
+    ("text_density", pa.float32()),
+    ("link_density", pa.float32()),
+])
+
+EXTRACTED_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("us", tz="UTC")),
+    ("lang", pa.string()),
+    ("extracted_text", pa.string()),
+    ("doc_confidence", pa.float32()),
+    ("n_blocks", pa.int32()),
+    ("payload_kind", pa.string()),
+    ("charset", pa.string()),
+    ("payload_bytes", pa.int64()),
+    ("error", pa.string()),
+    ("spans", pa.list_(SPAN_STRUCT)),
+])
+
+SPANS_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("node_id", pa.int32()),
+    ("parent_id", pa.int32()),
+    ("level", pa.string()),
+    ("block_type", pa.string()),
+    ("start", pa.int64()),
+    ("end", pa.int64()),
+    ("confidence", pa.float32()),
+    ("text_density", pa.float32()),
+    ("link_density", pa.float32()),
+])
+
+
+class HtmlExtractor:
+    """Stateful extraction actor (ST1 in SURVEY.md §2.3).
+
+    ``__init__`` runs once per actor — config is frozen here, designing out
+    the reference's cross-thread setVariable hazard
+    (ImageAnalyzerFactory.java:106-116).  ``__call__`` runs per batch and is
+    a pure function of the batch: no state survives between documents (the
+    adaptive-classifier behavior of TessAPI.java:536 is deliberately NOT
+    replicated — determinism gate).
+    """
+
+    def __init__(self, cfg: ExtractConfig | None = None):
+        self.cfg = cfg or ExtractConfig()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+        urls = batch["url"]
+        html_col = batch["html"]
+        lang_col = batch["lang"] if "lang" in batch.column_names else None
+        text_col = batch["text"] if "text" in batch.column_names else None
+        ts_col = batch["warc_ts"]
+
+        texts: list[str] = []
+        confs: list[float] = []
+        nblocks: list[int] = []
+        kinds: list[str] = []
+        charsets: list[str] = []
+        pbytes: list[int] = []
+        errors: list[str | None] = []
+        # flat span builders + per-row offsets (cheap ListArray construction)
+        offsets = [0]
+        f_nid: list[int] = []
+        f_pid: list[int] = []
+        f_lvl: list[str] = []
+        f_bt: list[str] = []
+        f_start: list[int] = []
+        f_end: list[int] = []
+        f_conf: list[float] = []
+        f_td: list[float] = []
+        f_ld: list[float] = []
+
+        for i in range(n):
+            payload = html_col[i].as_py()
+            lang = lang_col[i].as_py() if lang_col is not None else None
+            ctext = text_col[i].as_py() if text_col is not None else None
+            res = extract_one(payload, lang, ctext, cfg)
+            texts.append(res.text)
+            confs.append(res.doc_confidence)
+            nblocks.append(res.n_blocks)
+            kinds.append(res.payload_kind)
+            charsets.append(res.charset)
+            pbytes.append(len(payload) if payload is not None else 0)
+            errors.append(res.error)
+            for s in res.spans:
+                f_nid.append(s.node_id)
+                f_pid.append(s.parent_id)
+                f_lvl.append(s.level)
+                f_bt.append(s.block_type)
+                f_start.append(s.start)
+                f_end.append(s.end)
+                f_conf.append(s.confidence)
+                f_td.append(s.text_density)
+                f_ld.append(s.link_density)
+            offsets.append(len(f_nid))
+
+        struct_arr = pa.StructArray.from_arrays(
+            [
+                pa.array(f_nid, pa.int32()), pa.array(f_pid, pa.int32()),
+                pa.array(f_lvl, pa.string()), pa.array(f_bt, pa.string()),
+                pa.array(f_start, pa.int64()), pa.array(f_end, pa.int64()),
+                pa.array(f_conf, pa.float32()), pa.array(f_td, pa.float32()),
+                pa.array(f_ld, pa.float32()),
+            ],
+            fields=list(SPAN_STRUCT),
+        )
+        spans_arr = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                             struct_arr)
+        return pa.Table.from_arrays(
+            [
+                urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls,
+                ts_col.combine_chunks() if isinstance(ts_col, pa.ChunkedArray) else ts_col,
+                (lang_col.combine_chunks() if isinstance(lang_col, pa.ChunkedArray)
+                 else lang_col) if lang_col is not None
+                else pa.nulls(n, pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array(confs, pa.float32()),
+                pa.array(nblocks, pa.int32()),
+                pa.array(kinds, pa.string()),
+                pa.array(charsets, pa.string()),
+                pa.array(pbytes, pa.int64()),
+                pa.array(errors, pa.string()),
+                spans_arr,
+            ],
+            schema=EXTRACTED_SCHEMA,
+        )
+
+
+def explode_spans_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized explode of the nested spans column → flat spans table.
+
+    The columnar equivalent of the reference's BlockIterator flatten
+    (examples/.../BlockIterator.java:57-81): ``list_parent_indices`` +
+    ``list_flatten`` — no Python per-row loop.
+    """
+    spans = batch["spans"]
+    if isinstance(spans, pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    parent_idx = pc.list_parent_indices(spans)
+    flat = pc.list_flatten(spans)
+    urls = pc.take(batch["url"], parent_idx)
+    cols = [urls] + [flat.field(i) for i in range(len(SPAN_STRUCT))]
+    return pa.Table.from_arrays(cols, schema=SPANS_SCHEMA)
+
+
+def default_concurrency(fraction: float = 1.0) -> tuple:
+    """Autoscaling actor-pool bounds sized to the cluster CPU count.
+
+    (1, N) lets Ray scale the pool up under load and release workers when
+    another stage needs them — per-stage static sizing starves neighbours.
+    """
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return (1, max(1, int(cpus * fraction)))
+
+
+def apply_extract(ds, cfg: ExtractConfig | None = None, *,
+                  batch_size: int = 128, concurrency=None, num_cpus: float = 1,
+                  **kwargs):
+    """Attach the actor-pool extract stage to a pages Dataset."""
+    if concurrency is None:
+        concurrency = default_concurrency()
+    return ds.map_batches(
+        HtmlExtractor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+        **kwargs,
+    )
+
+
+def apply_explode_spans(ds, **kwargs):
+    return ds.map_batches(explode_spans_batch, batch_format="pyarrow",
+                          zero_copy_batch=True, **kwargs)

@@ -1,0 +1,134 @@
+"""Checkpointed, resumable execution — partition manifests + resume filter.
+
+The reference has no checkpointing (a crashed OCR run restarts from zero);
+the north rule demands a killed job resume WITHOUT recomputation.  Unit of
+idempotency = one input shard (a group of input parquet files) → one output
+partition directory ``out/part=NNNNN/`` plus an atomically-written
+``_MANIFEST.json`` recording lineage (input files + fingerprint) and metrics
+(rows, bytes, errors, wall seconds).
+
+Rules (SURVEY.md §7 hard-part #6):
+* the manifest is written LAST, via tmp + ``os.replace`` (atomic on POSIX);
+* on resume, a partition with a matching-fingerprint manifest is skipped
+  wholesale; anything else (missing or stale manifest, partial files) is
+  wiped and recomputed — partials are never merged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+from ..config import ExtractConfig
+from ..pipelines import extract_pipeline
+
+
+def _fingerprint(files: list[str], cfg_repr: str) -> str:
+    h = hashlib.sha256()
+    for f in sorted(files):
+        st = os.stat(f)
+        h.update(f"{os.path.basename(f)}:{st.st_size}".encode())
+    h.update(cfg_repr.encode())
+    return h.hexdigest()[:32]
+
+
+def _manifest_path(part_dir: str) -> str:
+    return os.path.join(part_dir, "_MANIFEST.json")
+
+
+def write_manifest(part_dir: str, payload: dict) -> None:
+    tmp = _manifest_path(part_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_path(part_dir))
+
+
+def read_manifest(part_dir: str) -> dict | None:
+    try:
+        with open(_manifest_path(part_dir)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def plan_shards(input_files: list[str], files_per_shard: int = 1) -> list[list[str]]:
+    files = sorted(input_files)
+    return [files[i:i + files_per_shard]
+            for i in range(0, len(files), files_per_shard)]
+
+
+def run_checkpointed(
+    input_files: list[str],
+    out_dir: str,
+    cfg: ExtractConfig | None = None,
+    *,
+    files_per_shard: int = 1,
+    **extract_kwargs,
+) -> dict:
+    """Process shards, skipping completed partitions.  Returns a summary
+    ``{"done": [...], "skipped": [...], "metrics": {...per part...}}``.
+
+    Each shard runs as its own streaming pipeline (read → extract →
+    write_parquet into its partition dir); a failed/killed run leaves no
+    manifest, so the next invocation redoes exactly that shard.
+    """
+    cfg = cfg or ExtractConfig()
+    cfg_repr = repr(cfg)
+    os.makedirs(out_dir, exist_ok=True)
+    done, skipped, metrics = [], [], {}
+
+    for i, shard in enumerate(plan_shards(input_files, files_per_shard)):
+        part = f"part={i:05d}"
+        part_dir = os.path.join(out_dir, part)
+        fp = _fingerprint(shard, cfg_repr)
+        m = read_manifest(part_dir)
+        if m is not None and m.get("fingerprint") == fp:
+            skipped.append(part)
+            metrics[part] = m
+            continue
+        # stale or partial → wipe and redo (never merge partials)
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+        os.makedirs(part_dir, exist_ok=True)
+
+        t0 = time.monotonic()
+        combined = extract_pipeline.extract_pages(
+            extract_pipeline.read_pages(shard), cfg, **extract_kwargs)
+        combined.write_parquet(part_dir)
+        wall = time.monotonic() - t0
+
+        # lineage + metrics from the freshly written partition (cheap read of
+        # parquet metadata + small aggregate)
+        import pyarrow.parquet as pq
+        rows = 0
+        out_bytes = 0
+        n_errors = 0
+        for fn in os.listdir(part_dir):
+            if fn.endswith(".parquet"):
+                fpath = os.path.join(part_dir, fn)
+                pf = pq.ParquetFile(fpath)
+                rows += pf.metadata.num_rows
+                out_bytes += os.path.getsize(fpath)
+                t = pq.read_table(fpath, columns=["error"])
+                n_errors += t.num_rows - t.column("error").null_count
+
+        manifest = {
+            "partition": part,
+            "fingerprint": fp,
+            "inputs": [os.path.basename(f) for f in sorted(shard)],
+            "rows": rows,
+            "output_bytes": out_bytes,
+            "error_rows": n_errors,
+            "wall_seconds": round(wall, 3),
+            "config": cfg_repr,
+        }
+        write_manifest(part_dir, manifest)
+        done.append(part)
+        metrics[part] = manifest
+
+    return {"done": done, "skipped": skipped, "metrics": metrics}

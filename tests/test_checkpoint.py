@@ -1,0 +1,78 @@
+"""Checkpoint/resume: a killed job must skip completed partitions on rerun
+and never merge partials (SURVEY.md §7 step 6)."""
+
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from org_dharts_dia_tesseract_ray.sources.gen_corpus import write_corpus
+from org_dharts_dia_tesseract_ray.state.checkpoint import (
+    read_manifest, run_checkpointed,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus3(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pages"))
+    write_corpus(d, 90, seed=7, shards=3)
+    return d
+
+
+def _inputs(d):
+    return sorted(os.path.join(d, f) for f in os.listdir(d)
+                  if f.endswith(".parquet"))
+
+
+def test_full_run_then_resume_skips_all(corpus3, tmp_path):
+    out = str(tmp_path / "out")
+    r1 = run_checkpointed(_inputs(corpus3), out, skew_routing=False)
+    assert len(r1["done"]) == 3 and not r1["skipped"]
+    mtimes = {p: os.path.getmtime(os.path.join(out, p, "_MANIFEST.json"))
+              for p in r1["done"]}
+
+    r2 = run_checkpointed(_inputs(corpus3), out, skew_routing=False)
+    assert len(r2["skipped"]) == 3 and not r2["done"]
+    for p, old in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, p, "_MANIFEST.json")) == old
+
+
+def test_killed_partition_recomputed(corpus3, tmp_path):
+    out = str(tmp_path / "out")
+    r1 = run_checkpointed(_inputs(corpus3), out, skew_routing=False)
+    victim = os.path.join(out, r1["done"][1])
+    # simulate a kill mid-partition: output exists but no manifest
+    os.remove(os.path.join(victim, "_MANIFEST.json"))
+
+    r2 = run_checkpointed(_inputs(corpus3), out, skew_routing=False)
+    assert r2["done"] == ["part=00001"]
+    assert sorted(r2["skipped"]) == ["part=00000", "part=00002"]
+    m = read_manifest(victim)
+    assert m is not None and m["rows"] == 30
+
+
+def test_manifest_metrics_accurate(corpus3, tmp_path):
+    out = str(tmp_path / "out")
+    r = run_checkpointed(_inputs(corpus3), out, skew_routing=False)
+    total = sum(m["rows"] for m in r["metrics"].values())
+    assert total == 90
+    for part, m in r["metrics"].items():
+        t = pq.read_table(os.path.join(out, part))
+        assert t.num_rows == m["rows"]
+        assert m["wall_seconds"] >= 0
+        # lineage names the exact inputs
+        assert all(i.startswith("pages-") for i in m["inputs"])
+
+
+def test_stale_fingerprint_triggers_redo(corpus3, tmp_path):
+    out = str(tmp_path / "out")
+    run_checkpointed(_inputs(corpus3), out, skew_routing=False)
+    # corrupt one manifest's fingerprint → that partition must be redone
+    part0 = os.path.join(out, "part=00000")
+    m = json.load(open(os.path.join(part0, "_MANIFEST.json")))
+    m["fingerprint"] = "deadbeef"
+    json.dump(m, open(os.path.join(part0, "_MANIFEST.json"), "w"))
+    r = run_checkpointed(_inputs(corpus3), out, skew_routing=False)
+    assert r["done"] == ["part=00000"]

@@ -1,0 +1,228 @@
+"""Pure-extractor tests (no Ray) — the unit layer of the reference's fixture
+strategy (MediatorTests/LayoutIteratorTests) in tabular form."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from org_dharts_dia_tesseract_ray.config import ExtractConfig, Mode
+from org_dharts_dia_tesseract_ray.extract import (
+    BlockType, Level, PayloadKind, extract_one,
+)
+from org_dharts_dia_tesseract_ray.sources.gen_corpus import gen_rows, make_pdf
+
+
+def _spans_by_level(res, level):
+    return [s for s in res.spans if s.level == level]
+
+
+@pytest.fixture(scope="module")
+def tiny_rows():
+    return list(gen_rows(64, seed=42))
+
+
+def _family(url: str) -> str:
+    return url.split("//")[1].split(".")[0]
+
+
+# --- golden structural counts (LayoutIteratorTests.java:54,64 analogue) ----
+
+def test_poetry_golden_counts(tiny_rows):
+    seen = 0
+    for row in tiny_rows:
+        if _family(row["url"]) != "poetry":
+            continue
+        seen += 1
+        res = extract_one(row["html"], row["lang"])
+        assert len(_spans_by_level(res, Level.BLOCK)) == 3
+        assert len(_spans_by_level(res, Level.LINE)) == 22
+        types = [s.block_type for s in _spans_by_level(res, Level.BLOCK)]
+        assert types == [BlockType.HEADING_TEXT, BlockType.FLOWING_TEXT,
+                         BlockType.PULLOUT_TEXT]
+    assert seen >= 1
+
+
+def test_multi_block_merge_single_block(tiny_rows):
+    for row in tiny_rows:
+        if _family(row["url"]) == "multi_block_merge":
+            res = extract_one(row["html"], row["lang"])
+            blocks = _spans_by_level(res, Level.BLOCK)
+            assert len(blocks) == 1
+            assert blocks[0].block_type == BlockType.FLOWING_TEXT
+
+
+# --- span invariants (BasePageHandle.java:128-207 cursor semantics) --------
+
+def test_span_invariants_all_families(tiny_rows):
+    for row in tiny_rows:
+        res = extract_one(row["html"], row["lang"], row["text"])
+        spans = res.spans
+        # node ids dense from 0 in emission (reading) order
+        assert [s.node_id for s in spans] == list(range(len(spans)))
+        by_id = {s.node_id: s for s in spans}
+        per_level_prev_start = {}
+        for s in spans:
+            assert 0 <= s.start <= s.end <= len(res.text)
+            if s.parent_id == -1:
+                assert s.level == Level.BLOCK
+            else:
+                p = by_id[s.parent_id]
+                # child ⊆ parent
+                assert p.start <= s.start and s.end <= p.end
+            # sorted by start within level (reading order)
+            prev = per_level_prev_start.get(s.level)
+            if prev is not None:
+                assert s.start >= prev
+            per_level_prev_start[s.level] = s.start
+        # text slice of every line/word equals what offsets say (I9: getText
+        # is a view over extracted_text)
+        for s in spans:
+            if s.level in (Level.LINE, Level.WORD):
+                sliced = res.text[s.start:s.end]
+                assert "\n" not in sliced
+
+
+def test_nontext_blocks_have_single_synthetic_children(tiny_rows):
+    for row in tiny_rows:
+        res = extract_one(row["html"], row["lang"])
+        by_parent = {}
+        for s in res.spans:
+            by_parent.setdefault(s.parent_id, []).append(s)
+        for s in res.spans:
+            if s.level == Level.BLOCK and not BlockType.is_text(s.block_type):
+                assert s.start == s.end
+                paras = by_parent.get(s.node_id, [])
+                assert len(paras) == 1 and paras[0].level == Level.PARA
+                lines = by_parent.get(paras[0].node_id, [])
+                assert len(lines) == 1 and lines[0].level == Level.LINE
+                words = by_parent.get(lines[0].node_id, [])
+                assert len(words) == 1 and words[0].level == Level.WORD
+
+
+def test_is_at_beginning_final_derivable(tiny_rows):
+    """I3/I4: isAtBeginningOf ⇔ start == parent.start; final ⇔ end == parent.end."""
+    row = next(r for r in tiny_rows if _family(r["url"]) == "poetry")
+    res = extract_one(row["html"], row["lang"])
+    by_id = {s.node_id: s for s in res.spans}
+    children = {}
+    for s in res.spans:
+        if s.parent_id >= 0:
+            children.setdefault(s.parent_id, []).append(s)
+    for pid, kids in children.items():
+        p = by_id[pid]
+        assert kids[0].start == p.start      # first child begins the parent
+        assert kids[-1].end == p.end         # last child ends the parent
+
+
+# --- boilerplate stripping -------------------------------------------------
+
+def test_nav_footer_stripped(tiny_rows):
+    for row in tiny_rows:
+        if _family(row["url"]) == "article_nav":
+            res = extract_one(row["html"], row["lang"])
+            assert "copyright 2024" not in res.text
+            assert res.n_blocks >= 2  # h1 + at least one para run
+            assert all(s.block_type != BlockType.NOISE for s in res.spans)
+
+
+# --- error discipline ------------------------------------------------------
+
+def test_broken_payloads_never_raise():
+    assert extract_one(b"").payload_kind == PayloadKind.EMPTY
+    assert extract_one(None).payload_kind == PayloadKind.EMPTY
+    assert extract_one(b"   \n\t ").payload_kind == PayloadKind.EMPTY
+    r = extract_one(b"\x00\x01\x02junk")
+    assert r.payload_kind == PayloadKind.ERROR and r.error
+    r = extract_one(b"%PDF-1.4 garbage without streams")
+    assert r.payload_kind == PayloadKind.ERROR
+
+
+def test_truncated_html_degrades():
+    r = extract_one(b"<html><body><p>hello world this is fine</p><p>trunca")
+    assert r.payload_kind == PayloadKind.HTML
+    assert "hello world" in r.text
+
+
+# --- charset policy --------------------------------------------------------
+
+def test_charset_declared_latin1():
+    html = ('<html><head><meta charset="iso-8859-1"></head>'
+            "<body><p>Caf\xe9 cr\xe8me</p></body></html>").encode("latin-1")
+    r = extract_one(html)
+    assert r.charset == "iso8859-1"
+    assert "Café crème" in r.text
+
+
+def test_charset_misdeclared_falls_back():
+    html = ('<html><head><meta charset="utf-8"></head>'
+            "<body><p>Caf\xe9</p></body></html>").encode("latin-1")
+    r = extract_one(html)
+    assert r.charset == "latin-1"          # utf-8 strict failed → fallback
+    assert "Caf" in r.text
+
+
+# --- PDF branch ------------------------------------------------------------
+
+def test_pdf_roundtrip_both_codecs():
+    for compress in (False, True):
+        pdf = make_pdf([["hello pdf line one", "line two"], ["second para"]],
+                       compress=compress)
+        r = extract_one(pdf)
+        assert r.payload_kind == PayloadKind.PDF
+        assert r.text == "hello pdf line one\nline two\nsecond para"
+
+
+def test_pdf_escapes():
+    pdf = make_pdf([["parens () and backslash \\ here"]])
+    r = extract_one(pdf)
+    assert "parens () and backslash \\ here" == r.text
+
+
+# --- modes / config (PageSegMode + variables analogues) --------------------
+
+_HTML = (b"<main><h1>Title Here</h1><p>one 234 two</p></main>"
+         b"<div>outside text</div>")
+
+
+def test_mode_single_block():
+    r = extract_one(_HTML, "en", cfg=ExtractConfig(mode=Mode.SINGLE_BLOCK))
+    assert r.n_blocks == 1
+
+
+def test_mode_text_only_uses_corpus_text():
+    r = extract_one(_HTML, "en", corpus_text="para one\n\npara two",
+                    cfg=ExtractConfig(mode=Mode.TEXT_ONLY))
+    assert r.text == "para one\n\npara two"
+    assert r.payload_kind == PayloadKind.TEXT
+
+
+def test_selector_tag_roi():
+    r = extract_one(_HTML, "en", cfg=ExtractConfig(selector_tag="main"))
+    assert "outside" not in r.text and "Title Here" in r.text
+
+
+def test_char_whitelist_digits():
+    r = extract_one(_HTML, "en", cfg=ExtractConfig(char_whitelist="0123456789"))
+    assert r.text == "234"
+
+
+def test_determinism_rerun(tiny_rows):
+    for row in tiny_rows[:16]:
+        a = extract_one(row["html"], row["lang"], row["text"])
+        b = extract_one(row["html"], row["lang"], row["text"])
+        assert a.text == b.text and a.spans == b.spans
+
+
+# --- golden parquet byte-identity (serial pinned outputs) ------------------
+
+def test_tiny_golden_matches_live_extractor(fixtures_dir):
+    pages = pq.read_table(os.path.join(fixtures_dir, "pages_tiny.parquet"))
+    golden = pq.read_table(os.path.join(fixtures_dir, "golden_extracted_tiny.parquet"))
+    gold_by_url = {}
+    for i in range(golden.num_rows):
+        gold_by_url.setdefault(golden["url"][i].as_py(), []).append(
+            (golden["extracted_text"][i].as_py(), golden["payload_kind"][i].as_py()))
+    for row in pages.to_pylist():
+        res = extract_one(row["html"], row["lang"], row["text"])
+        assert (res.text, res.payload_kind) in gold_by_url[row["url"]]
