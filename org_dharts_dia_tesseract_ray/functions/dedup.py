@@ -1,0 +1,417 @@
+"""Corpus deduplication family — exact, MinHash+LSH, SimHash, Jaccard,
+embedding-cosine.
+
+The reference has no cross-document operators at all (single-document loop,
+SURVEY.md §2.5 "Set ops / dedup: absent") — these are the training-data-scale
+additions the north rule asks for, built Ray-Data-first:
+
+* **exact**: content digest → hash-shuffle ``groupby(fp)`` → min-id survivor
+  per group.  One all-to-all exchange keyed on the digest; digests are
+  16 bytes/doc, so the shuffle moves digests, never documents.
+* **MinHash + LSH**: shingle → minhash signature (``map_batches``, numpy) →
+  band rows (vectorized explode) → ``groupby(band, band_hash)`` bucket →
+  candidate pairs → exact-Jaccard verification via two hash JOINS back to
+  the signatures (never a driver-side collect) — candidates ≪ corpus is the
+  partitioning assumption, standard for web dedup.
+* **SimHash**: 64-bit signature per doc, near-dups via 16-bit band buckets +
+  Hamming verification (Charikar / Manku-Jain-Sarma pattern).
+* **n-gram Jaccard / embedding cosine**: all-pairs within LSH-or-broadcast
+  candidate scope; the embedding variant broadcasts the (small) normalized
+  matrix once via ``ray.put`` and streams batches against it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .fingerprint import kgram_hashes, md5_batch
+
+# MinHash permutation family: h_p(x) = (a_p·x + b_p) mod PRIME (Mersenne 61)
+_PRIME = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int = 42):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _PRIME, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _PRIME, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """One survivor (min id) per distinct content digest.
+
+    Partial work (digesting) happens inside ``map_batches``; the shuffle key
+    is the 32-char digest — the combiner-before-shuffle pattern.
+    """
+    fps = ds.map_batches(
+        lambda b: md5_batch(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        i = pc.index(group[id_col], pc.min(group[id_col]).as_py()).as_py()
+        return group.slice(i, 1)
+
+    return fps.groupby("fp").map_groups(keep_min, batch_format="pyarrow")
+
+
+def exact_dedup_sql(table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id") -> str:
+    return (f"SELECT min({id_col}) AS {id_col}, md5({text_col}) AS fp "
+            f"FROM {table} GROUP BY md5({text_col})")
+
+
+# ---------------------------------------------------------------------------
+# shingling + MinHash signatures
+
+
+def shingle_set(text: str, k: int = 8) -> np.ndarray:
+    """Distinct byte k-gram rolling hashes (vectorized, uint64)."""
+    return np.unique(kgram_hashes(text or "", k))
+
+
+class MinHasher:
+    """Stateful signature stage (actor pool): permutation table built once
+    per actor in ``__init__`` — the TessBaseAPI-handle analogue
+    (/root/reference/src/.../TesseractHandle.java:82-102)."""
+
+    def __init__(self, num_perm: int = 128, k: int = 8, seed: int = 42,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.a, self.b = _perm_params(num_perm, seed)
+        self.num_perm = num_perm
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signature(self, text: str) -> np.ndarray:
+        x = shingle_set(text, self.k) % _PRIME
+        with np.errstate(over="ignore"):
+            # (P, n) permuted values; mod-mersenne on the wrapped product is
+            # fine for MinHash (any fixed hash family works, it just must be
+            # deterministic and well-mixed)
+            vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _PRIME
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        flat = np.empty((batch.num_rows, self.num_perm), dtype=np.uint64)
+        for i, s in enumerate(batch[self.text_col].to_pylist()):
+            flat[i] = self.signature(s)
+        offsets = pa.array(
+            np.arange(batch.num_rows + 1, dtype=np.int32) * self.num_perm)
+        return pa.table({
+            self.id_col: ids,
+            "sig": pa.ListArray.from_arrays(
+                offsets, pa.array(flat.reshape(-1), pa.uint64())),
+        })
+
+
+def apply_minhash(ds, *, num_perm: int = 128, k: int = 8, seed: int = 42,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  concurrency=(1, 8), batch_size: int = 256):
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, k=k, seed=seed,
+                                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# LSH banding → candidate pairs → exact-Jaccard verification
+
+
+def _band_rows(batch: pa.Table, bands: int, rows: int,
+               id_col: str) -> pa.Table:
+    """Vectorized explode: one row per (doc, band) with a combined band
+    hash — the LSH bucket key."""
+    sig = batch["sig"]
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    n = len(sig)
+    flat = np.asarray(sig.values).reshape(n, bands * rows)
+    with np.errstate(over="ignore"):
+        # polynomial combine of each band's rows → single uint64 bucket key
+        cube = flat.reshape(n, bands, rows)
+        acc = np.zeros((n, bands), dtype=np.uint64)
+        for r in range(rows):
+            acc = acc * np.uint64(1099511628211) + cube[:, :, r]
+    ids = np.repeat(np.asarray(batch[id_col]), bands)
+    band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
+    return pa.table({
+        id_col: pa.array(ids),
+        "band": pa.array(band_idx, pa.int32()),
+        "band_hash": pa.array(acc.reshape(-1), pa.uint64()),
+    })
+
+
+def _emit_pairs(group: pa.Table, id_col: str) -> pa.Table:
+    ids = sorted(set(group[id_col].to_pylist()))
+    a_out, b_out = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+    return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                     "id_b": pa.array(b_out, pa.int64())})
+
+
+def _first_row(group: pa.Table) -> pa.Table:
+    return group.slice(0, 1)
+
+
+def jaccard(x: np.ndarray, y: np.ndarray) -> float:
+    inter = np.intersect1d(x, y, assume_unique=True).size
+    union = x.size + y.size - inter
+    return inter / union if union else 0.0
+
+
+def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
+                      threshold: float = 0.5, k: int = 8, seed: int = 42,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_partitions: int = 8):
+    """Near-duplicate pairs with exact n-gram Jaccard ≥ threshold.
+
+    Full distributed flow; the only collect-shaped steps are groupbys and
+    hash joins (Ray Data shuffle operators).  Returns (id_a, id_b, jaccard)
+    with jaccard quantized to 4 dp.
+    """
+    rows = num_perm // bands
+    sigs = apply_minhash(ds, num_perm=num_perm, k=k, seed=seed,
+                         text_col=text_col, id_col=id_col)
+    # shingle sets again for verification, carried as sorted list<uint64>;
+    # at 100 TB this column stays in the object store and flows through the
+    # two hash joins below — never through the driver.
+    def shingles_batch(b: pa.Table) -> pa.Table:
+        # carried as raw little-endian uint64 bytes: Ray's hash join does not
+        # support list-typed non-key columns, binary flows through fine
+        blobs = [shingle_set(s, k).tobytes() for s in b[text_col].to_pylist()]
+        return pa.table({
+            id_col: b[id_col],
+            "shingles": pa.array(blobs, pa.binary()),
+        })
+
+    shing = ds.map_batches(shingles_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    band_ds = sigs.map_batches(
+        lambda b: _band_rows(b, bands, rows, id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cand = band_ds.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _emit_pairs(g, id_col), batch_format="pyarrow")
+    # a pair can surface from several bands → dedupe on (id_a, id_b)
+    cand = cand.groupby(["id_a", "id_b"]).map_groups(
+        _first_row, batch_format="pyarrow")
+
+    sh_a = shing.map_batches(
+        lambda b: b.rename_columns(["id_a", "sh_a"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sh_b = shing.map_batches(
+        lambda b: b.rename_columns(["id_b", "sh_b"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = cand.join(sh_a, join_type="inner",
+                       num_partitions=num_partitions, on=("id_a",))
+    joined = joined.join(sh_b, join_type="inner",
+                         num_partitions=num_partitions, on=("id_b",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        a_blobs = b["sh_a"].to_pylist()
+        b_blobs = b["sh_b"].to_pylist()
+        js = []
+        for i in range(b.num_rows):
+            x = np.frombuffer(a_blobs[i], dtype=np.uint64)
+            y = np.frombuffer(b_blobs[i], dtype=np.uint64)
+            js.append(round(jaccard(x, y) * 10000.0) / 10000.0)
+        out = pa.table({
+            "id_a": b["id_a"], "id_b": b["id_b"],
+            "jaccard": pa.array(js, pa.float64()),
+        })
+        return out.filter(pc.greater_equal(out["jaccard"],
+                                           pa.scalar(threshold)))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# brute-force n-gram Jaccard (oracle-grade baseline for small candidate sets)
+
+
+def jaccard_pairs_brute(ds, *, threshold: float = 0.5, k: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """All-pairs exact Jaccard via a broadcast shingle index.
+
+    The small-side-broadcast pattern: the (id → shingle set) index is put in
+    the object store ONCE (``ray.put``) and read zero-copy by every task —
+    valid while the index fits a node (≈ a few GB); beyond that use
+    :func:`minhash_lsh_pairs`.
+    """
+    import ray
+
+    idx_rows = ds.select_columns([id_col, text_col]).take_all()
+    index = {r[id_col]: shingle_set(r[text_col], k) for r in idx_rows}
+    index_ref = ray.put(index)
+
+    class PairFinder:
+        """Actor: broadcast index fetched ONCE per actor in __init__ (the
+        ray.put-once / read-per-actor pattern, never re-shipped per batch)."""
+
+        def __init__(self, ref):
+            self.idx = ray.get(ref)
+            self.all_ids = sorted(self.idx)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            a_out, b_out, js = [], [], []
+            for i_ in b[id_col].to_pylist():
+                x = self.idx[i_]
+                for j_ in self.all_ids:
+                    if j_ <= i_:
+                        continue
+                    jac = jaccard(x, self.idx[j_])
+                    if jac >= threshold:
+                        a_out.append(i_)
+                        b_out.append(j_)
+                        js.append(round(jac * 10000.0) / 10000.0)
+            return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                             "id_b": pa.array(b_out, pa.int64()),
+                             "jaccard": pa.array(js, pa.float64())})
+
+    return ds.map_batches(PairFinder, fn_constructor_args=(index_ref,),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_batch(batch: pa.Table, *, k: int = 4, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """64-bit SimHash per document (Charikar) over byte k-gram hashes,
+    fully vectorized bit accumulation."""
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.empty(batch.num_rows, dtype=np.uint64)
+    for i, s in enumerate(batch[text_col].to_pylist()):
+        h = kgram_hashes(s or "", k)
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        acc = (2 * bits - 1).sum(axis=0)
+        out[i] = ((acc >= 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+    t = pa.table({id_col: batch[id_col],
+                  "simhash": pa.array(out, pa.uint64())})
+    # 4 × 16-bit bands for LSH bucketing (Hamming ≤ 3 ⇒ one band equal)
+    for bi in range(4):
+        band = ((out >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(np.uint32)
+        t = t.append_column(f"band{bi}", pa.array(band, pa.uint32()))
+    return t
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def simhash_pairs(ds, *, max_hamming: int = 3, k: int = 4,
+                  text_col: str = "text", id_col: str = "doc_id"):
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole: distance ≤ 3 over 4 bands ⇒ at least one band identical, so
+    candidates come from 4 bucket groupbys — each a shuffle of 12-byte rows.
+    """
+    sh = ds.map_batches(
+        lambda b: simhash_batch(b, k=k, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col])
+        sims = np.asarray(group["simhash"])
+        order = np.argsort(ids)
+        ids, sims = ids[order], sims[order]
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(ids)):
+            d = hamming64(np.full(len(ids) - i - 1, sims[i], dtype=np.uint64),
+                          sims[i + 1:])
+            keep = d <= max_hamming
+            for j, dj in zip(np.nonzero(keep)[0], d[keep]):
+                a_out.append(int(ids[i]))
+                b_out.append(int(ids[i + 1 + j]))
+                d_out.append(int(dj))
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64()),
+                         "hamming": pa.array(d_out, pa.int64())})
+
+    parts = []
+    for bi in range(4):
+        cand = (sh.select_columns([id_col, "simhash", f"band{bi}"])
+                .groupby(f"band{bi}")
+                .map_groups(emit, batch_format="pyarrow"))
+        parts.append(cand)
+    allp = parts[0].union(*parts[1:])
+    return allp.groupby(["id_a", "id_b"]).map_groups(
+        _first_row, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+
+
+def cosine_neardup(ds, *, threshold: float = 0.4, vec_col: str = "embedding",
+                   id_col: str = "vec_id"):
+    """Pairs (id_a < id_b) with cosine ≥ threshold.
+
+    Baseline broadcast-matmul: the normalized corpus matrix is built once
+    driver-side (small side — 500×64 at sf0.01; sample/IVF beyond node RAM,
+    see :mod:`.similarity`), ``ray.put`` into the object store, and every
+    batch does one numpy matmul against it — no shuffle at all.
+    Oracle: DuckDB self-join with ``list_cosine_similarity(::DOUBLE[])``.
+    """
+    import ray
+
+    rows = ds.select_columns([id_col, vec_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((ids, M))
+
+    class BatchPairs:
+        def __init__(self, r):
+            self.all_ids, self.Mn = ray.get(r)   # once per actor, zero-copy
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            bid = np.asarray(b[id_col], dtype=np.int64)
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in b[vec_col].to_pylist()])
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            C = V @ self.Mn.T                            # (nb, N)
+            keep = C >= threshold
+            # only emit (row_id < corpus_id) to halve output and kill dupes
+            keep &= bid[:, None] < self.all_ids[None, :]
+            ii, jj = np.nonzero(keep)
+            cos = np.round(C[ii, jj] * 10000.0) / 10000.0
+            return pa.table({
+                "id_a": pa.array(bid[ii], pa.int64()),
+                "id_b": pa.array(self.all_ids[jj], pa.int64()),
+                "cos": pa.array(cos, pa.float64()),
+            })
+
+    return ds.map_batches(BatchPairs, fn_constructor_args=(ref,),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          concurrency=(1, 8))
+
+
+def cosine_neardup_sql(threshold: float = 0.4,
+                       table: str = "embeddings") -> str:
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) * 10000.0) / 10000.0 AS cos
+FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= {threshold}"""

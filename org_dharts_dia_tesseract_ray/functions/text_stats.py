@@ -1,0 +1,286 @@
+"""Vectorized text-analysis operators over a documents table.
+
+These are the training-data-pipeline analytics the engine provides beyond the
+reference's surface (the reference's only per-token analytics are the word
+predicates ``TessBaseAPIIsValidWord`` / ``isNumeric``,
+/root/reference/src/.../TessAPI.java:566 and
+RecognitionResultsIterator.java:128-136 — here generalized to corpus-scale,
+batch-vectorized statistics).
+
+Every kernel is a pure ``pyarrow.compute`` expression over zero-copy Arrow
+batches (RE2 regexes — the same engine DuckDB uses, which is what makes the
+SQL oracles in ``__ray_entry__`` bit-exact).  SQL-checked outputs are
+integers/strings only; ratio-valued scores are continuous doubles rounded at
+4 dp (decimal-boundary collisions have measure zero there).
+
+Scale notes: stateless ``map_batches`` tasks, no shuffle, column-pruned input
+(``text`` + id only) — at 100 TB this stage is embarrassingly parallel and
+reads only the columns it needs.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# shared regex vocabulary (RE2 syntax — valid in pyarrow AND DuckDB)
+
+#: BPE-ish word/number/punct tokenizer (GPT-2-style coarse classes).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: whitespace splitter for the cheap token count
+WS_PATTERN = r"\s+"
+
+DIGIT_PATTERN = r"[0-9]"
+UPPER_PATTERN = r"[A-Z]"
+
+# tiny built-in stopword tables — per-language n-gram/stopword profiles for
+# the language-ID heuristic.  Kept deliberately small so the profile regex
+# stays cheap; listed in PRIORITY ORDER (first-max tie-break).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+           "with", "are", "this", "not"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "eine", "mit",
+           "den", "von", "für", "auf", "sich"),
+    "es": ("el", "la", "los", "las", "es", "una", "por", "con", "para",
+           "del", "como", "más", "pero", "sus"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "qui", "pas", "pour",
+           "sur", "avec", "mais", "aux", "être"),
+}
+
+#: CJK unified ideographs — presence short-circuits language ID to "zh"
+CJK_PATTERN = r"[\x{4E00}-\x{9FFF}]"
+#: Arabic block — presence short-circuits language ID to "ar"
+ARABIC_PATTERN = r"[\x{0600}-\x{06FF}]"
+
+UND = "und"
+
+
+def stopword_pattern(lang: str) -> str:
+    """Word-boundary alternation regex over the language's stopword list."""
+    return r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+
+
+# ---------------------------------------------------------------------------
+# kernels
+
+
+def _utf8_length(col):
+    return pc.utf8_length(col).cast(pa.int64())
+
+
+def _count_re(col, pattern):
+    return pc.count_substring_regex(col, pattern).cast(pa.int64())
+
+
+def token_stats_batch(batch: pa.Table, *, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Per-document token/character counters (all exact integers).
+
+    Columns: ``n_chars2`` (codepoints), ``n_tokens_ws`` (whitespace tokens),
+    ``n_tokens_re`` (BPE-ish regex tokens), ``n_digits``, ``n_upper``,
+    ``n_stop_en`` (English stopword hits).
+    """
+    text = batch[text_col]
+    ws_tokens = pc.list_value_length(
+        pc.split_pattern_regex(pc.utf8_trim_whitespace(text), WS_PATTERN)
+    ).cast(pa.int64())
+    return pa.table({
+        id_col: batch[id_col],
+        "n_chars2": _utf8_length(text),
+        "n_tokens_ws": ws_tokens,
+        "n_tokens_re": _count_re(text, TOKEN_PATTERN),
+        "n_digits": _count_re(text, DIGIT_PATTERN),
+        "n_upper": _count_re(text, UPPER_PATTERN),
+        "n_stop_en": _count_re(text, stopword_pattern("en")),
+    })
+
+
+def quality_batch(batch: pa.Table, *, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Heuristic document-quality features + composite score.
+
+    The corpus-scale generalization of the reference's per-node confidence
+    (ResultHandle.java:84-89): stopword rate, alphabetic density and length
+    saturation folded into one 0–100 score (continuous double, 4 dp).
+    """
+    text = batch[text_col]
+    n_chars = _utf8_length(text)
+    n_chars_f = n_chars.cast(pa.float64())
+    safe_chars = pc.max_element_wise(n_chars_f, pa.scalar(1.0))
+    ws_tokens = pc.list_value_length(
+        pc.split_pattern_regex(pc.utf8_trim_whitespace(text), WS_PATTERN)
+    ).cast(pa.float64())
+    safe_tokens = pc.max_element_wise(ws_tokens, pa.scalar(1.0))
+    stop = _count_re(text, stopword_pattern("en")).cast(pa.float64())
+    alpha = _count_re(text, r"[A-Za-z]").cast(pa.float64())
+    digits = _count_re(text, DIGIT_PATTERN).cast(pa.float64())
+
+    stop_ratio = pc.divide(stop, safe_tokens)
+    alpha_ratio = pc.divide(alpha, safe_chars)
+    digit_ratio = pc.divide(digits, safe_chars)
+    len_sat = pc.min_element_wise(pc.divide(ws_tokens, pa.scalar(100.0)),
+                                  pa.scalar(1.0))
+    score = pc.multiply(
+        pa.scalar(100.0),
+        pc.add(
+            pc.add(pc.multiply(pa.scalar(0.3), pc.min_element_wise(
+                pc.multiply(pa.scalar(4.0), stop_ratio), pa.scalar(1.0))),
+                   pc.multiply(pa.scalar(0.4), alpha_ratio)),
+            pc.add(pc.multiply(pa.scalar(0.2), len_sat),
+                   pc.multiply(pa.scalar(0.1),
+                               pc.subtract(pa.scalar(1.0), digit_ratio))),
+        ),
+    )
+    def r4(x):
+        # Quantize via integer rounding: round(x*1e4)/1e4 yields the SAME
+        # double on every engine (pc.round(x, 4) and DuckDB round(x, 4) pick
+        # representation-different doubles for e.g. 56.2).  Non-negative
+        # inputs ⇒ half_towards_infinity == DuckDB's half-away-from-zero.
+        scaled = pc.round(pc.multiply(x, pa.scalar(10000.0)), 0,
+                          round_mode="half_towards_infinity")
+        return pc.divide(scaled, pa.scalar(10000.0))
+
+    return pa.table({
+        id_col: batch[id_col],
+        "n_chars2": n_chars,
+        "n_tokens_ws": ws_tokens.cast(pa.int64()),
+        "stop_ratio": r4(stop_ratio),
+        "alpha_ratio": r4(alpha_ratio),
+        "digit_ratio": r4(digit_ratio),
+        "quality_score": r4(score),
+    })
+
+
+def langid_batch(batch: pa.Table, *, text_col: str = "text",
+                 id_col: str = "doc_id") -> pa.Table:
+    """n-gram/stopword-profile language identification (deterministic).
+
+    Script short-circuits (CJK → zh, Arabic script → ar), else the language
+    whose stopword profile hits most, first-max tie-break in the fixed
+    priority order of :data:`LANG_STOPWORDS`; no hits at all → ``und``.
+    Pure RE2 count kernels — the DuckDB oracle replicates it exactly.
+    """
+    text = batch[text_col]
+    cjk = _count_re(text, CJK_PATTERN)
+    arab = _count_re(text, ARABIC_PATTERN)
+    langs = list(LANG_STOPWORDS)
+    hits = {l: _count_re(text, stopword_pattern(l)) for l in langs}
+
+    import numpy as np
+    h = np.stack([np.asarray(hits[l]) for l in langs])     # (L, n)
+    best_idx = h.argmax(axis=0)                             # first max wins
+    best_val = h.max(axis=0)
+    pred = np.array(langs, dtype=object)[best_idx]
+    pred[best_val == 0] = UND
+    pred = np.where(np.asarray(cjk) > 0, "zh", pred)
+    pred = np.where(np.asarray(arab) > 0, "ar", pred)
+    return pa.table({
+        id_col: batch[id_col],
+        "pred_lang": pa.array(pred.tolist(), pa.string()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Dataset wrappers (column-pruned, stateless tasks)
+
+
+def apply_token_stats(ds, **kw):
+    return ds.map_batches(lambda b: token_stats_batch(b, **kw),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def apply_quality(ds, **kw):
+    return ds.map_batches(lambda b: quality_batch(b, **kw),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def apply_langid(ds, **kw):
+    return ds.map_batches(lambda b: langid_batch(b, **kw),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL generators (same regex constants ⇒ stays in sync)
+
+
+def token_stats_sql(table: str = "documents", text_col: str = "text",
+                    id_col: str = "doc_id") -> str:
+    t, c = table, text_col
+    return f"""
+SELECT {id_col},
+  length({c}) AS n_chars2,
+  len(regexp_split_to_array(trim({c}), '{WS_PATTERN}')) AS n_tokens_ws,
+  len(regexp_extract_all({c}, '{TOKEN_PATTERN}')) AS n_tokens_re,
+  len(regexp_extract_all({c}, '{DIGIT_PATTERN}')) AS n_digits,
+  len(regexp_extract_all({c}, '{UPPER_PATTERN}')) AS n_upper,
+  len(regexp_extract_all({c}, '{stopword_pattern("en")}')) AS n_stop_en
+FROM {t}"""
+
+
+def quality_sql(table: str = "documents", text_col: str = "text",
+                id_col: str = "doc_id") -> str:
+    """Oracle replicating :func:`quality_batch` with the identical IEEE op
+    tree (division of int-valued doubles, same multiply/add/min order), so
+    values are bit-exact before the shared half-away 4 dp rounding."""
+    t, c = table, text_col
+    return f"""
+WITH f AS (
+  SELECT {id_col},
+    length({c}) AS n_chars2,
+    greatest(CAST(length({c}) AS DOUBLE), 1.0) AS safe_chars,
+    CAST(len(regexp_split_to_array(trim({c}), '{WS_PATTERN}')) AS DOUBLE) AS toks,
+    greatest(CAST(len(regexp_split_to_array(trim({c}), '{WS_PATTERN}')) AS DOUBLE), 1.0) AS safe_toks,
+    CAST(len(regexp_extract_all({c}, '{stopword_pattern("en")}')) AS DOUBLE) AS stop,
+    CAST(len(regexp_extract_all({c}, '[A-Za-z]')) AS DOUBLE) AS alpha,
+    CAST(len(regexp_extract_all({c}, '{DIGIT_PATTERN}')) AS DOUBLE) AS digits
+  FROM {t}
+)
+SELECT {id_col},
+  n_chars2,
+  CAST(toks AS BIGINT) AS n_tokens_ws,
+  round(stop / safe_toks * 10000.0) / 10000.0 AS stop_ratio,
+  round(alpha / safe_chars * 10000.0) / 10000.0 AS alpha_ratio,
+  round(digits / safe_chars * 10000.0) / 10000.0 AS digit_ratio,
+  round(100.0 * ((0.3 * least(4.0 * (stop / safe_toks), 1.0)
+                  + 0.4 * (alpha / safe_chars))
+                 + (0.2 * least(toks / 100.0, 1.0)
+                    + 0.1 * (1.0 - digits / safe_chars))) * 10000.0) / 10000.0
+    AS quality_score
+FROM f"""
+
+
+def langid_sql(table: str = "documents", text_col: str = "text",
+               id_col: str = "doc_id") -> str:
+    langs = list(LANG_STOPWORDS)
+    hits = ",\n    ".join(
+        f"len(regexp_extract_all({text_col}, '{stopword_pattern(l)}')) AS h_{l}"
+        for l in langs)
+    # first-max tie-break: lang i wins iff h_i >= h_j for all j > i and
+    # h_i > h_j for all j < i is NOT needed — argmax-first == h_i >= all later
+    # and strictly greater than no earlier max ⇔ simple cascade below.
+    cases = []
+    for i, l in enumerate(langs):
+        conds = [f"h_{l} >= h_{m}" for m in langs[i + 1:]]
+        conds += [f"h_{l} > h_{m}" for m in langs[:i]]
+        cases.append(f"WHEN {' AND '.join(conds) or 'TRUE'} THEN '{l}'")
+    case_sql = "\n      ".join(cases)
+    return f"""
+WITH h AS (
+  SELECT {id_col},
+    len(regexp_extract_all({text_col}, '{CJK_PATTERN}')) AS h_cjk,
+    len(regexp_extract_all({text_col}, '{ARABIC_PATTERN}')) AS h_arab,
+    {hits}
+  FROM {table}
+)
+SELECT {id_col},
+  CASE
+    WHEN h_arab > 0 THEN 'ar'
+    WHEN h_cjk > 0 THEN 'zh'
+    WHEN {" AND ".join(f"h_{l} = 0" for l in langs)} THEN '{UND}'
+    ELSE CASE
+      {case_sql}
+    END
+  END AS pred_lang
+FROM h"""
