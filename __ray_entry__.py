@@ -1,44 +1,422 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+(or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` covers the engine surface from SURVEY.md §2 plus the
+training-data operator suite (dedup family, similarity search, text
+analysis, multimodal); ``oracle_sql()`` provides DuckDB equivalents for
+every SQL-expressible operator — the extraction pipeline itself is
+SQL-checked through the deterministic documents→pages wrap
+(:mod:`org_dharts_dia_tesseract_ray.pipelines.docs_pipeline`), making the
+byte-identical-text gate part of the harness, not just pytest.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (_REPO + os.pathsep
+                            + os.environ.get("PYTHONPATH", ""))
+
+import numpy as np          # noqa: E402
+import pyarrow as pa        # noqa: E402
+import pyarrow.compute as pc  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+
+NUM_ANN_QUERIES = 8
+ANN_K = 5
+COS_THRESHOLD = 0.35
+MINHASH_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3
+SKEW_K = 10
+PRICING_CUTOFF = "1998-09-02"
+
+
+def _register_by_value():
+    """Ship the package by value so Ray workers import it regardless of the
+    driver's cwd (the driver may import this module from anywhere)."""
+    try:
+        from ray import cloudpickle as rcp
+
+        import org_dharts_dia_tesseract_ray as pkg
+        rcp.register_pickle_by_value(pkg)
+    except Exception:
+        pass
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns)
+
+
+def _quantize(col, scale: float):
+    return pc.divide(
+        pc.round(pc.multiply(col.cast(pa.float64()), pa.scalar(scale)), 0,
+                 round_mode="half_towards_infinity"),
+        pa.scalar(scale))
+
+
+def _query_matrix(sf_dir: str, nq: int = NUM_ANN_QUERIES):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])[:nq]
+    Q = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"].to_pylist()[:nq]])
+    return ids, Q
+
+
+# ---------------------------------------------------------------------------
+# flagship
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 documents wrapped as web pages → full extraction
+    pipeline (sniff → skew-routed actor-pool extract) → extracted table."""
+    _register_by_value()
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        roundtrip_extract)
+    from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
+        extracted_view)
+    combined = roundtrip_extract("/root/testdata/sf0.001")
+    return extracted_view(combined)
+
+
+# ---------------------------------------------------------------------------
+# query implementations (each takes sf_dir, returns Dataset/DataFrame/Table)
+
+
+def _q_extract_roundtrip(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        roundtrip_extract)
+    combined = roundtrip_extract(sf_dir)
+    return combined.select_columns(
+        ["url", "extracted_text", "n_blocks", "payload_kind", "charset"])
+
+
+def _q_extract_spans(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        roundtrip_extract)
+    from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
+        spans_view)
+    spans = spans_view(roundtrip_extract(sf_dir))
+    return (spans
+            .filter(expr="level == 'block'")
+            .select_columns(["url", "node_id", "level", "block_type",
+                             "start", "end"]))
+
+
+def _q_extract_metrics(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Sum
+
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        roundtrip_extract)
+    from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
+        extracted_view)
+    ex = extracted_view(roundtrip_extract(sf_dir))
+
+    def chars(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b["lang"],
+            "text_chars": pc.utf8_length(b["extracted_text"]).cast(pa.int64()),
+            "n_blocks": b["n_blocks"].cast(pa.int64()),
+        })
+
+    return (ex.map_batches(chars, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("text_chars", alias_name="total_chars"),
+                       Max("text_chars", alias_name="max_chars"),
+                       Sum("n_blocks", alias_name="total_blocks")))
+
+
+def _q_token_stats(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        apply_token_stats)
+    return apply_token_stats(_read(sf_dir, "documents",
+                                   ["doc_id", "text"]))
+
+
+def _q_quality(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.text_stats import apply_quality
+    return apply_quality(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_langid(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.text_stats import apply_langid
+    return apply_langid(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_fingerprint(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.fingerprint import apply_md5
+    return apply_md5(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_dedup_exact(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.dedup import exact_dedup
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_neardup_minhash(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                             threshold=MINHASH_THRESHOLD)
+
+
+def _q_neardup_simhash(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.dedup import simhash_pairs
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _q_neardup_jaccard_brute(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.dedup import (
+        jaccard_pairs_brute)
+    return jaccard_pairs_brute(_read(sf_dir, "documents", ["doc_id", "text"]),
+                               threshold=MINHASH_THRESHOLD)
+
+
+def _q_neardup_cosine(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.dedup import cosine_neardup
+    return cosine_neardup(_read(sf_dir, "embeddings"),
+                          threshold=COS_THRESHOLD)
+
+
+def _q_ann_brute(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.similarity import brute_topk
+    ids, Q = _query_matrix(sf_dir)
+    return brute_topk(_read(sf_dir, "embeddings"), ids, Q, ANN_K)
+
+
+def _q_ann_ivf(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.similarity import (IvfIndex,
+                                                                   ivf_topk)
+    ids, Q = _query_matrix(sf_dir)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"].to_pylist()])
+    index = IvfIndex.train(M, n_centroids=8, iters=5)
+    return ivf_topk(_read(sf_dir, "embeddings"), ids, Q, index, ANN_K,
+                    nprobe=4)
+
+
+def _q_winnow(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.fingerprint import apply_winnow
+    ds = apply_winnow(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "n_fp", "min_fp"])
+
+
+def _q_media_decode(sf_dir: str):
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        apply_decode, synth_media_table)
+    out = apply_decode(ray.data.from_arrow(synth_media_table(64)))
+    return out.select_columns(["item_id", "status", "width", "height",
+                               "n_frames"])
+
+
+def _q_media_frames(sf_dir: str):
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        apply_frame_sample, synth_media_table)
+    return apply_frame_sample(
+        ray.data.from_arrow(synth_media_table(64, kind="video")), every=4)
+
+
+def _q_skew_topk(sf_dir: str):
+    return (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+            .sort(["n_chars", "doc_id"], descending=[True, False])
+            .limit(SKEW_K))
+
+
+def _q_doc_stats_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Sum
+    return (_read(sf_dir, "documents", ["lang", "n_chars"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"),
+                       Sum("n_chars", alias_name="total_chars"),
+                       Max("n_chars", alias_name="max_chars")))
+
+
+def _q_events_latest(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def keep_latest(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("ts", "descending"), ("event_id", "descending")])
+        return t.slice(0, 1)
+
+    return ds.groupby("user_id").map_groups(keep_latest,
+                                            batch_format="pyarrow")
+
+
+def _q_events_rollup(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    agg = (_read(sf_dir, "events", ["event_type", "value"])
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="total_value")))
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b["event_type"],
+            "n_events": b["n_events"],
+            "total_value": _quantize(b["total_value"], 100.0),
+        })
+
+    return agg.map_batches(quant, batch_format="pyarrow")
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    cutoff = pa.scalar(np.datetime64(PRICING_CUTOFF, "us"),
+                       pa.timestamp("us"))
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
+        disc_price = pc.multiply(
+            b["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "l_quantity": b["l_quantity"],
+            "l_extendedprice": b["l_extendedprice"],
+            "disc_price": disc_price,
+            "l_discount": b["l_discount"],
+        })
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Sum("l_discount", alias_name="sum_disc"),
+                      Count(alias_name="count_order")))
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": _quantize(b["sum_qty"], 100.0),
+            "sum_base_price": _quantize(b["sum_base_price"], 100.0),
+            "sum_disc_price": _quantize(b["sum_disc_price"], 100.0),
+            "avg_disc": _quantize(
+                pc.divide(b["sum_disc"],
+                          b["count_order"].cast(pa.float64())), 1e6),
+            "count_order": b["count_order"],
+        })
+
+    return agg.map_batches(quant, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    _register_by_value()
+    return {
+        # flagship extraction engine (SURVEY.md §2.2-2.4)
+        "extract_roundtrip": _q_extract_roundtrip,
+        "extract_spans": _q_extract_spans,
+        "extract_metrics_by_lang": _q_extract_metrics,
+        # text analysis suite
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality,
+        "langid": _q_langid,
+        "fingerprint_md5": _q_fingerprint,
+        "winnow_fingerprints": _q_winnow,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "neardup_minhash_lsh": _q_neardup_minhash,
+        "neardup_simhash": _q_neardup_simhash,
+        "neardup_jaccard_brute": _q_neardup_jaccard_brute,
+        "neardup_cosine": _q_neardup_cosine,
+        # similarity search
+        "ann_brute_topk": _q_ann_brute,
+        "ann_ivf_topk": _q_ann_ivf,
+        # multimodal plumbing (deterministic synthetic media)
+        "media_decode": _q_media_decode,
+        "media_frame_sample": _q_media_frames,
+        # wide-step relational parity (groupby/sort/window analogues §2.5)
+        "skew_topk": _q_skew_topk,
+        "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "events_latest_per_user": _q_events_latest,
+        "events_rollup": _q_events_rollup,
+        "lineitem_pricing": _q_lineitem_pricing,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from org_dharts_dia_tesseract_ray.functions.dedup import (
+        cosine_neardup_sql, exact_dedup_sql)
+    from org_dharts_dia_tesseract_ray.functions.fingerprint import md5_sql
+    from org_dharts_dia_tesseract_ray.functions.similarity import (
+        brute_topk_sql)
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        langid_sql, quality_sql, token_stats_sql)
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        roundtrip_spans_sql, roundtrip_sql)
+    return {
+        "extract_roundtrip": roundtrip_sql(),
+        "extract_spans": roundtrip_spans_sql(),
+        "extract_metrics_by_lang": """
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(6 + length(CAST(doc_id AS VARCHAR)) + length(text)) AS BIGINT)
+         AS total_chars,
+       CAST(max(6 + length(CAST(doc_id AS VARCHAR)) + length(text)) AS BIGINT)
+         AS max_chars,
+       CAST(2 * count(*) AS BIGINT) AS total_blocks
+FROM documents GROUP BY lang""",
+        "token_stats": token_stats_sql(),
+        "quality_score": quality_sql(),
+        "langid": langid_sql(),
+        "fingerprint_md5": md5_sql(),
+        "dedup_exact": exact_dedup_sql(),
+        "neardup_cosine": cosine_neardup_sql(COS_THRESHOLD),
+        "ann_brute_topk": brute_topk_sql(NUM_ANN_QUERIES, ANN_K),
+        "skew_topk": f"""
+SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT {SKEW_K}""",
+        "doc_stats_by_lang": """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang""",
+        "events_latest_per_user": """
+SELECT user_id, event_id, ts FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events) WHERE rk = 1""",
+        "events_rollup": """
+SELECT event_type, count(*) AS n_events,
+       round(sum(value) * 100.0) / 100.0 AS total_value
+FROM events GROUP BY event_type""",
+        "lineitem_pricing": f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity) * 100.0) / 100.0 AS sum_qty,
+       round(sum(l_extendedprice) * 100.0) / 100.0 AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0) / 100.0
+         AS sum_disc_price,
+       round(sum(l_discount) / count(*) * 1000000.0) / 1000000.0 AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus""",
+        # no oracle (non-SQL-expressible, rows-only check):
+        #   neardup_minhash_lsh / neardup_simhash / neardup_jaccard_brute
+        #   (hash-family-dependent), winnow_fingerprints, ann_ivf_topk
+        #   (approximate), langid is SQL-checked above, media_* (binary
+        #   payload plumbing).
+    }

@@ -1,0 +1,93 @@
+"""Driver-testdata adapter: the `documents` table as a web-page corpus.
+
+The correctness harness runs over the driver's TPC-H-ish tables; this module
+deterministically wraps `documents.text` into the Common-Crawl-shaped `pages`
+schema (BASELINE.json input_hint) — nav/footer boilerplate and all — so the
+FULL flagship extraction pipeline becomes DuckDB-oracle-checkable: the
+extractor must strip the injected boilerplate and return byte-identical
+``'Doc {id}\\n\\n' || text`` per url (the LayoutIteratorTests golden-count
+analogue, /root/reference/tests/.../LayoutIteratorTests.java:54-64, upgraded
+from counts to bytes).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+#: fixed epoch for synthetic warc_ts (2026-01-01T00:00:00Z in µs)
+_TS_BASE_US = 1_767_225_600_000_000
+
+#: the wrap template — nav + footer are link-farm boilerplate the extractor
+#: must classify NOISE; <article> holds one heading + one flowing paragraph.
+_TEMPLATE = ("<html><head><title>d{id}</title>"
+             '<meta charset="utf-8"></head><body>'
+             '<nav><a href="/">home</a> <a href="/{id}">self</a></nav>'
+             "<article><h1>Doc {id}</h1><p>{text}</p></article>"
+             '<footer><a href="/about">about</a> © corpus</footer>'
+             "</body></html>")
+
+
+def wrap_documents_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    html = [_TEMPLATE.format(id=i, text=t).encode("utf-8")
+            for i, t in zip(ids, texts)]
+    ts = pa.array([_TS_BASE_US + i * 1_000_000 for i in ids],
+                  pa.timestamp("us", tz="UTC"))
+    return pa.table({
+        "url": pa.array([f"https://corpus.test/doc/{i}" for i in ids],
+                        pa.string()),
+        "warc_ts": ts,
+        "html": pa.array(html, pa.binary()),
+        "text": batch["text"],
+        "lang": batch["lang"],
+    })
+
+
+def pages_from_documents(sf_dir: str):
+    """documents.parquet → pages Dataset (lazy, streaming)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    return ds.map_batches(wrap_documents_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def roundtrip_extract(sf_dir: str, **kwargs):
+    """Flagship pipeline over the wrapped corpus → combined extracted Dataset."""
+    from .extract_pipeline import extract_pages
+    return extract_pages(pages_from_documents(sf_dir), **kwargs)
+
+
+def roundtrip_sql(table: str = "documents") -> str:
+    """Oracle for the document-level roundtrip: boilerplate stripped, heading
+    + body joined by a blank line, byte-identical per url."""
+    return f"""
+SELECT 'https://corpus.test/doc/' || doc_id AS url,
+       'Doc ' || doc_id || chr(10) || chr(10) || text AS extracted_text,
+       2 AS n_blocks,
+       'html' AS payload_kind,
+       'utf-8' AS charset
+FROM {table}"""
+
+
+def roundtrip_spans_sql(table: str = "documents") -> str:
+    """Oracle for block-level spans of the wrapped corpus.
+
+    Structure is fixed by the template: heading block (node 0) spanning
+    ``Doc {id}`` then — after block+para+line+2 word spans — the flowing
+    block (node 5) spanning the body text, offset by the heading + blank
+    line.  Mirrors the reference's 3-blocks/22-lines structural golden.
+    """
+    return f"""
+SELECT 'https://corpus.test/doc/' || doc_id AS url,
+       0 AS node_id, 'block' AS level, 'heading_text' AS block_type,
+       CAST(0 AS BIGINT) AS "start",
+       CAST(4 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS "end"
+FROM {table}
+UNION ALL
+SELECT 'https://corpus.test/doc/' || doc_id AS url,
+       5 AS node_id, 'block' AS level, 'flowing_text' AS block_type,
+       CAST(6 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS "start",
+       CAST(6 + length(CAST(doc_id AS VARCHAR)) + length(text) AS BIGINT) AS "end"
+FROM {table}"""

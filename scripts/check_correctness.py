@@ -1,0 +1,105 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every ``__ray_entry__.queries()`` entry at the given sf_dir, converts to
+pandas, and for each key with an ``oracle_sql()`` entry compares row count,
+column names, and order-insensitive values against DuckDB over the same
+parquet views.  Usage::
+
+    python scripts/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(res):
+    import pandas as pd
+    import pyarrow as pa
+    try:
+        import ray.data
+        if isinstance(res, ray.data.Dataset):
+            return res.to_pandas()
+    except ImportError:
+        pass
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    assert isinstance(res, pd.DataFrame)
+    return res
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def main(sf_dir: str) -> int:
+    import duckdb
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            mine = canon(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows={len(mine)} (rows-only) [{dt:.1f}s]")
+            continue
+        want = canon(con.sql(oracles[name]).df())
+        status = []
+        if len(mine) != len(want):
+            status.append(f"rowcount {len(mine)} != {len(want)}")
+        if list(mine.columns) != list(want.columns):
+            status.append(f"columns {list(mine.columns)} != {list(want.columns)}")
+        if not status:
+            try:
+                import pandas.testing as pdt
+                pdt.assert_frame_equal(mine, want, check_dtype=False,
+                                       check_exact=True)
+            except AssertionError as e:
+                status.append(f"values differ: {str(e)[:300]}")
+        if status:
+            print(f"FAIL {name}: {'; '.join(status)}")
+            n_fail += 1
+        else:
+            print(f"ok   {name}: rows={len(mine)} MATCH [{dt:.1f}s]")
+    print(f"\n{len(qs) - n_fail}/{len(qs)} queries ok")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    rc = main(sf)
+    import ray
+    ray.shutdown()
+    sys.exit(rc)
