@@ -1,0 +1,211 @@
+"""Benchmark harness — headline extraction pipeline + operator suite.
+
+Prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, ...}
+
+Env: ``GRAFT_SF_DIR`` (default /root/testdata/sf0.1), ``RAY_GRAFT_CPUS``
+(default 32), ``GRAFT_BENCH_REPLICATE`` (corpus amplification for the
+headline extraction run; default 20 → ~100k docs at sf0.1).
+
+``--scaling`` runs the headline pipeline in TWO fresh subprocesses
+(num_cpus=8 then 32) on identical input and reports both throughputs plus
+scaling efficiency = (T8/T32)/(32/8) — the sandbox protocol for the
+north-rule two-cluster-size criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "20"))
+
+
+def _init_ray():
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    from ray import cloudpickle as rcp
+
+    import org_dharts_dia_tesseract_ray as pkg
+    rcp.register_pickle_by_value(pkg)
+    return ray
+
+
+def bench_corpus(sf_dir: str, replicate: int, *, files: int = 64) -> str:
+    """documents × replicate wrapped as pages, materialized ONCE to
+    partitioned parquet under /tmp and reused by every run (incl. both
+    scaling children — identical input bytes by construction).
+
+    Benchmarking from many files matches the real corpus shape (a 100 TB
+    crawl is thousands of parquet shards) and gives the read→extract chain
+    its natural block-level parallelism; a single small file caps the fused
+    actor pool at the read's block count (measured: 16 blocks → 32 CPUs idle
+    at 50%).
+    """
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        wrap_documents_batch)
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"/tmp/graft_bench_corpus/{tag}_x{replicate}"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+
+    def amplify(batch: pa.Table) -> pa.Table:
+        outs = []
+        for r in range(replicate):
+            t = wrap_documents_batch(batch)
+            urls = [f"{u}#r{r}" for u in t["url"].to_pylist()]
+            outs.append(t.set_column(0, "url", pa.array(urls, pa.string())))
+        return pa.concat_tables(outs)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    pages = ds.map_batches(amplify, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=64)
+    pages.repartition(files).write_parquet(out_dir)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def read_bench_pages(corpus_dir: str):
+    import ray.data
+    return ray.data.read_parquet(corpus_dir,
+                                 columns=["url", "warc_ts", "html",
+                                          "text", "lang"])
+
+
+def run_headline(sf_dir: str, replicate: int) -> dict:
+    """The flagship: sniff → skew-routed actor-pool extract → rollup."""
+    from ray.data.aggregate import Count, Sum
+
+    from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
+        extract_pages)
+
+    corpus_dir = bench_corpus(sf_dir, replicate)
+    pages = read_bench_pages(corpus_dir)
+    t0 = time.time()
+    combined = extract_pages(pages)
+    stats = (combined.select_columns(["payload_bytes", "n_blocks"])
+             .aggregate(Count(alias_name="docs"),
+                        Sum("payload_bytes", alias_name="bytes"),
+                        Sum("n_blocks", alias_name="blocks")))
+    wall = time.time() - t0
+    docs = int(stats["docs"])
+    mb = stats["bytes"] / 1e6
+    return {
+        "wall_sec": round(wall, 3),
+        "docs": docs,
+        "mb_html": round(mb, 2),
+        "docs_per_sec": round(docs / wall, 1),
+        "mb_per_sec": round(mb / wall, 2),
+        "total_blocks": int(stats["blocks"]),
+    }
+
+
+def run_query_suite(sf_dir: str) -> dict:
+    """Time the operator-suite pipelines (each consumed to completion)."""
+    import __ray_entry__ as entry_mod
+    names = ["extract_roundtrip", "extract_spans", "token_stats",
+             "quality_score", "langid", "fingerprint_md5", "dedup_exact",
+             "neardup_minhash_lsh", "neardup_simhash", "neardup_cosine",
+             "ann_brute_topk", "ann_ivf_topk", "media_decode",
+             "events_latest_per_user", "events_rollup", "lineitem_pricing"]
+    qs = entry_mod.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume the stream without collecting payloads to the driver
+        try:
+            import ray.data
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+            else:
+                len(res)
+        except Exception:
+            pass
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    child = os.environ.get("GRAFT_BENCH_SCALING_CHILD") == "1"
+
+    if scaling and not child:
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ,
+                       RAY_GRAFT_CPUS=str(cpus),
+                       # longer run so pool spin-up amortizes (fixed ~2s
+                       # otherwise dominates the 32-cpu measurement)
+                       GRAFT_BENCH_REPLICATE=str(REPLICATE * 2),
+                       GRAFT_BENCH_SCALING_CHILD="1")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling"],
+                env=env, capture_output=True, text=True, check=True)
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        tp8 = results[8]["queries"]["headline_extract"]["docs_per_sec"]
+        tp32 = results[32]["queries"]["headline_extract"]["docs_per_sec"]
+        eff = (tp32 / tp8) / (32 / 8)
+        print(json.dumps({
+            "metric": "scaling_efficiency_8_to_32_cpus",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "queries": {
+                "docs_per_sec_8cpus": tp8,
+                "docs_per_sec_32cpus": tp32,
+                "wall_sec_8cpus": results[8]["queries"]["headline_extract"]["wall_sec"],
+                "wall_sec_32cpus": results[32]["queries"]["headline_extract"]["wall_sec"],
+            },
+            "sf": SF_DIR,
+            "num_cpus": [8, 32],
+        }))
+        return
+
+    ray = _init_ray()
+    try:
+        headline = run_headline(SF_DIR, REPLICATE)
+        queries = {"headline_extract": headline}
+        if not child:
+            queries.update(run_query_suite(SF_DIR))
+        total = headline["wall_sec"] + sum(
+            v for k, v in queries.items() if isinstance(v, (int, float)))
+        print(json.dumps({
+            "metric": "extract_throughput_docs_per_sec",
+            "value": headline["docs_per_sec"],
+            "unit": "sec",
+            "queries": queries,
+            "total_wall_sec": round(total, 3),
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "replicate": REPLICATE,
+        }))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -47,17 +47,15 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """One survivor (min id) per distinct content digest.
 
     Partial work (digesting) happens inside ``map_batches``; the shuffle key
-    is the 32-char digest — the combiner-before-shuffle pattern.
-    """
+    is the 32-char digest and the reducer is a vectorized ``Min`` aggregate
+    (NOT per-group ``map_groups`` — one Python call per group would dominate
+    wall time at 10^12 groups)."""
+    from ray.data.aggregate import Min
+
     fps = ds.map_batches(
         lambda b: md5_batch(b, text_col=text_col, id_col=id_col),
         batch_format="pyarrow", zero_copy_batch=True)
-
-    def keep_min(group: pa.Table) -> pa.Table:
-        i = pc.index(group[id_col], pc.min(group[id_col]).as_py()).as_py()
-        return group.slice(i, 1)
-
-    return fps.groupby("fp").map_groups(keep_min, batch_format="pyarrow")
+    return fps.groupby("fp").aggregate(Min(id_col, alias_name=id_col))
 
 
 def exact_dedup_sql(table: str = "documents", text_col: str = "text",
@@ -150,19 +148,40 @@ def _band_rows(batch: pa.Table, bands: int, rows: int,
     })
 
 
-def _emit_pairs(group: pa.Table, id_col: str) -> pa.Table:
-    ids = sorted(set(group[id_col].to_pylist()))
-    a_out, b_out = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
-    return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                     "id_b": pa.array(b_out, pa.int64())})
+def _distinct_pairs(pairs_ds, num_partitions: int = 8, keep: dict | None = None):
+    """Vectorized pair dedup: groupby + aggregate (NEVER per-group Python —
+    candidate sets have millions of mostly-unique pairs at scale)."""
+    from ray.data.aggregate import Count, Min
+    aggs = [Count(alias_name="__n")]
+    for col, alias in (keep or {}).items():
+        aggs.append(Min(col, alias_name=alias))
+    out = pairs_ds.groupby(["id_a", "id_b"]).aggregate(*aggs)
+    return out.drop_columns(["__n"])
 
 
-def _first_row(group: pa.Table) -> pa.Table:
-    return group.slice(0, 1)
+def _self_join_pairs(band_ds, keys: list[str], carry: list[str],
+                     id_col: str, num_partitions: int):
+    """Bucket → candidate pairs via a hash SELF-JOIN on the bucket key
+    (vectorized), not per-bucket map_groups: most buckets are singletons and
+    one Python call per singleton dominates wall time at corpus scale."""
+    def rn(suffix):
+        def f(b: pa.Table) -> pa.Table:
+            cols = {k: b[k] for k in keys}
+            cols["id_" + suffix] = b[id_col]
+            for c in carry:
+                cols[c + "_" + suffix] = b[c]
+            return pa.table(cols)
+        return f
+
+    left = band_ds.map_batches(rn("a"), batch_format="pyarrow",
+                               zero_copy_batch=True)
+    right = band_ds.map_batches(rn("b"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+    joined = left.join(right, join_type="inner",
+                       num_partitions=num_partitions, on=tuple(keys))
+    return joined.map_batches(
+        lambda b: b.filter(pc.less(b["id_a"], b["id_b"])),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def jaccard(x: np.ndarray, y: np.ndarray) -> float:
@@ -202,11 +221,10 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
     band_ds = sigs.map_batches(
         lambda b: _band_rows(b, bands, rows, id_col),
         batch_format="pyarrow", zero_copy_batch=True)
-    cand = band_ds.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _emit_pairs(g, id_col), batch_format="pyarrow")
+    cand = _self_join_pairs(band_ds, ["band", "band_hash"], [], id_col,
+                            num_partitions)
     # a pair can surface from several bands → dedupe on (id_a, id_b)
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(
-        _first_row, batch_format="pyarrow")
+    cand = _distinct_pairs(cand, num_partitions)
 
     sh_a = shing.map_batches(
         lambda b: b.rename_columns(["id_a", "sh_a"]),
@@ -319,43 +337,48 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_pairs(ds, *, max_hamming: int = 3, k: int = 4,
-                  text_col: str = "text", id_col: str = "doc_id"):
+                  text_col: str = "text", id_col: str = "doc_id",
+                  num_partitions: int = 8):
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole: distance ≤ 3 over 4 bands ⇒ at least one band identical, so
-    candidates come from 4 bucket groupbys — each a shuffle of 12-byte rows.
+    Pigeonhole (Manku/Jain/Sarma): distance ≤ 3 over 4 bands ⇒ at least one
+    16-bit band identical.  ONE banding explode (4 rows/doc) → ONE self-join
+    on (band, band_val) → vectorized Hamming filter → pair dedup.  Two
+    shuffles total; every step Arrow-vectorized.
     """
     sh = ds.map_batches(
         lambda b: simhash_batch(b, k=k, text_col=text_col, id_col=id_col),
         batch_format="pyarrow", zero_copy_batch=True)
 
-    def emit(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group[id_col])
-        sims = np.asarray(group["simhash"])
-        order = np.argsort(ids)
-        ids, sims = ids[order], sims[order]
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            d = hamming64(np.full(len(ids) - i - 1, sims[i], dtype=np.uint64),
-                          sims[i + 1:])
-            keep = d <= max_hamming
-            for j, dj in zip(np.nonzero(keep)[0], d[keep]):
-                a_out.append(int(ids[i]))
-                b_out.append(int(ids[i + 1 + j]))
-                d_out.append(int(dj))
-        return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                         "id_b": pa.array(b_out, pa.int64()),
-                         "hamming": pa.array(d_out, pa.int64())})
+    def band_rows(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        sims = np.asarray(b["simhash"])
+        n = len(ids)
+        band_idx = np.tile(np.arange(4, dtype=np.int32), n)
+        rep_sims = np.repeat(sims, 4)
+        band_val = ((rep_sims >> (np.uint64(16) * band_idx.astype(np.uint64)))
+                    & np.uint64(0xFFFF)).astype(np.uint32)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, 4), pa.int64()),
+            "simhash": pa.array(rep_sims, pa.uint64()),
+            "band": pa.array(band_idx, pa.int32()),
+            "band_val": pa.array(band_val, pa.uint32()),
+        })
 
-    parts = []
-    for bi in range(4):
-        cand = (sh.select_columns([id_col, "simhash", f"band{bi}"])
-                .groupby(f"band{bi}")
-                .map_groups(emit, batch_format="pyarrow"))
-        parts.append(cand)
-    allp = parts[0].union(*parts[1:])
-    return allp.groupby(["id_a", "id_b"]).map_groups(
-        _first_row, batch_format="pyarrow")
+    band_ds = sh.map_batches(band_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    cand = _self_join_pairs(band_ds, ["band", "band_val"], ["simhash"],
+                            id_col, num_partitions)
+
+    def ham_filter(b: pa.Table) -> pa.Table:
+        d = hamming64(np.asarray(b["simhash_a"]), np.asarray(b["simhash_b"]))
+        t = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                      "hamming": pa.array(d, pa.int64())})
+        return t.filter(pc.less_equal(t["hamming"], max_hamming))
+
+    pairs = cand.map_batches(ham_filter, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return _distinct_pairs(pairs, num_partitions, keep={"hamming": "hamming"})
 
 
 # ---------------------------------------------------------------------------

@@ -63,20 +63,28 @@ def extract_pages(
 
     import pyarrow.compute as pc
 
-    def _small(t):
-        return t.filter(pc.less_equal(t["payload_bytes"], oversized_bytes))
+    def split_by_size(t):
+        """Generator UDF: each yielded table becomes its own block — small
+        rows re-chunked to ``batch_size``, every oversized doc isolated in a
+        single-row block so one 100 MB page occupies one actor call alone
+        (straggler isolation) instead of stalling a 128-row batch.
 
-    def _big(t):
-        return t.filter(pc.greater(t["payload_bytes"], oversized_bytes))
+        ONE pass over the stream: the naive two-filtered-branches version
+        re-executes the whole upstream lineage per branch (Ray Data plans
+        don't share sub-DAGs), i.e. it would read 100 TB twice.
+        """
+        mask = pc.less_equal(t["payload_bytes"], oversized_bytes)
+        small = t.filter(mask)
+        big = t.filter(pc.invert(mask))
+        for i in range(0, small.num_rows, batch_size):
+            yield small.slice(i, batch_size)
+        for i in range(big.num_rows):
+            yield big.slice(i, 1)
 
-    small = ds.map_batches(_small, batch_format="pyarrow", zero_copy_batch=True)
-    big = ds.map_batches(_big, batch_format="pyarrow", zero_copy_batch=True)
-    from ..stages.extractor import default_concurrency
-    small_x = apply_extract(small, cfg, batch_size=batch_size,
-                            concurrency=concurrency)
-    big_x = apply_extract(big, cfg, batch_size=4,
-                          concurrency=concurrency or default_concurrency(0.25))
-    return small_x.union(big_x)
+    ds = ds.map_batches(split_by_size, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+    # batch_size=None ⇒ the extractor consumes the splitter's blocks as-is
+    return apply_extract(ds, cfg, batch_size=None, concurrency=concurrency)
 
 
 def extracted_view(combined_ds):
