@@ -137,6 +137,27 @@ def _q_extract_metrics(sf_dir: str):
                        Sum("n_blocks", alias_name="total_blocks")))
 
 
+def _mode_query(mode: str):
+    """PageSegMode / ROI / char-filter analogue queries (M9/M2/M11)."""
+    from org_dharts_dia_tesseract_ray.config import ExtractConfig, Mode
+
+    cfgs = {
+        "text_only": ExtractConfig(mode=Mode.TEXT_ONLY),
+        "single_block": ExtractConfig(mode=Mode.SINGLE_BLOCK),
+        "charfilter_digits": ExtractConfig(char_whitelist="0123456789"),
+        "selector_article": ExtractConfig(selector_tag="article"),
+    }
+
+    def q(sf_dir: str):
+        from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+            roundtrip_extract)
+        combined = roundtrip_extract(sf_dir, cfgs[mode])
+        return combined.select_columns(
+            ["url", "extracted_text", "n_blocks", "payload_kind"])
+
+    return q
+
+
 def _q_token_stats(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.text_stats import (
         apply_token_stats)
@@ -329,6 +350,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_spans": _q_extract_spans,
         "extract_metrics_by_lang": _q_extract_metrics,
+        # segmentation modes / ROI / char filter (M9 / M2 / M11)
+        "extract_mode_text_only": _mode_query("text_only"),
+        "extract_mode_single_block": _mode_query("single_block"),
+        "extract_charfilter_digits": _mode_query("charfilter_digits"),
+        "extract_selector_article": _mode_query("selector_article"),
         # text analysis suite
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -366,9 +392,14 @@ def oracle_sql() -> dict[str, str]:
         langid_sql, quality_sql, token_stats_sql)
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
         roundtrip_spans_sql, roundtrip_sql)
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import mode_sql
     return {
         "extract_roundtrip": roundtrip_sql(),
         "extract_spans": roundtrip_spans_sql(),
+        "extract_mode_text_only": mode_sql("text_only"),
+        "extract_mode_single_block": mode_sql("single_block"),
+        "extract_charfilter_digits": mode_sql("charfilter_digits"),
+        "extract_selector_article": mode_sql("selector_article"),
         "extract_metrics_by_lang": """
 SELECT lang,
        count(*) AS n_docs,

@@ -53,10 +53,37 @@ def pages_from_documents(sf_dir: str):
                           zero_copy_batch=True)
 
 
-def roundtrip_extract(sf_dir: str, **kwargs):
+def roundtrip_extract(sf_dir: str, cfg=None, **kwargs):
     """Flagship pipeline over the wrapped corpus → combined extracted Dataset."""
     from .extract_pipeline import extract_pages
-    return extract_pages(pages_from_documents(sf_dir), **kwargs)
+    return extract_pages(pages_from_documents(sf_dir), cfg, **kwargs)
+
+
+def mode_sql(mode: str, table: str = "documents") -> str:
+    """Oracles for the PageSegMode/ROI/char-filter analogues (M9/M2/M11 in
+    SURVEY.md §2.2) run over the wrapped corpus."""
+    url = "'https://corpus.test/doc/' || doc_id"
+    if mode == "text_only":
+        return (f"SELECT {url} AS url, text AS extracted_text, "
+                f"1 AS n_blocks, 'text' AS payload_kind FROM {table}")
+    if mode == "single_block":
+        # SINGLE_BLOCK keeps boilerplate text too (whole page, one block)
+        return (f"SELECT {url} AS url, "
+                f"'home self' || chr(10) || 'Doc ' || doc_id || chr(10) || "
+                f"text || chr(10) || 'about © corpus' AS extracted_text, "
+                f"1 AS n_blocks, 'html' AS payload_kind FROM {table}")
+    if mode == "charfilter_digits":
+        # whitelist 0-9: only the doc id digits in the heading survive
+        return (f"SELECT {url} AS url, "
+                f"CAST(doc_id AS VARCHAR) AS extracted_text, "
+                f"1 AS n_blocks, 'html' AS payload_kind FROM {table}")
+    if mode == "selector_article":
+        # ROI <article> == the roundtrip result (boilerplate sits outside)
+        return (f"SELECT {url} AS url, "
+                f"'Doc ' || doc_id || chr(10) || chr(10) || text "
+                f"AS extracted_text, 2 AS n_blocks, 'html' AS payload_kind "
+                f"FROM {table}")
+    raise KeyError(mode)
 
 
 def roundtrip_sql(table: str = "documents") -> str:

@@ -44,6 +44,7 @@ def extract_pages(
     oversized_bytes: int = OVERSIZED_BYTES,
     batch_size: int = 128,
     concurrency=None,
+    compute: str = "tasks",
 ):
     """pages Dataset → combined extracted Dataset (doc rows + nested spans).
 
@@ -59,7 +60,7 @@ def extract_pages(
 
     if not skew_routing:
         return apply_extract(ds, cfg, batch_size=batch_size,
-                             concurrency=concurrency)
+                             concurrency=concurrency, compute=compute)
 
     import pyarrow.compute as pc
 
@@ -84,7 +85,8 @@ def extract_pages(
     ds = ds.map_batches(split_by_size, batch_format="pyarrow",
                         zero_copy_batch=True, batch_size=None)
     # batch_size=None ⇒ the extractor consumes the splitter's blocks as-is
-    return apply_extract(ds, cfg, batch_size=None, concurrency=concurrency)
+    return apply_extract(ds, cfg, batch_size=None, concurrency=concurrency,
+                         compute=compute)
 
 
 def extracted_view(combined_ds):

@@ -190,13 +190,54 @@ def default_concurrency(fraction: float = 1.0) -> tuple:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return (1, max(1, int(cpus * fraction)))
+    # cap below the CPU count: a pool holding every slot starves the read /
+    # write tasks feeding it (measured: a fixed cpu-sized pool deadlocks to
+    # a crawl on a single node)
+    return (1, max(1, int(cpus * fraction) - 2))
+
+
+#: per-worker-process extractor cache for task-mode execution: state is
+#: still built once per worker (the TessBaseAPI amortization), but work is
+#: scheduled as ordinary tasks.
+_PROCESS_EXTRACTORS: dict = {}
+
+
+def make_extract_fn(cfg: ExtractConfig | None):
+    key = cfg or ExtractConfig()
+
+    def extract_fn(batch: pa.Table) -> pa.Table:
+        ex = _PROCESS_EXTRACTORS.get(key)
+        if ex is None:
+            ex = _PROCESS_EXTRACTORS.setdefault(key, HtmlExtractor(key))
+        return ex(batch)
+
+    return extract_fn
 
 
 def apply_extract(ds, cfg: ExtractConfig | None = None, *,
                   batch_size: int = 128, concurrency=None, num_cpus: float = 1,
-                  **kwargs):
-    """Attach the actor-pool extract stage to a pages Dataset."""
+                  compute: str = "tasks", **kwargs):
+    """Attach the extract stage to a pages Dataset.
+
+    ``compute="tasks"`` (default): plain ``map_batches`` task pool with a
+    per-worker-process extractor cache.  Measured on this workload
+    (32-CPU single node, 400k docs): tasks ≈ 33k docs/s vs actor pool
+    ≈ 14-19k and high variance — Ray's actor submission path costs ~2× for
+    a cheap-init stage, and a fixed-size pool can starve upstream reads.
+
+    ``compute="actors"``: the autoscaling actor-pool form (ST1 in SURVEY.md
+    §2.3) — the right choice when ``__init__`` loads genuinely expensive
+    state (models, big language tables); capped below the CPU count so
+    source/sink tasks never starve.
+    """
+    if compute == "tasks":
+        return ds.map_batches(
+            make_extract_fn(cfg),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            **kwargs,
+        )
     if concurrency is None:
         concurrency = default_concurrency()
     return ds.map_batches(
