@@ -100,6 +100,18 @@ def _q_extract_roundtrip(sf_dir: str):
         ["url", "extracted_text", "n_blocks", "payload_kind", "charset"])
 
 
+def _q_extract_mixed_pdf(sf_dir: str):
+    """Sniff-routed mixed corpus: every 10th doc is a PDF payload (every
+    20th Flate-compressed) — the S2-upgrade PDF branch, oracle-checked."""
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        pages_from_documents)
+    from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
+        extract_pages)
+    combined = extract_pages(pages_from_documents(sf_dir, mixed_pdf=True))
+    return combined.select_columns(
+        ["url", "extracted_text", "n_blocks", "payload_kind"])
+
+
 def _q_extract_spans(sf_dir: str):
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
         roundtrip_extract)
@@ -110,6 +122,13 @@ def _q_extract_spans(sf_dir: str):
             .filter(expr="level == 'block'")
             .select_columns(["url", "node_id", "level", "block_type",
                              "start", "end"]))
+
+
+def _q_extract_boxes(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        roundtrip_extract)
+    from org_dharts_dia_tesseract_ray.stages.extractor import apply_boxes
+    return apply_boxes(roundtrip_extract(sf_dir), level="line")
 
 
 def _q_extract_metrics(sf_dir: str):
@@ -349,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction engine (SURVEY.md §2.2-2.4)
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_spans": _q_extract_spans,
+        "extract_mixed_pdf": _q_extract_mixed_pdf,
+        "extract_boxes": _q_extract_boxes,
         "extract_metrics_by_lang": _q_extract_metrics,
         # segmentation modes / ROI / char filter (M9 / M2 / M11)
         "extract_mode_text_only": _mode_query("text_only"),
@@ -392,10 +413,13 @@ def oracle_sql() -> dict[str, str]:
         langid_sql, quality_sql, token_stats_sql)
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
         roundtrip_spans_sql, roundtrip_sql)
-    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import mode_sql
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        boxes_sql, mixed_pdf_sql, mode_sql)
     return {
         "extract_roundtrip": roundtrip_sql(),
         "extract_spans": roundtrip_spans_sql(),
+        "extract_mixed_pdf": mixed_pdf_sql(),
+        "extract_boxes": boxes_sql(),
         "extract_mode_text_only": mode_sql("text_only"),
         "extract_mode_single_block": mode_sql("single_block"),
         "extract_charfilter_digits": mode_sql("charfilter_digits"),

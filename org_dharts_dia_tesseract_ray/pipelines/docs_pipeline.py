@@ -45,12 +45,50 @@ def wrap_documents_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def pages_from_documents(sf_dir: str):
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def make_pdf_payload(doc_id: int, text: str, *, flate: bool = False) -> bytes:
+    """Minimal deterministic PDF: one content stream, one BT/ET text object,
+    heading + body as two Tj lines (the shape pdf_extract.py §scope covers).
+    ``flate=True`` wraps the stream in FlateDecode (zlib level fixed at 6 so
+    bytes are reproducible)."""
+    import zlib
+    content = (f"BT (Doc {doc_id}) Tj ({_pdf_escape(text)}) Tj ET"
+               ).encode("latin-1")
+    if flate:
+        body = zlib.compress(content, 6)
+        head = b"<< /Filter /FlateDecode >>\nstream\n"
+    else:
+        body = content
+        head = b"<< /Length %d >>\nstream\n" % len(body)
+    return (b"%PDF-1.4\n1 0 obj\n" + head + body +
+            b"\nendstream\nendobj\n%%EOF\n")
+
+
+def wrap_documents_batch_mixed(batch: pa.Table, *, pdf_every: int = 10,
+                               flate_every: int = 20) -> pa.Table:
+    """Like :func:`wrap_documents_batch` but every ``pdf_every``-th doc gets
+    a PDF payload (every ``flate_every``-th of those Flate-compressed) —
+    exercising the sniff router + PDF branch end-to-end."""
+    t = wrap_documents_batch(batch)
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    html = t["html"].to_pylist()
+    for i, (did, txt) in enumerate(zip(ids, texts)):
+        if did % pdf_every == 0:
+            html[i] = make_pdf_payload(did, txt,
+                                       flate=(did % flate_every == 0))
+    return t.set_column(2, "html", pa.array(html, pa.binary()))
+
+
+def pages_from_documents(sf_dir: str, *, mixed_pdf: bool = False):
     """documents.parquet → pages Dataset (lazy, streaming)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
-    return ds.map_batches(wrap_documents_batch, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    fn = wrap_documents_batch_mixed if mixed_pdf else wrap_documents_batch
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def roundtrip_extract(sf_dir: str, cfg=None, **kwargs):
@@ -95,6 +133,41 @@ SELECT 'https://corpus.test/doc/' || doc_id AS url,
        2 AS n_blocks,
        'html' AS payload_kind,
        'utf-8' AS charset
+FROM {table}"""
+
+
+def mixed_pdf_sql(table: str = "documents", pdf_every: int = 10) -> str:
+    """Oracle for the mixed HTML/PDF corpus: PDF docs (one text object, two
+    Tj lines → one flowing block) vs HTML docs (heading + body blocks)."""
+    return f"""
+SELECT 'https://corpus.test/doc/' || doc_id AS url,
+  CASE WHEN doc_id % {pdf_every} = 0
+       THEN 'Doc ' || doc_id || chr(10) || text
+       ELSE 'Doc ' || doc_id || chr(10) || chr(10) || text END
+    AS extracted_text,
+  CASE WHEN doc_id % {pdf_every} = 0 THEN 1 ELSE 2 END AS n_blocks,
+  CASE WHEN doc_id % {pdf_every} = 0 THEN 'pdf' ELSE 'html' END
+    AS payload_kind
+FROM {table}"""
+
+
+def boxes_sql(table: str = "documents") -> str:
+    """Oracle for the line-level box-format emitter over the wrapped corpus:
+    heading line (node 2) then body line (node 7), text slices recomputed
+    from offsets; single-line paragraphs ⇒ both cursor predicates true."""
+    url = "'https://corpus.test/doc/' || doc_id"
+    hlen = "4 + length(CAST(doc_id AS VARCHAR))"
+    return f"""
+SELECT {url} AS url, 2 AS node_id, 'line' AS level,
+       CAST(0 AS BIGINT) AS "start", CAST({hlen} AS BIGINT) AS "end",
+       'Doc ' || doc_id AS box_text,
+       TRUE AS is_first_in_parent, TRUE AS is_last_in_parent
+FROM {table}
+UNION ALL
+SELECT {url} AS url, 7 AS node_id, 'line' AS level,
+       CAST({hlen} + 2 AS BIGINT) AS "start",
+       CAST({hlen} + 2 + length(text) AS BIGINT) AS "end",
+       text AS box_text, TRUE, TRUE
 FROM {table}"""
 
 

@@ -179,6 +179,61 @@ def explode_spans_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=SPANS_SCHEMA)
 
 
+BOXES_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("node_id", pa.int32()),
+    ("level", pa.string()),
+    ("start", pa.int64()),
+    ("end", pa.int64()),
+    ("box_text", pa.string()),
+    ("is_first_in_parent", pa.bool_()),
+    ("is_last_in_parent", pa.bool_()),
+])
+
+
+def boxes_batch(batch: pa.Table, *, level: str = "line") -> pa.Table:
+    """Box-format emitter — the ``TessBaseAPIGetBoxText`` analogue (M8 in
+    SURVEY.md §2.2): one row per span at ``level`` with its text slice, plus
+    the cursor-algebra predicates ``isAtBeginningOf`` / ``isAtFinalElement``
+    (I3/I4, LayoutIterator.java:216-218, 252-254) derived by offset
+    arithmetic against the parent span — the flattened-table equivalent of
+    the reference's cursor state queries."""
+    urls = batch["url"].to_pylist()
+    texts = batch["extracted_text"].to_pylist()
+    spans_col = batch["spans"]
+    if isinstance(spans_col, pa.ChunkedArray):
+        spans_col = spans_col.combine_chunks()
+    o_url, o_nid, o_lvl, o_s, o_e, o_txt, o_first, o_last = \
+        [], [], [], [], [], [], [], []
+    for i in range(batch.num_rows):
+        spans = spans_col[i].as_py() or []
+        by_id = {s["node_id"]: s for s in spans}
+        for s in spans:
+            if s["level"] != level:
+                continue
+            parent = by_id.get(s["parent_id"])
+            o_url.append(urls[i])
+            o_nid.append(s["node_id"])
+            o_lvl.append(s["level"])
+            o_s.append(s["start"])
+            o_e.append(s["end"])
+            o_txt.append(texts[i][s["start"]:s["end"]])
+            o_first.append(parent is None or s["start"] == parent["start"])
+            o_last.append(parent is None or s["end"] == parent["end"])
+    return pa.Table.from_arrays(
+        [pa.array(o_url, pa.string()), pa.array(o_nid, pa.int32()),
+         pa.array(o_lvl, pa.string()), pa.array(o_s, pa.int64()),
+         pa.array(o_e, pa.int64()), pa.array(o_txt, pa.string()),
+         pa.array(o_first, pa.bool_()), pa.array(o_last, pa.bool_())],
+        schema=BOXES_SCHEMA)
+
+
+def apply_boxes(ds, *, level: str = "line", **kwargs):
+    return ds.map_batches(lambda b: boxes_batch(b, level=level),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          **kwargs)
+
+
 def default_concurrency(fraction: float = 1.0) -> tuple:
     """Autoscaling actor-pool bounds sized to the cluster CPU count.
 
