@@ -290,12 +290,30 @@ def _q_doc_stats_by_lang(sf_dir: str):
 def _q_events_latest(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
 
+    def combine(b: pa.Table) -> pa.Table:
+        """Per-batch combiner (vectorized): keep each key's latest row
+        before the shuffle — the partial-aggregation pattern; the reduce
+        then sees ≤ one row per key per block."""
+        t = b.sort_by([("user_id", "ascending"), ("ts", "descending"),
+                       ("event_id", "descending")])
+        u = t["user_id"].combine_chunks() if isinstance(
+            t["user_id"], pa.ChunkedArray) else t["user_id"]
+        if len(u) <= 1:
+            return t
+        firsts = pc.not_equal(u.slice(1), u.slice(0, len(u) - 1))
+        mask = pa.concat_arrays([pa.array([True]), firsts.combine_chunks()
+                                 if isinstance(firsts, pa.ChunkedArray)
+                                 else firsts])
+        return t.filter(mask)
+
     def keep_latest(g: pa.Table) -> pa.Table:
         t = g.sort_by([("ts", "descending"), ("event_id", "descending")])
         return t.slice(0, 1)
 
-    return ds.groupby("user_id").map_groups(keep_latest,
-                                            batch_format="pyarrow")
+    pre = ds.map_batches(combine, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return pre.groupby("user_id").map_groups(keep_latest,
+                                             batch_format="pyarrow")
 
 
 def _q_events_rollup(sf_dir: str):

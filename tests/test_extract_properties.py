@@ -1,0 +1,77 @@
+"""Property-based invariants of the extractor core (hypothesis).
+
+The byte-identity gate demands more than golden examples: for ARBITRARY
+payloads the extractor must (a) never raise, (b) be deterministic, and
+(c) emit spans that exactly index the final text.  These are the flattened
+equivalents of the reference's cursor-contract tests
+(/root/reference/tests/.../LayoutIteratorTests.java) stated as properties.
+"""
+
+import hypothesis.strategies as st
+from hypothesis import HealthCheck, given, settings
+
+from org_dharts_dia_tesseract_ray.config import ExtractConfig
+from org_dharts_dia_tesseract_ray.extract.api import extract_one
+
+CFG = ExtractConfig()
+
+# HTML-ish soup: text fragments, tags from the real vocabulary (balanced or
+# not), entities, junk — html.parser must cope with all of it.
+_tag = st.sampled_from(
+    ["p", "div", "h1", "h2", "li", "ul", "table", "td", "tr", "nav",
+     "footer", "article", "span", "a", "b", "pre", "blockquote", "figure",
+     "figcaption", "br", "hr", "img", "script", "style"])
+_chunk = st.one_of(
+    st.text(min_size=1, max_size=40),
+    _tag.map(lambda t: f"<{t}>"),
+    _tag.map(lambda t: f"</{t}>"),
+    st.sampled_from(["&amp;", "&lt;", "&#65;", "&bogus;", "<!--c-->",
+                     "<a href='/x'>", "<![CDATA[z]]>", "<?pi?>", "<!DOCTYPE html>"]),
+)
+_soup = st.lists(_chunk, min_size=0, max_size=40).map("".join)
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_soup)
+def test_never_raises_and_deterministic(soup):
+    payload = ("<html><body>" + soup + "</body></html>").encode("utf-8")
+    r1 = extract_one(payload, "en", None, CFG)
+    r2 = extract_one(payload, "en", None, CFG)
+    assert r1.text == r2.text
+    assert [(s.node_id, s.start, s.end) for s in r1.spans] == \
+           [(s.node_id, s.start, s.end) for s in r2.spans]
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_soup)
+def test_span_invariants(soup):
+    payload = ("<html><body>" + soup + "</body></html>").encode("utf-8")
+    r = extract_one(payload, "en", None, CFG)
+    n = len(r.text)
+    by_id = {}
+    for i, s in enumerate(r.spans):
+        # dense ids in emission order; offsets within bounds and ordered
+        assert s.node_id == i
+        assert 0 <= s.start <= s.end <= n
+        by_id[s.node_id] = s
+        if s.parent_id != -1:
+            p = by_id[s.parent_id]          # parents precede children
+            assert p.start <= s.start and s.end <= p.end
+        if s.level == "word" and s.start < s.end:
+            # zero-length word spans are the non-text-block "single
+            # imaginary word" convention (BasePageHandle.java:111-114)
+            w = r.text[s.start:s.end]
+            assert " " not in w and "\n" not in w
+        if s.level == "line":
+            assert "\n" not in r.text[s.start:s.end]
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(min_size=0, max_size=300))
+def test_arbitrary_bytes_never_raise(payload):
+    r = extract_one(payload, None, None, CFG)
+    assert r.payload_kind in ("html", "text", "pdf", "empty", "error")
+    assert isinstance(r.text, str)
