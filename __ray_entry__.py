@@ -210,6 +210,17 @@ def _q_neardup_minhash(sf_dir: str):
                              threshold=MINHASH_THRESHOLD)
 
 
+def _q_neardup_clusters(sf_dir: str):
+    """Full near-dup dedup composition: MinHash+LSH pairs → connected
+    components (min-label propagation) → (doc_id, cluster) assignment."""
+    from org_dharts_dia_tesseract_ray.functions.dedup import (
+        minhash_lsh_pairs, neardup_clusters)
+    ids = _read(sf_dir, "documents", ["doc_id"])
+    pairs = minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                              threshold=MINHASH_THRESHOLD)
+    return neardup_clusters(ids, pairs)
+
+
 def _q_neardup_simhash(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.dedup import simhash_pairs
     return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
@@ -403,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "neardup_minhash_lsh": _q_neardup_minhash,
+        "neardup_clusters": _q_neardup_clusters,
         "neardup_simhash": _q_neardup_simhash,
         "neardup_jaccard_brute": _q_neardup_jaccard_brute,
         "neardup_cosine": _q_neardup_cosine,

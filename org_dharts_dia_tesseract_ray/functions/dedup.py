@@ -382,6 +382,69 @@ def simhash_pairs(ds, *, max_hamming: int = 3, k: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering: connected components via min-label propagation
+
+
+def neardup_clusters(ids_ds, pairs_ds, *, id_col: str = "doc_id",
+                     rounds: int = 5, num_partitions: int = 8):
+    """Connected components over near-dup pairs → (id, cluster) where
+    ``cluster`` is the minimum id in the component (its representative).
+
+    Iterative min-label propagation expressed entirely in Dataset ops
+    (join + groupby Min per round) — no driver-side union-find, so the
+    edge set may exceed driver memory.  ``rounds`` bounds propagation
+    distance; near-dup components are shallow (dup clusters, not long
+    chains), so a handful of rounds converges.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b[id_col].cast(pa.int64()),
+                         "label": b[id_col].cast(pa.int64())})
+
+    labels = ids_ds.map_batches(to_nodes, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def fwd(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["id_a"].cast(pa.int64()),
+                         "dst": b["id_b"].cast(pa.int64())})
+
+    def rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["id_b"].cast(pa.int64()),
+                         "dst": b["id_a"].cast(pa.int64())})
+
+    sym = (pairs_ds.map_batches(fwd, batch_format="pyarrow",
+                                zero_copy_batch=True)
+           .union(pairs_ds.map_batches(rev, batch_format="pyarrow",
+                                       zero_copy_batch=True)))
+
+    # iterative algorithm: materialize per round — labels are consumed
+    # TWICE per round (join probe + union), so a lazy plan re-executes all
+    # prior rounds exponentially.  The materialized state is one slim row
+    # per node, held distributed in the object store, never on the driver.
+    sym = sym.materialize()
+    labels = labels.materialize()
+    for _ in range(rounds):
+        prop = sym.join(
+            labels.map_batches(
+                lambda b: pa.table({"src": b["node"], "label": b["label"]}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            join_type="inner", num_partitions=num_partitions, on=("src",))
+        prop_labels = prop.map_batches(
+            lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        labels = (labels.union(prop_labels)
+                  .groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .materialize())
+
+    return labels.map_batches(
+        lambda b: pa.table({id_col: b["node"], "cluster": b["label"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 
 

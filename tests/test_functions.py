@@ -289,3 +289,17 @@ def test_frame_sampling(ray_session):
         rows = out[out.item_id == i]
         assert len(rows) == (nf + 3) // 4
         assert rows["frame_idx"].tolist() == list(range(0, nf, 4))
+
+
+def test_neardup_clusters(ray_session):
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.dedup import neardup_clusters
+    ids = ray.data.from_arrow(pa.table({"doc_id": list(range(7))}))
+    # components: {0,1,2,3} via chain, {4,5}, {6} isolated
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": [0, 1, 2, 4],
+        "id_b": [1, 2, 3, 5],
+    }))
+    out = (neardup_clusters(ids, pairs, rounds=4, num_partitions=2)
+           .to_pandas().sort_values("doc_id"))
+    assert out["cluster"].tolist() == [0, 0, 0, 0, 4, 4, 6]
