@@ -52,13 +52,13 @@ def _keep_latest(batch: pa.Table, global_pass: bool) -> pa.Table:
     # leave the survivor to sort stability — resolve with a content digest,
     # computed only when such ties exist (vanishingly rare in practice)
     if _has_full_ties(t):
-        import zlib
-        crc = pa.array([zlib.crc32(v or b"") for v in t["html"].to_pylist()],
-                       pa.int64())
-        t = t.append_column("__crc", crc)
+        import hashlib
+        dig = pa.array([hashlib.md5(v or b"").hexdigest()
+                        for v in t["html"].to_pylist()], pa.string())
+        t = t.append_column("__dig", dig)
         t = t.sort_by([("url", "ascending"), ("warc_ts", "descending"),
-                       ("__nb", "descending"), ("__crc", "descending")])
-        t = t.drop_columns(["__crc"])
+                       ("__nb", "descending"), ("__dig", "descending")])
+        t = t.drop_columns(["__dig"])
     urls = _as_array(t["url"])
     firsts = pc.not_equal(urls.slice(1), urls.slice(0, len(urls) - 1))
     mask = pa.concat_arrays([pa.array([True]), _as_array(firsts)])
@@ -73,14 +73,75 @@ def _group_reducer(group: pa.Table) -> pa.Table:
     return _keep_latest(group, global_pass=True)
 
 
-def dedup_pages(ds, *, combine: bool = True):
+def _rank_key_batch(batch: pa.Table) -> pa.Table:
+    """(url, __rank) — the survivor-ordering tuple packed into ONE max-able
+    fixed-width string: zero-padded warc_ts µs | payload bytes | md5(html).
+    Lexicographic max over this string == (max ts, then max length, then max
+    digest) — the same total order the sort-based reducer uses, but now the
+    reduce is a vectorized ``Max`` aggregate."""
+    import hashlib
+    ts = pc.cast(batch["warc_ts"], pa.int64()).to_pylist()
+    payloads = batch["html"].to_pylist()
+    keys = [
+        f"{t if t is not None else 0:020d}|"
+        f"{len(p) if p is not None else 0:012d}|"
+        f"{hashlib.md5(p or b'').hexdigest()}"
+        for t, p in zip(ts, payloads)
+    ]
+    return pa.table({"url": batch["url"],
+                     "__rank": pa.array(keys, pa.string())})
+
+
+def dedup_pages(ds, *, combine: bool = True, strategy: str = "join",
+                num_partitions: int | None = None):
     """pages Dataset → pages Dataset with one row per url.
 
-    ``combine=True`` runs the per-batch combiner before the shuffle
-    (recommended; pure win when duplicates cluster in time, harmless
-    otherwise).
+    ``combine=True`` runs the vectorized per-batch combiner before any
+    shuffle (pure win when duplicates cluster in time).
+
+    ``strategy="join"`` (default, the 10^12-url path): groupby(url) with a
+    vectorized ``Max`` over a packed rank string, then ONE hash join back to
+    the stream and a vectorized filter — no per-group Python anywhere.
+
+    ``strategy="groups"``: the sort-based ``map_groups`` reducer — simpler
+    plan (one shuffle), but one Python call per url group; fine up to ~10^6
+    urls per node, pathological at web scale.
+
+    Survivor choice is identical between strategies by construction
+    (same (ts, bytes, digest) total order); asserted in tests.
     """
     if combine:
         ds = ds.map_batches(_combiner, batch_format="pyarrow",
                             zero_copy_batch=True)
-    return ds.groupby("url").map_groups(_group_reducer, batch_format="pyarrow")
+    if strategy == "groups":
+        return ds.groupby("url").map_groups(_group_reducer,
+                                            batch_format="pyarrow")
+
+    from ray.data.aggregate import Max
+
+    if num_partitions is None:
+        # join aggregators occupy scheduling slots — more partitions than
+        # CPUs deadlocks a small cluster and just adds overhead on a big one
+        import ray
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+        num_partitions = max(2, min(32, cpus))
+
+    ranked = ds.map_batches(
+        lambda b: b.append_column(
+            "__rank", _as_array(_rank_key_batch(b)["__rank"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    best = (ranked
+            .map_batches(lambda b: b.select(["url", "__rank"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("url")
+            .aggregate(Max("__rank", alias_name="__best")))
+    joined = ranked.join(best, join_type="inner",
+                         num_partitions=num_partitions, on=("url",))
+    survivors = joined.map_batches(
+        lambda b: b.filter(pc.equal(b["__rank"], b["__best"]))
+                   .drop_columns(["__rank", "__best"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return survivors

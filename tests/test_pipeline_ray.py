@@ -132,3 +132,32 @@ def test_write_then_read_roundtrip(ray_session, tiny_path, tmp_path):
     # nested spans survive the parquet roundtrip
     n_spans = pc.sum(pc.list_value_length(back["spans"])).as_py()
     assert n_spans > 0
+
+
+def test_dedup_strategies_identical(ray_session):
+    """join-based (web-scale) and map_groups dedup pick the SAME survivors,
+    including on full (url, ts, length) ties."""
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.stages.dedup import dedup_pages
+
+    ts = pa.array([100, 200, 200, 50, 50, 50], pa.timestamp("us", tz="UTC"))
+    t = pa.table({
+        "url": ["a", "a", "a", "b", "b", "c"],
+        "warc_ts": ts,
+        "html": pa.array([b"old", b"newer-x", b"newer-y", b"tieA", b"tieB",
+                          b"only"], pa.binary()),
+        "text": pa.array([None] * 6, pa.string()),
+        "lang": pa.array(["en"] * 6, pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    a = (dedup_pages(ds, strategy="join", num_partitions=2).to_pandas()
+         .sort_values("url").reset_index(drop=True))
+    b = (dedup_pages(ds, strategy="groups").to_pandas()
+         .sort_values("url").reset_index(drop=True))
+    assert a["url"].tolist() == ["a", "b", "c"] == b["url"].tolist()
+    assert a["html"].tolist() == b["html"].tolist()
+    # url 'a': max ts wins, tie between newer-x/newer-y broken by digest;
+    # url 'b': full (ts,len) tie broken by digest — deterministic either way
+    assert a["html"].tolist()[0] in (b"newer-x", b"newer-y")
