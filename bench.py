@@ -135,6 +135,50 @@ def run_headline(sf_dir: str, replicate: int) -> dict:
     }
 
 
+def realistic_corpus(n_rows: int, shards: int = 64) -> str:
+    """Fixture-grade realistic corpus (all page families incl. oversized,
+    dup urls, charsets, PDFs, broken payloads), materialized once."""
+    out_dir = f"/tmp/graft_bench_corpus/realistic_{n_rows}"
+    done = os.path.join(out_dir, "_DONE")
+    if not os.path.exists(done):
+        from org_dharts_dia_tesseract_ray.sources.gen_corpus import (
+            write_corpus)
+        write_corpus(out_dir, n_rows, seed=42, shards=shards)
+        with open(done, "w") as f:
+            f.write("ok")
+    return out_dir
+
+
+def run_realistic(n_rows: int = 30_000) -> dict:
+    """Headline variant on realistic page sizes/structures (avg pages are
+    KBs with 64 KiB oversized docs exercising the skew splitter)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
+        extract_pages)
+
+    corpus = realistic_corpus(n_rows)
+    ds = ray.data.read_parquet(corpus,
+                               columns=["url", "warc_ts", "html", "text",
+                                        "lang"])
+    t0 = time.time()
+    combined = extract_pages(ds, dedup=True)
+    stats = (combined.select_columns(["payload_bytes", "n_blocks"])
+             .aggregate(Count(on="payload_bytes", alias_name="docs"),
+                        Sum("payload_bytes", alias_name="bytes")))
+    wall = time.time() - t0
+    docs = int(stats["docs"])
+    mb = stats["bytes"] / 1e6
+    return {
+        "wall_sec": round(wall, 3),
+        "docs": docs,
+        "mb_html": round(mb, 2),
+        "docs_per_sec": round(docs / wall, 1),
+        "mb_per_sec": round(mb / wall, 2),
+    }
+
+
 def run_query_suite(sf_dir: str) -> dict:
     """Time the operator-suite pipelines (each consumed to completion)."""
     import __ray_entry__ as entry_mod
@@ -204,6 +248,7 @@ def main() -> None:
         headline = run_headline(SF_DIR, REPLICATE)
         queries = {"headline_extract": headline}
         if not child:
+            queries["realistic_extract"] = run_realistic()
             queries.update(run_query_suite(SF_DIR))
         total = headline["wall_sec"] + sum(
             v for k, v in queries.items() if isinstance(v, (int, float)))
