@@ -106,10 +106,15 @@ class HtmlExtractor:
         f_td: list[float] = []
         f_ld: list[float] = []
 
+        # bulk-convert once (chunk-wise C loop) — per-element .as_py() costs
+        # a Python call per cell
+        payloads = html_col.to_pylist()
+        langs = lang_col.to_pylist() if lang_col is not None else [None] * n
+        ctexts = text_col.to_pylist() if text_col is not None else [None] * n
         for i in range(n):
-            payload = html_col[i].as_py()
-            lang = lang_col[i].as_py() if lang_col is not None else None
-            ctext = text_col[i].as_py() if text_col is not None else None
+            payload = payloads[i]
+            lang = langs[i]
+            ctext = ctexts[i]
             res = extract_one(payload, lang, ctext, cfg)
             texts.append(res.text)
             confs.append(res.doc_confidence)
