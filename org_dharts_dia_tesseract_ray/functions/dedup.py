@@ -148,7 +148,19 @@ def _band_rows(batch: pa.Table, bands: int, rows: int,
     })
 
 
-def _distinct_pairs(pairs_ds, num_partitions: int = 8, keep: dict | None = None):
+def default_join_partitions() -> int:
+    """Join partition count sized to the cluster: hash-join aggregator
+    actors occupy scheduling slots, so partitions ≥ CPUs starves the tasks
+    feeding the join and the whole pipeline crawls (measured)."""
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(32, cpus // 2))
+
+
+def _distinct_pairs(pairs_ds, num_partitions=None, keep: dict | None = None):
     """Vectorized pair dedup: groupby + aggregate (NEVER per-group Python —
     candidate sets have millions of mostly-unique pairs at scale)."""
     from ray.data.aggregate import Count, Min
@@ -193,7 +205,7 @@ def jaccard(x: np.ndarray, y: np.ndarray) -> float:
 def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
                       threshold: float = 0.5, k: int = 8, seed: int = 42,
                       text_col: str = "text", id_col: str = "doc_id",
-                      num_partitions: int = 8):
+                      num_partitions=None):
     """Near-duplicate pairs with exact n-gram Jaccard ≥ threshold.
 
     Full distributed flow; the only collect-shaped steps are groupbys and
@@ -201,6 +213,8 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
     with jaccard quantized to 4 dp.
     """
     rows = num_perm // bands
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
     sigs = apply_minhash(ds, num_perm=num_perm, k=k, seed=seed,
                          text_col=text_col, id_col=id_col)
     # shingle sets again for verification, carried as sorted list<uint64>;
@@ -338,7 +352,7 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def simhash_pairs(ds, *, max_hamming: int = 3, k: int = 4,
                   text_col: str = "text", id_col: str = "doc_id",
-                  num_partitions: int = 8):
+                  num_partitions=None):
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Pigeonhole (Manku/Jain/Sarma): distance ≤ 3 over 4 bands ⇒ at least one
@@ -346,6 +360,8 @@ def simhash_pairs(ds, *, max_hamming: int = 3, k: int = 4,
     on (band, band_val) → vectorized Hamming filter → pair dedup.  Two
     shuffles total; every step Arrow-vectorized.
     """
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
     sh = ds.map_batches(
         lambda b: simhash_batch(b, k=k, text_col=text_col, id_col=id_col),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -386,7 +402,7 @@ def simhash_pairs(ds, *, max_hamming: int = 3, k: int = 4,
 
 
 def neardup_clusters(ids_ds, pairs_ds, *, id_col: str = "doc_id",
-                     rounds: int = 5, num_partitions: int = 8):
+                     rounds: int = 5, num_partitions=None):
     """Connected components over near-dup pairs → (id, cluster) where
     ``cluster`` is the minimum id in the component (its representative).
 
@@ -398,6 +414,9 @@ def neardup_clusters(ids_ds, pairs_ds, *, id_col: str = "doc_id",
     """
     import pyarrow as pa
     from ray.data.aggregate import Min
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
 
     def to_nodes(b: pa.Table) -> pa.Table:
         return pa.table({"node": b[id_col].cast(pa.int64()),
