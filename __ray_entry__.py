@@ -283,6 +283,17 @@ def _q_media_frames(sf_dir: str):
         ray.data.from_arrow(synth_media_table(64, kind="video")), every=4)
 
 
+def _q_vocab_top100(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.vocab import vocab_topk
+    return vocab_topk(_read(sf_dir, "documents", ["doc_id", "text"]), 100)
+
+
+def _q_bigrams_top100(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.vocab import vocab_topk
+    return vocab_topk(_read(sf_dir, "documents", ["doc_id", "text"]), 100,
+                      ngram=2)
+
+
 def _q_skew_topk(sf_dir: str):
     return (_read(sf_dir, "documents", ["doc_id", "n_chars"])
             .sort(["n_chars", "doc_id"], descending=[True, False])
@@ -411,6 +422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint_md5": _q_fingerprint,
         "winnow_fingerprints": _q_winnow,
+        "vocab_top100": _q_vocab_top100,
+        "bigrams_top100": _q_bigrams_top100,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "neardup_minhash_lsh": _q_neardup_minhash,
@@ -431,6 +444,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "lineitem_pricing": _q_lineitem_pricing,
     }
+
+
+def _vocab_sql(k: int, ngram: int) -> str:
+    from org_dharts_dia_tesseract_ray.functions.vocab import vocab_topk_sql
+    return vocab_topk_sql(k, ngram=ngram)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -468,6 +486,8 @@ FROM documents GROUP BY lang""",
         "langid": langid_sql(),
         "fingerprint_md5": md5_sql(),
         "dedup_exact": exact_dedup_sql(),
+        "vocab_top100": _vocab_sql(100, 1),
+        "bigrams_top100": _vocab_sql(100, 2),
         "neardup_cosine": cosine_neardup_sql(COS_THRESHOLD),
         "ann_brute_topk": brute_topk_sql(NUM_ANN_QUERIES, ANN_K),
         "skew_topk": f"""

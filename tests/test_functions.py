@@ -303,3 +303,18 @@ def test_neardup_clusters(ray_session):
     out = (neardup_clusters(ids, pairs, rounds=4, num_partitions=2)
            .to_pandas().sort_values("doc_id"))
     assert out["cluster"].tolist() == [0, 0, 0, 0, 4, 4, 6]
+
+
+def test_vocab_topk_distributed(ray_session, docs_table):
+    import duckdb
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.vocab import (vocab_topk,
+                                                              vocab_topk_sql)
+    con = duckdb.connect()
+    con.register("documents", docs_table)
+    ds = ray.data.from_arrow(docs_table).repartition(4)
+    for ngram in (1, 2):
+        got = vocab_topk(ds, 50, ngram=ngram).to_pandas()
+        want = con.sql(vocab_topk_sql(50, ngram=ngram)).df()
+        assert got["token"].tolist() == want["token"].tolist()
+        assert got["n"].tolist() == want["n"].tolist()
