@@ -355,6 +355,19 @@ def _q_events_rollup(sf_dir: str):
     return agg.map_batches(quant, batch_format="pyarrow")
 
 
+def _q_events_windowed(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.windows import (
+        tumbling_aggregate)
+    return tumbling_aggregate(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]))
+
+
+def _q_events_sessions(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.windows import sessionize
+    return sessionize(_read(sf_dir, "events",
+                            ["user_id", "event_id", "ts"]))
+
+
 def _q_lineitem_pricing(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "lineitem",
@@ -442,8 +455,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "events_latest_per_user": _q_events_latest,
         "events_rollup": _q_events_rollup,
+        "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
         "lineitem_pricing": _q_lineitem_pricing,
     }
+
+
+def _windows_sql(kind: str) -> str:
+    from org_dharts_dia_tesseract_ray.functions.windows import (
+        sessionize_sql, tumbling_aggregate_sql)
+    return tumbling_aggregate_sql() if kind == "tumbling" else sessionize_sql()
 
 
 def _vocab_sql(k: int, ngram: int) -> str:
@@ -508,6 +529,8 @@ SELECT user_id, event_id, ts FROM (
 SELECT event_type, count(*) AS n_events,
        round(sum(value) * 100.0) / 100.0 AS total_value
 FROM events GROUP BY event_type""",
+        "events_windowed": _windows_sql("tumbling"),
+        "events_sessions": _windows_sql("sessions"),
         "lineitem_pricing": f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity) * 100.0) / 100.0 AS sum_qty,

@@ -1,0 +1,130 @@
+"""Event-time windowing — tumbling-window aggregates and sessionization.
+
+The reference is pure batch with no event-time semantics (SURVEY.md §2.5
+"Streaming / windows: none"), but a web-scale training-data pipeline needs
+them (log bucketing, session corpora).  Both operators follow the engine's
+aggregation discipline:
+
+* tumbling windows: the window id is a pure vectorized column
+  (``ts // width``) — computed inside ``map_batches``, then ONE groupby;
+  no per-row Python, no ordering requirement.
+* sessionization (gap-based): keyed by user — a ``groupby(user)`` shuffle,
+  then per-group numpy (sort + diff + cumsum).  Within-group work is
+  vectorized; the per-group call count equals the number of users, which is
+  the irreducible key cardinality of the problem.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+US_PER_MIN = 60_000_000
+
+
+def tumbling_window_batch(batch: pa.Table, width_us: int,
+                          ts_col: str = "ts") -> pa.Table:
+    """Append ``window_start`` (timestamp, floor(ts / width) * width)."""
+    ts = batch[ts_col]
+    epoch = pc.cast(ts, pa.int64())
+    start = pc.multiply(pc.divide(epoch, width_us), width_us)  # int floor div
+    return batch.append_column(
+        "window_start",
+        pc.cast(start, ts.type if not isinstance(ts, pa.ChunkedArray)
+                else ts.type))
+
+
+def tumbling_aggregate(ds, *, width_minutes: int = 60, ts_col: str = "ts",
+                       key_col: str = "event_type",
+                       value_col: str = "value"):
+    """Per (window_start, key): count + quantized value sum."""
+    from ray.data.aggregate import Count, Sum
+
+    width_us = width_minutes * US_PER_MIN
+
+    def prep(b: pa.Table) -> pa.Table:
+        return tumbling_window_batch(b, width_us, ts_col)
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["window_start", key_col])
+           .aggregate(Count(on=ts_col, alias_name="n_events"),
+                      Sum(value_col, alias_name="total_value")))
+
+    def quant(b: pa.Table) -> pa.Table:
+        scaled = pc.round(pc.multiply(b["total_value"], pa.scalar(100.0)), 0,
+                          round_mode="half_towards_infinity")
+        return pa.table({
+            "window_start": b["window_start"],
+            key_col: b[key_col],
+            "n_events": b["n_events"],
+            "total_value": pc.divide(scaled, pa.scalar(100.0)),
+        })
+
+    return agg.map_batches(quant, batch_format="pyarrow")
+
+
+def tumbling_aggregate_sql(width_minutes: int = 60,
+                           table: str = "events") -> str:
+    w = width_minutes * US_PER_MIN
+    return f"""
+SELECT make_timestamp((epoch_us(ts) // {w}) * {w}) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value) * 100.0) / 100.0 AS total_value
+FROM {table}
+GROUP BY 1, 2"""
+
+
+def sessionize(ds, *, gap_minutes: int = 30, user_col: str = "user_id",
+               ts_col: str = "ts", id_col: str = "event_id"):
+    """Gap-based sessions per user → (user_id, session_no, n_events,
+    session_start, session_end).  ``session_no`` is 1-based in (ts, id)
+    order; a gap > gap_minutes starts a new session."""
+    gap_us = gap_minutes * US_PER_MIN
+
+    def per_user(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(ts_col, "ascending"), (id_col, "ascending")])
+        ts = np.asarray(pc.cast(t[ts_col], pa.int64()))
+        new_session = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_session[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        session_no = np.cumsum(new_session)
+        # per-session bounds via boundary indices (vectorized)
+        bounds = np.flatnonzero(new_session)
+        ends = np.r_[bounds[1:], len(ts)]
+        user = t[user_col][0].as_py()
+        return pa.table({
+            "user_id": pa.array([user] * len(bounds), pa.int64()),
+            "session_no": pa.array(session_no[bounds], pa.int64()),
+            "n_events": pa.array(ends - bounds, pa.int64()),
+            "session_start": pc.cast(pa.array(ts[bounds], pa.int64()),
+                                     t[ts_col].type),
+            "session_end": pc.cast(pa.array(ts[ends - 1], pa.int64()),
+                                   t[ts_col].type),
+        })
+
+    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+
+
+def sessionize_sql(gap_minutes: int = 30, table: str = "events") -> str:
+    gap_us = gap_minutes * US_PER_MIN
+    return f"""
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+              THEN 1 ELSE 0 END AS new_s
+  FROM {table}
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM o
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_no"""
