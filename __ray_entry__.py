@@ -368,6 +368,25 @@ def _q_events_sessions(sf_dir: str):
                             ["user_id", "event_id", "ts"]))
 
 
+def _q_events_asof_order(sf_dir: str):
+    """As-of join: each event picks up the customer's latest order at-or-
+    before the event time (events.user_id ⊂ orders.o_custkey domain)."""
+    from org_dharts_dia_tesseract_ray.functions.joins import asof_join
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["o_custkey"],
+                         "o_orderdate": b["o_orderdate"],
+                         "o_orderkey": b["o_orderkey"]})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey"]).map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(events, orders, key="user_id", left_ts="ts",
+                     right_ts="o_orderdate", value_col="o_orderkey",
+                     out_col="asof_orderkey")
+
+
 def _q_lineitem_pricing(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "lineitem",
@@ -457,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
+        "events_asof_order": _q_events_asof_order,
         "lineitem_pricing": _q_lineitem_pricing,
     }
 
@@ -531,6 +551,13 @@ SELECT event_type, count(*) AS n_events,
 FROM events GROUP BY event_type""",
         "events_windowed": _windows_sql("tumbling"),
         "events_sessions": _windows_sql("sessions"),
+        "events_asof_order": """
+WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+                  max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, e.ts, r.o_orderkey AS asof_orderkey
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate""",
         "lineitem_pricing": f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity) * 100.0) / 100.0 AS sum_qty,

@@ -318,3 +318,26 @@ def test_vocab_topk_distributed(ray_session, docs_table):
         want = con.sql(vocab_topk_sql(50, ngram=ngram)).df()
         assert got["token"].tolist() == want["token"].tolist()
         assert got["n"].tolist() == want["n"].tolist()
+
+
+def test_asof_join(ray_session):
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.joins import asof_join
+    left = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 1, 2, 2, 3],
+        "lts": pa.array([5, 15, 25, 10, 3, 9], pa.timestamp("us")),
+        "lid": [0, 1, 2, 3, 4, 5],
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 2, 2, 9],
+        "rts": pa.array([10, 20, 4, 4, 1], pa.timestamp("us")),
+        "v": [100, 200, 300, 350, 900],      # (2,4) tie -> max v=350 wins
+    }))
+    out = (asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                     value_col="v").to_pandas().sort_values("lid"))
+    # k=1: lts 5 -> none; 15 -> v@10=100; 25 -> v@20=200
+    # k=2: lts 10 -> tie-reduced v@4=350; lts 3 -> none
+    # k=3: no right rows -> none
+    assert out["asof_v"].tolist() == [None, 100.0, 200.0, 350.0, None, None] \
+        or [None if x != x else x for x in out["asof_v"].tolist()] == \
+           [None, 100.0, 200.0, 350.0, None, None]
