@@ -387,6 +387,40 @@ def _q_events_asof_order(sf_dir: str):
                      out_col="asof_orderkey")
 
 
+def _q_events_enrich_customer(sf_dir: str):
+    """Broadcast dimension lookup: events enriched with customer attrs —
+    the ray.put-once / read-per-actor small-side join (no shuffle)."""
+    from org_dharts_dia_tesseract_ray.functions.joins import broadcast_lookup
+    events = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    return broadcast_lookup(events, dim, key="user_id", dim_key="c_custkey",
+                            carry={"c_name": "c_name",
+                                   "c_mktsegment": "c_mktsegment"})
+
+
+def _q_order_shipments_90d(sf_dir: str):
+    """Range join: per order, how many of its lineitems shipped within
+    90 days of the order date."""
+    from org_dharts_dia_tesseract_ray.functions.joins import range_join_count
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        start = b["o_orderdate"]
+        end = pc.add(pc.cast(start, pa.int64()),
+                     pa.scalar(90 * 86_400_000_000))
+        return pa.table({"l_orderkey": b["o_orderkey"],
+                         "range_start": start,
+                         "range_end": pc.cast(end, start.type)})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    return range_join_count(li, orders, key="l_orderkey",
+                            left_ts="l_shipdate",
+                            right_start="range_start",
+                            right_end="range_end")
+
+
 def _q_lineitem_pricing(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "lineitem",
@@ -477,6 +511,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": _q_events_windowed,
         "events_sessions": _q_events_sessions,
         "events_asof_order": _q_events_asof_order,
+        "events_enrich_customer": _q_events_enrich_customer,
+        "order_shipments_90d": _q_order_shipments_90d,
         "lineitem_pricing": _q_lineitem_pricing,
     }
 
@@ -558,6 +594,19 @@ WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
 SELECT e.event_id, e.user_id, e.ts, r.o_orderkey AS asof_orderkey
 FROM events e
 ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate""",
+        "events_enrich_customer": """
+SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",
+        "order_shipments_90d": """
+SELECT o.o_orderkey AS l_orderkey,
+       o.o_orderdate AS range_start,
+       o.o_orderdate + INTERVAL 90 DAY AS range_end,
+       CAST(count(l.l_orderkey) AS BIGINT) AS n_in_range
+FROM orders o LEFT JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1, 2, 3""",
         "lineitem_pricing": f"""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity) * 100.0) / 100.0 AS sum_qty,
