@@ -341,3 +341,36 @@ def test_asof_join(ray_session):
     assert out["asof_v"].tolist() == [None, 100.0, 200.0, 350.0, None, None] \
         or [None if x != x else x for x in out["asof_v"].tolist()] == \
            [None, 100.0, 200.0, 350.0, None, None]
+
+
+def test_broadcast_lookup(ray_session):
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.joins import broadcast_lookup
+    facts = ray.data.from_arrow(pa.table({
+        "k": [1, 2, 9, 1], "x": [10, 20, 90, 11]}))
+    dim = ray.data.from_arrow(pa.table({
+        "dk": [1, 2, 3], "name": ["a", "b", "c"]}))
+    out = (broadcast_lookup(facts, dim, key="k", dim_key="dk",
+                            carry={"name": "k_name"})
+           .to_pandas().sort_values("x"))
+    assert out["k_name"].tolist() == ["a", "a", "b", None]  # 9 → no match
+
+
+def test_range_join_count(ray_session):
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.joins import range_join_count
+    left = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 1, 1, 2],
+        "t": pa.array([1, 5, 10, 20, 7], pa.timestamp("us")),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 2, 3],
+        "s": pa.array([0, 4, 0, 0], pa.timestamp("us")),
+        "e": pa.array([10, 6, 3, 9], pa.timestamp("us")),   # overlapping ok
+    }))
+    out = (range_join_count(left, right, key="k", left_ts="t",
+                            right_start="s", right_end="e")
+           .to_pandas().sort_values(["k", "range_start"]))
+    # k=1: [0,10] holds {1,5,10}=3; [4,6] holds {5}=1
+    # k=2: [0,3] holds none of {7}=0 ; k=3: no left rows → 0
+    assert out["n_in_range"].tolist() == [3, 1, 0, 0]
