@@ -294,6 +294,21 @@ def _q_bigrams_top100(sf_dir: str):
                       ngram=2)
 
 
+def _q_sample_10pct(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        deterministic_sample)
+    return deterministic_sample(_read(sf_dir, "documents",
+                                      ["doc_id", "text"]), percent=10)
+
+
+def _q_split(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        train_val_test_split)
+    ds = train_val_test_split(_read(sf_dir, "documents",
+                                    ["doc_id", "text"]))
+    return ds.select_columns(["doc_id", "split"])
+
+
 def _q_skew_topk(sf_dir: str):
     return (_read(sf_dir, "documents", ["doc_id", "n_chars"])
             .sort(["n_chars", "doc_id"], descending=[True, False])
@@ -489,6 +504,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": _q_fingerprint,
         "winnow_fingerprints": _q_winnow,
         "vocab_top100": _q_vocab_top100,
+        "sample_10pct": _q_sample_10pct,
+        "train_val_test_split": _q_split,
         "bigrams_top100": _q_bigrams_top100,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -521,6 +538,12 @@ def _windows_sql(kind: str) -> str:
     from org_dharts_dia_tesseract_ray.functions.windows import (
         sessionize_sql, tumbling_aggregate_sql)
     return tumbling_aggregate_sql() if kind == "tumbling" else sessionize_sql()
+
+
+def _sampling_sql(kind: str) -> str:
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        deterministic_sample_sql, split_sql)
+    return deterministic_sample_sql() if kind == "sample" else split_sql()
 
 
 def _vocab_sql(k: int, ngram: int) -> str:
@@ -564,6 +587,8 @@ FROM documents GROUP BY lang""",
         "fingerprint_md5": md5_sql(),
         "dedup_exact": exact_dedup_sql(),
         "vocab_top100": _vocab_sql(100, 1),
+        "sample_10pct": _sampling_sql("sample"),
+        "train_val_test_split": _sampling_sql("split"),
         "bigrams_top100": _vocab_sql(100, 2),
         "neardup_cosine": cosine_neardup_sql(COS_THRESHOLD),
         "ann_brute_topk": brute_topk_sql(NUM_ANN_QUERIES, ANN_K),

@@ -1,0 +1,77 @@
+"""Deterministic content-hash sampling and dataset splits.
+
+Training corpora need REPRODUCIBLE sampling: ``ds.random_sample`` depends on
+block layout and seed plumbing, so re-running with a different partitioning
+changes the sample.  Hash-bucket sampling is the production pattern: the
+bucket is a pure function of the content digest, invariant under
+parallelism, resharding and reruns — the same property the engine's
+byte-identity gate demands of extraction (SURVEY.md §7 hard-part #1).
+
+Bucket = first 8 hex chars of md5(text) as uint % n_buckets; DuckDB parses
+the same prefix with ``('0x' || substr(md5(x),1,8))::UBIGINT`` so every
+query here is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def hash_bucket_batch(batch: pa.Table, *, text_col: str = "text",
+                      n_buckets: int = 100) -> pa.Table:
+    vals = [int(hashlib.md5((s or "").encode("utf-8")).hexdigest()[:8], 16)
+            % n_buckets for s in batch[text_col].to_pylist()]
+    return batch.append_column("bucket",
+                               pa.array(vals, pa.int64()))
+
+
+def deterministic_sample(ds, *, percent: int = 10, text_col: str = "text",
+                         n_buckets: int = 100):
+    """Keep rows whose content bucket < percent — a stable percent% sample."""
+    def f(b: pa.Table) -> pa.Table:
+        t = hash_bucket_batch(b, text_col=text_col, n_buckets=n_buckets)
+        return t.filter(pc.less(t["bucket"], percent)).drop_columns(["bucket"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def train_val_test_split(ds, *, val_percent: int = 10, test_percent: int = 10,
+                         text_col: str = "text"):
+    """Append a ``split`` column ∈ {train, val, test} by content bucket."""
+    def f(b: pa.Table) -> pa.Table:
+        t = hash_bucket_batch(b, text_col=text_col, n_buckets=100)
+        bucket = t["bucket"]
+        split = pc.if_else(
+            pc.less(bucket, val_percent), pa.scalar("val"),
+            pc.if_else(pc.less(bucket, val_percent + test_percent),
+                       pa.scalar("test"), pa.scalar("train")))
+        return t.drop_columns(["bucket"]).append_column("split", split)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bucket_sql_expr(text_col: str = "text", n_buckets: int = 100) -> str:
+    return (f"(('0x' || substr(md5({text_col}), 1, 8))::UBIGINT "
+            f"% {n_buckets})")
+
+
+def deterministic_sample_sql(percent: int = 10, table: str = "documents",
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    return (f"SELECT {id_col}, {text_col} FROM {table} "
+            f"WHERE {bucket_sql_expr(text_col)} < {percent}")
+
+
+def split_sql(val_percent: int = 10, test_percent: int = 10,
+              table: str = "documents", id_col: str = "doc_id",
+              text_col: str = "text") -> str:
+    b = bucket_sql_expr(text_col)
+    return f"""
+SELECT {id_col},
+  CASE WHEN {b} < {val_percent} THEN 'val'
+       WHEN {b} < {val_percent + test_percent} THEN 'test'
+       ELSE 'train' END AS split
+FROM {table}"""
