@@ -309,6 +309,26 @@ def _q_split(sf_dir: str):
     return ds.select_columns(["doc_id", "split"])
 
 
+def _q_stratified(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        stratified_sample)
+    ds = stratified_sample(_read(sf_dir, "documents",
+                                 ["doc_id", "lang", "text"]),
+                           group_col="lang")
+    return ds.select_columns(["doc_id", "lang"])
+
+
+def _q_length_quantiles(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.stats import grouped_quantiles
+    return grouped_quantiles(_read(sf_dir, "documents", ["lang", "n_chars"]),
+                             key="lang", value_col="n_chars")
+
+
+def _q_doc_frequency(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.vocab import doc_frequency
+    return doc_frequency(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_skew_topk(sf_dir: str):
     return (_read(sf_dir, "documents", ["doc_id", "n_chars"])
             .sort(["n_chars", "doc_id"], descending=[True, False])
@@ -506,6 +526,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top100": _q_vocab_top100,
         "sample_10pct": _q_sample_10pct,
         "train_val_test_split": _q_split,
+        "stratified_sample": _q_stratified,
+        "length_quantiles_by_lang": _q_length_quantiles,
+        "doc_frequency": _q_doc_frequency,
         "bigrams_top100": _q_bigrams_top100,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -542,12 +565,23 @@ def _windows_sql(kind: str) -> str:
 
 def _sampling_sql(kind: str) -> str:
     from org_dharts_dia_tesseract_ray.functions.sampling import (
-        deterministic_sample_sql, split_sql)
-    return deterministic_sample_sql() if kind == "sample" else split_sql()
+        deterministic_sample_sql, split_sql, stratified_sample_sql)
+    return {"sample": deterministic_sample_sql,
+            "split": split_sql,
+            "stratified": stratified_sample_sql}[kind]()
+
+
+def _stats_sql() -> str:
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        grouped_quantiles_sql)
+    return grouped_quantiles_sql()
 
 
 def _vocab_sql(k: int, ngram: int) -> str:
-    from org_dharts_dia_tesseract_ray.functions.vocab import vocab_topk_sql
+    from org_dharts_dia_tesseract_ray.functions.vocab import (
+        doc_frequency_sql, vocab_topk_sql)
+    if k == 0:
+        return doc_frequency_sql()
     return vocab_topk_sql(k, ngram=ngram)
 
 
@@ -589,6 +623,9 @@ FROM documents GROUP BY lang""",
         "vocab_top100": _vocab_sql(100, 1),
         "sample_10pct": _sampling_sql("sample"),
         "train_val_test_split": _sampling_sql("split"),
+        "stratified_sample": _sampling_sql("stratified"),
+        "length_quantiles_by_lang": _stats_sql(),
+        "doc_frequency": _vocab_sql(0, 0),
         "bigrams_top100": _vocab_sql(100, 2),
         "neardup_cosine": cosine_neardup_sql(COS_THRESHOLD),
         "ann_brute_topk": brute_topk_sql(NUM_ANN_QUERIES, ANN_K),

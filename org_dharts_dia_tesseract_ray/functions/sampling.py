@@ -53,6 +53,34 @@ def train_val_test_split(ds, *, val_percent: int = 10, test_percent: int = 10,
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def stratified_sample(ds, *, group_col: str, n_per_group: int = 20,
+                      text_col: str = "text", id_col: str = "doc_id"):
+    """Deterministic n-per-group sample: within each group take the first n
+    rows in (md5(text), id) order — content-hash order is a reproducible
+    pseudo-random shuffle, invariant under partitioning (same property as
+    :func:`deterministic_sample`)."""
+    def per_group(g: pa.Table) -> pa.Table:
+        fps = pa.array([hashlib.md5((s or "").encode("utf-8")).hexdigest()
+                        for s in g[text_col].to_pylist()])
+        t = g.append_column("__fp", fps)
+        t = t.sort_by([("__fp", "ascending"), (id_col, "ascending")])
+        return t.slice(0, n_per_group).drop_columns(["__fp"])
+
+    return ds.groupby(group_col).map_groups(per_group,
+                                            batch_format="pyarrow")
+
+
+def stratified_sample_sql(group_col: str = "lang", n_per_group: int = 20,
+                          table: str = "documents", id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    return f"""
+SELECT {id_col}, {group_col} FROM (
+  SELECT {id_col}, {group_col},
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY md5({text_col}), {id_col}) AS rk
+  FROM {table}) WHERE rk <= {n_per_group}"""
+
+
 def bucket_sql_expr(text_col: str = "text", n_buckets: int = 100) -> str:
     return (f"(('0x' || substr(md5({text_col}), 1, 8))::UBIGINT "
             f"% {n_buckets})")

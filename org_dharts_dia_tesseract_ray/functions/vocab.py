@@ -60,6 +60,51 @@ def vocab_topk(ds, k: int = 100, *, text_col: str = "text", ngram: int = 1):
     return (totals.sort(["n", "token"], descending=[True, False]).limit(k))
 
 
+def doc_frequency(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Inverted-index statistics: per token, document frequency + posting
+    bounds (n_docs, min/max doc id).
+
+    The posting-list build pattern without materializing lists through the
+    shuffle: distinct (token, doc) pairs are emitted per batch (a doc lives
+    in exactly one row, so pairs are globally unique), then ONE vectorized
+    groupby aggregates the posting stats.  A full posting-list sink would
+    replace the aggregate with ``map_groups`` writing sorted id runs.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    def pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b[text_col]), WS_PATTERN)
+        ids = b[id_col]
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        doc = pc.take(ids, parents)
+        t = pa.table({"token": flat, id_col: doc})
+        # distinct within doc (== globally distinct): vectorized group_by
+        return t.group_by(["token", id_col]).aggregate([])
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (pair_ds.groupby("token")
+            .aggregate(Count(on=id_col, alias_name="n_docs"),
+                       Min(id_col, alias_name="min_doc"),
+                       Max(id_col, alias_name="max_doc")))
+
+
+def doc_frequency_sql(table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    return f"""
+SELECT token,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min({id_col}) AS min_doc, max({id_col}) AS max_doc
+FROM (SELECT {id_col},
+             unnest(list_distinct(
+                 regexp_split_to_array(trim({text_col}), '{WS_PATTERN}')))
+               AS token
+      FROM {table})
+GROUP BY token"""
+
+
 def vocab_topk_sql(k: int = 100, table: str = "documents",
                    text_col: str = "text", ngram: int = 1) -> str:
     if ngram == 1:
