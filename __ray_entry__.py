@@ -456,6 +456,21 @@ def _q_order_shipments_90d(sf_dir: str):
                             right_end="range_end")
 
 
+def _q_events_sliding(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.windows import (
+        sliding_aggregate)
+    return sliding_aggregate(_read(sf_dir, "events", ["ts", "event_type"]))
+
+
+def _q_approx_distinct_tokens(sf_dir: str):
+    """HLL sketch: ~1.6% error distinct-token counts per lang (rows-only
+    check; accuracy vs exact asserted in tests)."""
+    from org_dharts_dia_tesseract_ray.functions.sketch import (
+        approx_distinct_tokens)
+    return approx_distinct_tokens(_read(sf_dir, "documents",
+                                        ["lang", "text"]))
+
+
 def _q_lineitem_pricing(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "lineitem",
@@ -549,6 +564,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": _q_events_latest,
         "events_rollup": _q_events_rollup,
         "events_windowed": _q_events_windowed,
+        "events_sliding_window": _q_events_sliding,
+        "approx_distinct_tokens": _q_approx_distinct_tokens,
         "events_sessions": _q_events_sessions,
         "events_asof_order": _q_events_asof_order,
         "events_enrich_customer": _q_events_enrich_customer,
@@ -559,8 +576,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _windows_sql(kind: str) -> str:
     from org_dharts_dia_tesseract_ray.functions.windows import (
-        sessionize_sql, tumbling_aggregate_sql)
-    return tumbling_aggregate_sql() if kind == "tumbling" else sessionize_sql()
+        sessionize_sql, sliding_aggregate_sql, tumbling_aggregate_sql)
+    return {"tumbling": tumbling_aggregate_sql,
+            "sliding": sliding_aggregate_sql,
+            "sessions": sessionize_sql}[kind]()
 
 
 def _sampling_sql(kind: str) -> str:
@@ -648,6 +667,7 @@ SELECT event_type, count(*) AS n_events,
        round(sum(value) * 100.0) / 100.0 AS total_value
 FROM events GROUP BY event_type""",
         "events_windowed": _windows_sql("tumbling"),
+        "events_sliding_window": _windows_sql("sliding"),
         "events_sessions": _windows_sql("sessions"),
         "events_asof_order": """
 WITH r AS (SELECT o_custkey AS user_id, o_orderdate,

@@ -1,0 +1,109 @@
+"""Mergeable sketches — HyperLogLog approximate distinct counting.
+
+The sketch pattern for corpus-scale cardinality (distinct tokens / urls /
+shingles per group): each batch emits ONE serialized sketch row per key
+(ray_guide.md "Aggregation at scale"), the groupby merges register-wise —
+shuffle volume is O(keys × batches × 4 KiB) regardless of corpus size,
+where exact counting would shuffle every distinct value.
+
+Flajolet et al. HLL with 2^12 registers (~1.6 % standard error) +
+linear-counting small-range correction.  Deterministic: token hashing uses
+the repo's fixed polynomial hash family (fingerprint.rolling_hash64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .fingerprint import rolling_hash64
+from .vocab import WS_PATTERN
+
+P = 12
+M = 1 << P                    # 4096 registers
+_ALPHA = 0.7213 / (1 + 1.079 / M)
+
+
+def _ranks(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """register index + rank (leading-zero run of the remaining bits + 1)."""
+    idx = (hashes >> np.uint64(64 - P)).astype(np.int64)
+    rest = (hashes << np.uint64(P)).astype(np.uint64)
+    # rank = number of leading zeros in the 64-bit `rest` + 1, capped
+    with np.errstate(divide="ignore"):
+        bits = np.where(rest > 0,
+                        np.floor(np.log2(rest.astype(np.float64) + 0.5)),
+                        -1.0)
+    # first-1-bit position (1-indexed) = leading zeros + 1 = 64 - floor(log2)
+    rank = (64 - bits).astype(np.int8)
+    rank = np.where(rest > 0, rank, np.int8(64 - P + 1))
+    return idx, rank
+
+
+def hll_add(registers: np.ndarray, hashes: np.ndarray) -> None:
+    idx, rank = _ranks(hashes)
+    np.maximum.at(registers, idx, rank)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    inv = np.power(2.0, -registers.astype(np.float64))
+    raw = _ALPHA * M * M / inv.sum()
+    zeros = int((registers == 0).sum())
+    if raw <= 2.5 * M and zeros:
+        return M * np.log(M / zeros)                  # linear counting
+    return raw
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — the polynomial hash has weak top-bit
+    avalanche, and HLL indexes by the TOP bits."""
+    with np.errstate(over="ignore"):
+        h = h.copy()
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    toks = set((text or "").split())
+    raw = np.array([rolling_hash64(t) for t in toks], dtype=np.uint64)
+    return _mix64(raw)
+
+
+def approx_distinct_tokens(ds, *, key_col: str = "lang",
+                           text_col: str = "text"):
+    """(key, approx_distinct) — distinct whitespace tokens per key.
+
+    Per-batch partial sketches (one 4 KiB row per key per batch) →
+    groupby(key) register-max merge → estimate.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        sketches: dict[str, np.ndarray] = {}
+        keys = b[key_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        for k, t in zip(keys, texts):
+            reg = sketches.setdefault(k, np.zeros(M, dtype=np.int8))
+            hll_add(reg, _token_hashes(t))
+        return pa.table({
+            key_col: pa.array(list(sketches), pa.string()),
+            "sketch": pa.array([s.tobytes() for s in sketches.values()],
+                               pa.binary()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        reg = np.zeros(M, dtype=np.int8)
+        for blob in group["sketch"].to_pylist():
+            np.maximum(reg, np.frombuffer(blob, dtype=np.int8), out=reg)
+        return pa.table({
+            key_col: group[key_col].slice(0, 1),
+            "approx_distinct": pa.array([int(round(hll_estimate(reg)))],
+                                        pa.int64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby(key_col).map_groups(merge,
+                                                batch_format="pyarrow")

@@ -76,6 +76,61 @@ FROM {table}
 GROUP BY 1, 2"""
 
 
+def sliding_aggregate(ds, *, width_minutes: int = 60,
+                      slide_minutes: int = 15, ts_col: str = "ts",
+                      key_col: str = "event_type"):
+    """Sliding (hopping) windows: each event lands in width/slide windows.
+
+    Vectorized row expansion (numpy repeat over per-row window counts —
+    the multiplicity is CONSTANT width/slide for every row, so the explode
+    is a reshape, not a loop), then the same groupby as tumbling.  Shuffle
+    volume grows by the overlap factor — inherent to hopping windows; keep
+    width/slide small or pre-aggregate per (tumbling slide-bucket) first.
+    """
+    import numpy as np
+
+    width_us = width_minutes * US_PER_MIN
+    slide_us = slide_minutes * US_PER_MIN
+    k = width_us // slide_us          # windows per event (width % slide == 0)
+    if width_us % slide_us:
+        raise ValueError("width must be a multiple of slide")
+
+    def explode(b: pa.Table) -> pa.Table:
+        epoch = np.asarray(pc.cast(b[ts_col], pa.int64()))
+        last = (epoch // slide_us) * slide_us          # latest window start
+        # starts: last - (k-1)*slide .. last, one row per (event, window)
+        offs = (np.arange(k, dtype=np.int64) - (k - 1)) * slide_us
+        starts = (last[:, None] + offs[None, :]).reshape(-1)
+        keys = pc.take(b[key_col],
+                       pa.array(np.repeat(np.arange(len(epoch)), k)))
+        return pa.table({
+            "window_start": pc.cast(pa.array(starts), b[ts_col].type),
+            key_col: keys,
+        })
+
+    from ray.data.aggregate import Count
+    return (ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["window_start", key_col])
+            .aggregate(Count(on=key_col, alias_name="n_events")))
+
+
+def sliding_aggregate_sql(width_minutes: int = 60, slide_minutes: int = 15,
+                          table: str = "events") -> str:
+    w = width_minutes * US_PER_MIN
+    s = slide_minutes * US_PER_MIN
+    return f"""
+SELECT make_timestamp(ws) AS window_start, event_type,
+       count(*) AS n_events
+FROM (
+  SELECT event_type,
+         unnest(generate_series(
+           ((epoch_us(ts) - {w}) // {s} + 1) * {s},
+           (epoch_us(ts) // {s}) * {s}, {s})) AS ws
+  FROM {table})
+GROUP BY 1, 2"""
+
+
 def sessionize(ds, *, gap_minutes: int = 30, user_col: str = "user_id",
                ts_col: str = "ts", id_col: str = "event_id"):
     """Gap-based sessions per user → (user_id, session_no, n_events,

@@ -374,3 +374,57 @@ def test_range_join_count(ray_session):
     # k=1: [0,10] holds {1,5,10}=3; [4,6] holds {5}=1
     # k=2: [0,3] holds none of {7}=0 ; k=3: no left rows → 0
     assert out["n_in_range"].tolist() == [3, 1, 0, 0]
+
+
+def test_hll_accuracy():
+    import numpy as np
+    from org_dharts_dia_tesseract_ray.functions.fingerprint import (
+        rolling_hash64)
+    from org_dharts_dia_tesseract_ray.functions.sketch import (
+        M, _mix64, hll_add, hll_estimate)
+    for n in (50, 5000, 100_000):
+        reg = np.zeros(M, dtype=np.int8)
+        hs = _mix64(np.array([rolling_hash64(f"tok{i}") for i in range(n)],
+                             dtype=np.uint64))
+        hll_add(reg, hs)
+        est = hll_estimate(reg)
+        assert abs(est - n) / n < 0.06, (n, est)
+    # mergeability: union of halves == whole
+    a = np.zeros(M, dtype=np.int8)
+    b = np.zeros(M, dtype=np.int8)
+    w = np.zeros(M, dtype=np.int8)
+    hs = _mix64(np.array([rolling_hash64(f"x{i}") for i in range(2000)],
+                         dtype=np.uint64))
+    hll_add(a, hs[:1000]); hll_add(b, hs[1000:]); hll_add(w, hs)
+    assert np.array_equal(np.maximum(a, b), w)
+
+
+def test_approx_distinct_distributed(ray_session, docs_table):
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.sketch import (
+        approx_distinct_tokens)
+    ds = ray.data.from_arrow(docs_table).repartition(4)
+    out = approx_distinct_tokens(ds).to_pandas()
+    exact = {}
+    for lang, text in zip(docs_table["lang"].to_pylist(),
+                          docs_table["text"].to_pylist()):
+        exact.setdefault(lang, set()).update(text.split())
+    for _, row in out.iterrows():
+        ex = len(exact[row["lang"]])
+        assert abs(row["approx_distinct"] - ex) / ex < 0.10
+
+
+def test_sliding_window_counts(ray_session):
+    import duckdb
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.windows import (
+        sliding_aggregate, sliding_aggregate_sql)
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    con = duckdb.connect(); con.register("events", t)
+    got = (sliding_aggregate(ray.data.from_arrow(t).repartition(3))
+           .to_pandas().sort_values(["window_start", "event_type"])
+           .reset_index(drop=True))
+    want = (con.sql(sliding_aggregate_sql() + " ORDER BY 1, 2").df())
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["window_start"].tolist() == want["window_start"].tolist()
