@@ -258,6 +258,29 @@ def _q_ann_ivf(sf_dir: str):
                     nprobe=4)
 
 
+def _q_embeddings_pca(sf_dir: str):
+    """Distributed exact PCA (covariance-aggregation) → 4-component
+    projection; deterministic but not SQL-expressible (rows-only)."""
+    from org_dharts_dia_tesseract_ray.functions.pca import (fit_pca,
+                                                            transform_pca)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    mean, comp = fit_pca(ds, n_components=4)
+    out = transform_pca(_read(sf_dir, "embeddings",
+                              ["vec_id", "embedding"]), mean, comp)
+
+    def widen(b: pa.Table) -> pa.Table:
+        import numpy as np
+        Y = np.stack([np.asarray(v) for v in b["pca"].to_pylist()])
+        cols = {"vec_id": b["vec_id"]}
+        for i in range(Y.shape[1]):
+            q = np.round(Y[:, i] * 10000.0) / 10000.0
+            cols[f"pc{i}"] = pa.array(q, pa.float64())
+        return pa.table(cols)
+
+    return out.map_batches(widen, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_winnow(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.fingerprint import apply_winnow
     ds = apply_winnow(_read(sf_dir, "documents", ["doc_id", "text"]))
@@ -555,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
+        "embeddings_pca": _q_embeddings_pca,
         # multimodal plumbing (deterministic synthetic media)
         "media_decode": _q_media_decode,
         "media_frame_sample": _q_media_frames,

@@ -428,3 +428,32 @@ def test_sliding_window_counts(ray_session):
     want = (con.sql(sliding_aggregate_sql() + " ORDER BY 1, 2").df())
     assert got["n_events"].tolist() == want["n_events"].tolist()
     assert got["window_start"].tolist() == want["window_start"].tolist()
+
+
+def test_pca_matches_numpy(ray_session, emb_table):
+    import numpy as np
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.pca import (fit_pca,
+                                                            transform_pca)
+    ds = ray.data.from_arrow(emb_table).repartition(4)
+    mean, comp = fit_pca(ds, n_components=4)
+    # reference: plain numpy PCA on the full matrix
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in emb_table["embedding"].to_pylist()])
+    m = X.mean(axis=0)
+    cov = np.cov(X.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    ref = v[:, ::-1][:, :4].T
+    assert np.allclose(mean, m, atol=1e-9)
+    for i in range(4):                  # same subspace up to sign
+        assert min(np.abs(ref[i] - comp[i]).max(),
+                   np.abs(ref[i] + comp[i]).max()) < 1e-8
+    out = transform_pca(ds, mean, comp).to_pandas().sort_values("vec_id")
+    Y = np.stack(out["pca"].values)
+    assert Y.shape == (len(X), 4)
+    # projection reproduces variance ordering: var(c0) >= var(c1) >= ...
+    vars_ = Y.var(axis=0)
+    assert all(vars_[i] >= vars_[i + 1] - 1e-9 for i in range(3))
+    # deterministic across reruns
+    mean2, comp2 = fit_pca(ds, n_components=4)
+    assert np.array_equal(comp, comp2)
