@@ -352,6 +352,12 @@ def _q_doc_frequency(sf_dir: str):
     return doc_frequency(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_tfidf_top_term(sf_dir: str):
+    from org_dharts_dia_tesseract_ray.functions.vocab import tfidf_top_term
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return tfidf_top_term(_read(sf_dir, "documents", ["doc_id", "text"]), n)
+
+
 def _q_skew_topk(sf_dir: str):
     return (_read(sf_dir, "documents", ["doc_id", "n_chars"])
             .sort(["n_chars", "doc_id"], descending=[True, False])
@@ -567,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified,
         "length_quantiles_by_lang": _q_length_quantiles,
         "doc_frequency": _q_doc_frequency,
+        "tfidf_top_term": _q_tfidf_top_term,
         "bigrams_top100": _q_bigrams_top100,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -612,6 +619,14 @@ def _sampling_sql(kind: str) -> str:
     return {"sample": deterministic_sample_sql,
             "split": split_sql,
             "stratified": stratified_sample_sql}[kind]()
+
+
+def _tfidf_sql() -> str:
+    from org_dharts_dia_tesseract_ray.functions.vocab import (
+        tfidf_top_term_sql)
+    n = pq.ParquetFile(
+        "/root/testdata/sf0.01/documents.parquet").metadata.num_rows
+    return tfidf_top_term_sql(n)
 
 
 def _stats_sql() -> str:
@@ -669,6 +684,7 @@ FROM documents GROUP BY lang""",
         "stratified_sample": _sampling_sql("stratified"),
         "length_quantiles_by_lang": _stats_sql(),
         "doc_frequency": _vocab_sql(0, 0),
+        "tfidf_top_term": _tfidf_sql(),
         "bigrams_top100": _vocab_sql(100, 2),
         "neardup_cosine": cosine_neardup_sql(COS_THRESHOLD),
         "ann_brute_topk": brute_topk_sql(NUM_ANN_QUERIES, ANN_K),

@@ -105,6 +105,95 @@ FROM (SELECT {id_col},
 GROUP BY token"""
 
 
+def tfidf_top_term(ds, n_corpus: int, *, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Per document: the term with the highest tf·idf (idf = ln(N/df)).
+
+    Composition showcase: (doc, token, tf) explode with per-batch Arrow
+    group_by → document-frequency table (small — the vocabulary) broadcast
+    via ``ray.put`` and joined map-side → vectorized scoring → per-doc
+    argmax.  Tie-break (tfidf desc, token asc) is deterministic; identical
+    scores arise only from identical (tf, df), where the token order
+    decides — mirrored in the SQL oracle's row_number.
+    """
+    import math
+
+    import ray
+
+    def tf_pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b[text_col]), WS_PATTERN)
+        flat = pc.list_flatten(toks)
+        doc = pc.take(b[id_col], pc.list_parent_indices(toks))
+        t = pa.table({id_col: doc, "token": flat})
+        g = t.group_by([id_col, "token"]).aggregate([("token", "count")])
+        return pa.table({id_col: g[id_col], "token": g["token"],
+                         "tf": g["token_count"].cast(pa.int64())})
+
+    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    df_rows = doc_frequency(ds, text_col=text_col, id_col=id_col) \
+        .select_columns(["token", "n_docs"]).take_all()
+    df_map = {r["token"]: r["n_docs"] for r in df_rows}
+    ref = ray.put(df_map)
+
+    class Score:
+        def __init__(self, r):
+            self.df = ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            toks = b["token"].to_pylist()
+            tf = b["tf"].to_pylist()
+            scores = [t * math.log(n_corpus / self.df[tok])
+                      for t, tok in zip(tf, toks)]
+            return b.append_column("tfidf", pa.array(scores, pa.float64()))
+
+    scored = pairs.map_batches(Score, fn_constructor_args=(ref,),
+                               batch_format="pyarrow", zero_copy_batch=True,
+                               concurrency=(1, 8))
+
+    def top1(g: pa.Table) -> pa.Table:
+        t = g.sort_by([("tfidf", "descending"), ("token", "ascending")])
+        t = t.slice(0, 1)
+        q = pc.divide(
+            pc.round(pc.multiply(t["tfidf"], pa.scalar(1e6)), 0,
+                     round_mode="half_towards_infinity"), pa.scalar(1e6))
+        return pa.table({id_col: t[id_col], "top_token": t["token"],
+                         "tfidf": q})
+
+    return scored.groupby(id_col).map_groups(top1, batch_format="pyarrow")
+
+
+def tfidf_top_term_sql(n_corpus: int, table: str = "documents",
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    return f"""
+WITH pairs AS (
+  SELECT {id_col}, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT {id_col},
+               unnest(regexp_split_to_array(trim({text_col}),
+                                            '{WS_PATTERN}')) AS token
+        FROM {table})
+  GROUP BY {id_col}, token
+),
+df AS (
+  SELECT token, CAST(count(DISTINCT {id_col}) AS BIGINT) AS n_docs
+  FROM pairs GROUP BY token
+),
+scored AS (
+  SELECT p.{id_col}, p.token,
+         p.tf * ln({n_corpus} / df.n_docs) AS tfidf,
+         row_number() OVER (PARTITION BY p.{id_col}
+                            ORDER BY p.tf * ln({n_corpus} / df.n_docs) DESC,
+                                     p.token ASC) AS rk
+  FROM pairs p JOIN df USING (token)
+)
+SELECT {id_col}, token AS top_token,
+       round(tfidf * 1000000.0) / 1000000.0 AS tfidf
+FROM scored WHERE rk = 1"""
+
+
 def vocab_topk_sql(k: int = 100, table: str = "documents",
                    text_col: str = "text", ngram: int = 1) -> str:
     if ngram == 1:
