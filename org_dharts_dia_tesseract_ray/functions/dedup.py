@@ -22,6 +22,8 @@ additions the north rule asks for, built Ray-Data-first:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -132,7 +134,9 @@ def _band_rows(batch: pa.Table, bands: int, rows: int,
     if isinstance(sig, pa.ChunkedArray):
         sig = sig.combine_chunks()
     n = len(sig)
-    flat = np.asarray(sig.values).reshape(n, bands * rows)
+    # flatten() honours slice offsets; .values would read the full child
+    # buffer and misalign on sliced batches
+    flat = np.asarray(sig.flatten()).reshape(n, bands * rows)
     with np.errstate(over="ignore"):
         # polynomial combine of each band's rows → single uint64 bucket key
         cube = flat.reshape(n, bands, rows)
@@ -160,7 +164,7 @@ def default_join_partitions() -> int:
     return max(2, min(32, cpus // 2))
 
 
-def _distinct_pairs(pairs_ds, num_partitions=None, keep: dict | None = None):
+def _distinct_pairs(pairs_ds, keep: dict | None = None):
     """Vectorized pair dedup: groupby + aggregate (NEVER per-group Python —
     candidate sets have millions of mostly-unique pairs at scale)."""
     from ray.data.aggregate import Count, Min
@@ -212,6 +216,8 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
     hash joins (Ray Data shuffle operators).  Returns (id_a, id_b, jaccard)
     with jaccard quantized to 4 dp.
     """
+    if num_perm % bands or bands <= 0:
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by bands ({bands})")
     rows = num_perm // bands
     if num_partitions is None:
         num_partitions = default_join_partitions()
@@ -238,7 +244,7 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
     cand = _self_join_pairs(band_ds, ["band", "band_hash"], [], id_col,
                             num_partitions)
     # a pair can surface from several bands → dedupe on (id_a, id_b)
-    cand = _distinct_pairs(cand, num_partitions)
+    cand = _distinct_pairs(cand)
 
     sh_a = shing.map_batches(
         lambda b: b.rename_columns(["id_a", "sh_a"]),
@@ -258,7 +264,7 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
         for i in range(b.num_rows):
             x = np.frombuffer(a_blobs[i], dtype=np.uint64)
             y = np.frombuffer(b_blobs[i], dtype=np.uint64)
-            js.append(round(jaccard(x, y) * 10000.0) / 10000.0)
+            js.append(math.floor(jaccard(x, y) * 10000.0 + 0.5) / 10000.0)
         out = pa.table({
             "id_a": b["id_a"], "id_b": b["id_b"],
             "jaccard": pa.array(js, pa.float64()),
@@ -307,7 +313,7 @@ def jaccard_pairs_brute(ds, *, threshold: float = 0.5, k: int = 8,
                     if jac >= threshold:
                         a_out.append(i_)
                         b_out.append(j_)
-                        js.append(round(jac * 10000.0) / 10000.0)
+                        js.append(math.floor(jac * 10000.0 + 0.5) / 10000.0)
             return pa.table({"id_a": pa.array(a_out, pa.int64()),
                              "id_b": pa.array(b_out, pa.int64()),
                              "jaccard": pa.array(js, pa.float64())})
@@ -332,13 +338,8 @@ def simhash_batch(batch: pa.Table, *, k: int = 4, text_col: str = "text",
         bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
         acc = (2 * bits - 1).sum(axis=0)
         out[i] = ((acc >= 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
-    t = pa.table({id_col: batch[id_col],
-                  "simhash": pa.array(out, pa.uint64())})
-    # 4 × 16-bit bands for LSH bucketing (Hamming ≤ 3 ⇒ one band equal)
-    for bi in range(4):
-        band = ((out >> np.uint64(16 * bi)) & np.uint64(0xFFFF)).astype(np.uint32)
-        t = t.append_column(f"band{bi}", pa.array(band, pa.uint32()))
-    return t
+    return pa.table({id_col: batch[id_col],
+                     "simhash": pa.array(out, pa.uint64())})
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -394,7 +395,7 @@ def simhash_pairs(ds, *, max_hamming: int = 3, k: int = 4,
 
     pairs = cand.map_batches(ham_filter, batch_format="pyarrow",
                              zero_copy_batch=True)
-    return _distinct_pairs(pairs, num_partitions, keep={"hamming": "hamming"})
+    return _distinct_pairs(pairs, keep={"hamming": "hamming"})
 
 
 # ---------------------------------------------------------------------------
@@ -490,6 +491,10 @@ def cosine_neardup(ds, *, threshold: float = 0.4, vec_col: str = "embedding",
             self.all_ids, self.Mn = ray.get(r)   # once per actor, zero-copy
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"id_a": pa.array([], pa.int64()),
+                                 "id_b": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
             bid = np.asarray(b[id_col], dtype=np.int64)
             V = np.stack([np.asarray(v, dtype=np.float64)
                           for v in b[vec_col].to_pylist()])
@@ -499,7 +504,8 @@ def cosine_neardup(ds, *, threshold: float = 0.4, vec_col: str = "embedding",
             # only emit (row_id < corpus_id) to halve output and kill dupes
             keep &= bid[:, None] < self.all_ids[None, :]
             ii, jj = np.nonzero(keep)
-            cos = np.round(C[ii, jj] * 10000.0) / 10000.0
+            sc = C[ii, jj] * 10000.0
+            cos = np.where(sc >= 0, np.floor(sc + 0.5), np.ceil(sc - 0.5)) / 10000.0
             return pa.table({
                 "id_a": pa.array(bid[ii], pa.int64()),
                 "id_b": pa.array(self.all_ids[jj], pa.int64()),

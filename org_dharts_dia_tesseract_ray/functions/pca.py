@@ -20,8 +20,10 @@ import pyarrow as pa
 
 
 def _stack(vec_col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64)
-                     for v in vec_col.to_pylist()])
+    vals = vec_col.to_pylist()
+    if not vals:
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vals])
 
 
 def fit_pca(ds, *, vec_col: str = "embedding", n_components: int = 8):
@@ -30,6 +32,11 @@ def fit_pca(ds, *, vec_col: str = "embedding", n_components: int = 8):
     components shape (n_components, d)."""
 
     def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.binary()),
+                             "sxx": pa.array([], pa.binary()),
+                             "d": pa.array([], pa.int64())})
         X = _stack(b[vec_col])
         d = X.shape[1]
         sx = X.sum(axis=0)
@@ -43,6 +50,8 @@ def fit_pca(ds, *, vec_col: str = "embedding", n_components: int = 8):
 
     rows = ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True).take_all()
+    if not rows:
+        raise ValueError("fit_pca: dataset is empty")
     d = rows[0]["d"]
     n = sum(r["n"] for r in rows)
     sx = np.zeros(d)
@@ -74,6 +83,10 @@ def transform_pca(ds, mean: np.ndarray, components: np.ndarray, *,
             self.mean, self.comp = ray.get(r)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({
+                    id_col: pa.array([], pa.int64()),
+                    "pca": pa.array([], pa.list_(pa.float64()))})
             X = _stack(b[vec_col]) - self.mean
             Y = X @ self.comp.T
             k = Y.shape[1]

@@ -23,8 +23,10 @@ import pyarrow as pa
 
 
 def _stack(vec_col) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float64)
-                     for v in vec_col.to_pylist()])
+    vals = vec_col.to_pylist()
+    if not vals:                        # zero-row batch (e.g. IVF pruning)
+        return np.zeros((0, 0), dtype=np.float64)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vals])
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
@@ -32,7 +34,10 @@ def _normalize(M: np.ndarray) -> np.ndarray:
 
 
 def _q4(x: np.ndarray) -> np.ndarray:
-    return np.round(x * 10000.0) / 10000.0
+    # half-away-from-zero to match DuckDB round() — np.round is
+    # half-to-even and diverges on exact halves; cosines can be negative
+    s = x * 10000.0
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)) / 10000.0
 
 
 # ---------------------------------------------------------------------------
@@ -58,6 +63,10 @@ def brute_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int = 5,
             self.qids, self.Qn = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:         # IVF pruning can empty a batch
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "neighbor_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
             ids = np.asarray(b[id_col], dtype=np.int64)
             V = _normalize(_stack(b[vec_col]))
             C = self.Qn @ V.T                       # (nq, nb)

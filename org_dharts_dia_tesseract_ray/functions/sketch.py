@@ -25,18 +25,24 @@ M = 1 << P                    # 4096 registers
 _ALPHA = 0.7213 / (1 + 1.079 / M)
 
 
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Exact leading-zero count for uint64 via binary search over bit masks
+    (float log2 mis-rounds values within an ulp of a power of two)."""
+    n = np.zeros(x.shape, dtype=np.int8)
+    x = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = x >> np.uint64(64 - shift) == 0
+        n = np.where(mask, n + shift, n)
+        x = np.where(mask, x << np.uint64(shift), x)
+    return np.where(x == 0, np.int8(64), n)
+
+
 def _ranks(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """register index + rank (leading-zero run of the remaining bits + 1)."""
     idx = (hashes >> np.uint64(64 - P)).astype(np.int64)
     rest = (hashes << np.uint64(P)).astype(np.uint64)
-    # rank = number of leading zeros in the 64-bit `rest` + 1, capped
-    with np.errstate(divide="ignore"):
-        bits = np.where(rest > 0,
-                        np.floor(np.log2(rest.astype(np.float64) + 0.5)),
-                        -1.0)
-    # first-1-bit position (1-indexed) = leading zeros + 1 = 64 - floor(log2)
-    rank = (64 - bits).astype(np.int8)
-    rank = np.where(rest > 0, rank, np.int8(64 - P + 1))
+    rank = np.where(rest > 0, _clz64(rest) + np.int8(1),
+                    np.int8(64 - P + 1)).astype(np.int8)
     return idx, rank
 
 

@@ -29,16 +29,20 @@ def token_counts_batch(batch: pa.Table, *, text_col: str = "text",
         pc.utf8_trim_whitespace(batch[text_col]), WS_PATTERN)
     flat = pc.list_flatten(toks)
     if ngram > 1:
-        # n-grams within documents: join adjacent tokens with a space,
-        # never crossing document boundaries
+        # n-grams within documents, fully vectorized: join n aligned slices
+        # element-wise, keep positions whose first and last token share a
+        # document (list_parent_indices) — no Python token loop
         parents = pc.list_parent_indices(toks)
-        toks_py = flat.to_pylist()
-        par_py = parents.to_pylist()
-        grams = []
-        for i in range(len(toks_py) - ngram + 1):
-            if par_py[i] == par_py[i + ngram - 1]:
-                grams.append(" ".join(toks_py[i:i + ngram]))
-        flat = pa.array(grams, pa.string())
+        n_flat = len(flat)
+        if n_flat < ngram:
+            flat = pa.array([], pa.string())
+        else:
+            width = n_flat - ngram + 1
+            parts = [flat.slice(i, width) for i in range(ngram)]
+            grams = pc.binary_join_element_wise(*parts, " ")
+            same_doc = pc.equal(parents.slice(0, width),
+                                parents.slice(ngram - 1, width))
+            flat = grams.filter(same_doc)
     t = pa.table({"token": flat})
     counted = t.group_by("token").aggregate([("token", "count")])
     return pa.table({

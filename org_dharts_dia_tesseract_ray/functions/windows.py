@@ -148,9 +148,12 @@ def sessionize(ds, *, gap_minutes: int = 30, user_col: str = "user_id",
         # per-session bounds via boundary indices (vectorized)
         bounds = np.flatnonzero(new_session)
         ends = np.r_[bounds[1:], len(ts)]
-        user = t[user_col][0].as_py()
+        user_arr = t[user_col].slice(0, 1)
+        if isinstance(user_arr, pa.ChunkedArray):
+            user_arr = user_arr.combine_chunks()
         return pa.table({
-            "user_id": pa.array([user] * len(bounds), pa.int64()),
+            user_col: pa.concat_arrays([user_arr] * len(bounds))
+            if len(bounds) != 1 else user_arr,
             "session_no": pa.array(session_no[bounds], pa.int64()),
             "n_events": pa.array(ends - bounds, pa.int64()),
             "session_start": pc.cast(pa.array(ts[bounds], pa.int64()),
