@@ -65,10 +65,10 @@ def _quantize(col, scale: float):
 
 
 def _query_matrix(sf_dir: str, nq: int = NUM_ANN_QUERIES):
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    ids = np.asarray(t["vec_id"])[:nq]
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, nq)
+    ids = np.asarray(t["vec_id"])
     Q = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in t["embedding"].to_pylist()[:nq]])
+                  for v in t["embedding"].to_pylist()])
     return ids, Q
 
 
@@ -380,17 +380,10 @@ def _q_events_latest(sf_dir: str):
         """Per-batch combiner (vectorized): keep each key's latest row
         before the shuffle — the partial-aggregation pattern; the reduce
         then sees ≤ one row per key per block."""
-        t = b.sort_by([("user_id", "ascending"), ("ts", "descending"),
-                       ("event_id", "descending")])
-        u = t["user_id"].combine_chunks() if isinstance(
-            t["user_id"], pa.ChunkedArray) else t["user_id"]
-        if len(u) <= 1:
-            return t
-        firsts = pc.not_equal(u.slice(1), u.slice(0, len(u) - 1))
-        mask = pa.concat_arrays([pa.array([True]), firsts.combine_chunks()
-                                 if isinstance(firsts, pa.ChunkedArray)
-                                 else firsts])
-        return t.filter(mask)
+        from org_dharts_dia_tesseract_ray.util import keep_first_per_key
+        return keep_first_per_key(b, "user_id",
+                                  [("ts", "descending"),
+                                   ("event_id", "descending")])
 
     def keep_latest(g: pa.Table) -> pa.Table:
         t = g.sort_by([("ts", "descending"), ("event_id", "descending")])
@@ -624,9 +617,9 @@ def _sampling_sql(kind: str) -> str:
 def _tfidf_sql() -> str:
     from org_dharts_dia_tesseract_ray.functions.vocab import (
         tfidf_top_term_sql)
-    n = pq.ParquetFile(
-        "/root/testdata/sf0.01/documents.parquet").metadata.num_rows
-    return tfidf_top_term_sql(n)
+    # N as a subquery — the oracle stays correct at ANY scale factor the
+    # harness runs against (the Ray side reads N from its own sf_dir)
+    return tfidf_top_term_sql("(SELECT count(*) FROM documents)")
 
 
 def _stats_sql() -> str:

@@ -69,11 +69,17 @@ def bench_corpus(sf_dir: str, replicate: int, *, files: int = 64) -> str:
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
         wrap_documents_batch)
 
+    import shutil
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     out_dir = f"/tmp/graft_bench_corpus/{tag}_x{replicate}"
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
+    if os.path.isdir(out_dir):
+        # partial write from a killed run — wipe, or re-writing would
+        # append a second copy of the corpus beside the leftovers
+        shutil.rmtree(out_dir)
 
     def amplify(batch: pa.Table) -> pa.Table:
         outs = []
@@ -138,9 +144,13 @@ def run_headline(sf_dir: str, replicate: int) -> dict:
 def realistic_corpus(n_rows: int, shards: int = 64) -> str:
     """Fixture-grade realistic corpus (all page families incl. oversized,
     dup urls, charsets, PDFs, broken payloads), materialized once."""
+    import shutil
+
     out_dir = f"/tmp/graft_bench_corpus/realistic_{n_rows}"
     done = os.path.join(out_dir, "_DONE")
     if not os.path.exists(done):
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)        # partial write from a killed run
         from org_dharts_dia_tesseract_ray.sources.gen_corpus import (
             write_corpus)
         write_corpus(out_dir, n_rows, seed=42, shards=shards)

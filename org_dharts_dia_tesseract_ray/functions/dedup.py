@@ -156,12 +156,8 @@ def default_join_partitions() -> int:
     """Join partition count sized to the cluster: hash-join aggregator
     actors occupy scheduling slots, so partitions ≥ CPUs starves the tasks
     feeding the join and the whole pipeline crawls (measured)."""
-    import ray
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(2, min(32, cpus // 2))
+    from ..util import cluster_cpus
+    return max(2, min(32, cluster_cpus() // 2))
 
 
 def _distinct_pairs(pairs_ds, keep: dict | None = None):

@@ -169,9 +169,11 @@ def tfidf_top_term(ds, n_corpus: int, *, text_col: str = "text",
     return scored.groupby(id_col).map_groups(top1, batch_format="pyarrow")
 
 
-def tfidf_top_term_sql(n_corpus: int, table: str = "documents",
+def tfidf_top_term_sql(n_corpus, table: str = "documents",
                        text_col: str = "text",
                        id_col: str = "doc_id") -> str:
+    """``n_corpus`` may be an int or a SQL expression string (e.g. a
+    ``(SELECT count(*) …)`` subquery so the oracle tracks the table)."""
     return f"""
 WITH pairs AS (
   SELECT {id_col}, token, CAST(count(*) AS BIGINT) AS tf

@@ -245,15 +245,11 @@ def default_concurrency(fraction: float = 1.0) -> tuple:
     (1, N) lets Ray scale the pool up under load and release workers when
     another stage needs them — per-stage static sizing starves neighbours.
     """
-    import ray
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
+    from ..util import cluster_cpus
     # cap below the CPU count: a pool holding every slot starves the read /
     # write tasks feeding it (measured: a fixed cpu-sized pool deadlocks to
     # a crawl on a single node)
-    return (1, max(1, int(cpus * fraction) - 2))
+    return (1, max(1, int(cluster_cpus() * fraction) - 2))
 
 
 #: per-worker-process extractor cache for task-mode execution: state is

@@ -22,12 +22,17 @@ import pyarrow.compute as pc
 from ..extract.types import PayloadKind
 
 
-def sniff_batch(batch: pa.Table) -> pa.Table:
-    """Append ``payload_bytes:int64`` and ``payload_kind:string``.
+def sniff_batch(batch: pa.Table, *, kinds: bool = False) -> pa.Table:
+    """Append ``payload_bytes:int64`` (and, with ``kinds=True``, an
+    advisory ``payload_kind:string``).
 
-    Vectorized: byte length via ``binary_length``; PDF magic via a binary
-    slice compare; NUL-byte junk via substring match; emptiness via
-    whitespace-stripped length.
+    The hot path needs only ``payload_bytes`` (skew routing); the extractor
+    re-sniffs authoritatively per row inside ``extract_one``, so computing
+    kinds here is optional triage — and its emptiness check is bounded to
+    the first 4 KiB slice (a >4 KiB all-whitespace payload is classified
+    html here; the extractor still yields "empty").  The earlier version
+    ran six full-payload ``replace_substring`` copies per batch to label a
+    column nothing on the hot path read.
     """
     html = batch["html"]
     if isinstance(html, pa.ChunkedArray):
@@ -35,36 +40,37 @@ def sniff_batch(batch: pa.Table) -> pa.Table:
     nbytes = pc.binary_length(html).cast(pa.int64())
     nbytes = pc.coalesce(nbytes, pa.scalar(0, pa.int64()))
 
-    # %PDF- magic in the first 8 bytes (lstrip cheaply via slice-8 search)
-    head = pc.binary_slice(html, 0, 8)
-    is_pdf = pc.match_substring(head.cast(pa.binary()), b"%PDF-")
-    # NUL byte anywhere ⇒ binary junk
-    has_nul = pc.match_substring(html, b"\x00")
-    # empty / whitespace-only — must be safe on non-UTF8 payloads, so strip
-    # ASCII whitespace bytes via binary replace rather than utf8_trim
-    no_ws = html
-    for ws in (b" ", b"\t", b"\r", b"\n", b"\x0b", b"\x0c"):
-        no_ws = pc.replace_substring(no_ws, ws, b"")
-    is_empty = pc.or_kleene(pc.is_null(html),
-                            pc.equal(pc.binary_length(no_ws), 0))
-
-    kind = pc.if_else(
-        is_empty, pa.scalar(PayloadKind.EMPTY),
-        pc.if_else(
-            is_pdf, pa.scalar(PayloadKind.PDF),
-            pc.if_else(has_nul, pa.scalar(PayloadKind.ERROR),
-                       pa.scalar(PayloadKind.HTML)),
-        ),
-    )
     out = batch
-    for name, col in (("payload_bytes", nbytes), ("payload_kind", kind)):
+    cols = [("payload_bytes", nbytes)]
+    if kinds:
+        # %PDF- magic in the first 8 bytes
+        head = pc.binary_slice(html, 0, 8)
+        is_pdf = pc.match_substring(head.cast(pa.binary()), b"%PDF-")
+        has_nul = pc.match_substring(html, b"\x00")
+        # emptiness on a bounded head slice (binary-safe, no utf8 assumption)
+        probe = pc.binary_slice(html, 0, 4096)
+        for ws in (b" ", b"\t", b"\r", b"\n", b"\x0b", b"\x0c"):
+            probe = pc.replace_substring(probe, ws, b"")
+        is_empty = pc.or_kleene(pc.is_null(html),
+                                pc.equal(pc.binary_length(probe), 0))
+        kind = pc.if_else(
+            is_empty, pa.scalar(PayloadKind.EMPTY),
+            pc.if_else(
+                is_pdf, pa.scalar(PayloadKind.PDF),
+                pc.if_else(has_nul, pa.scalar(PayloadKind.ERROR),
+                           pa.scalar(PayloadKind.HTML)),
+            ),
+        )
+        cols.append(("payload_kind", kind))
+    for name, col in cols:
         if name in out.column_names:
             out = out.drop_columns([name])
         out = out.append_column(name, col)
     return out
 
 
-def apply_sniff(ds, **kwargs):
-    """Dataset → Dataset with payload_bytes / payload_kind columns."""
-    return ds.map_batches(sniff_batch, batch_format="pyarrow",
+def apply_sniff(ds, *, kinds: bool = False, **kwargs):
+    """Dataset → Dataset with payload_bytes (+ optional payload_kind)."""
+    return ds.map_batches(lambda b: sniff_batch(b, kinds=kinds),
+                          batch_format="pyarrow",
                           zero_copy_batch=True, **kwargs)

@@ -30,7 +30,10 @@ def _fingerprint(files: list[str], cfg_repr: str) -> str:
     h = hashlib.sha256()
     for f in sorted(files):
         st = os.stat(f)
-        h.update(f"{os.path.basename(f)}:{st.st_size}".encode())
+        # mtime_ns included: a same-size in-place rewrite must invalidate
+        # the partition, or resume would serve stale output
+        h.update(f"{os.path.basename(f)}:{st.st_size}:{st.st_mtime_ns}"
+                 .encode())
     h.update(cfg_repr.encode())
     return h.hexdigest()[:32]
 

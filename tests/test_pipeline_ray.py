@@ -161,3 +161,27 @@ def test_dedup_strategies_identical(ray_session):
     # url 'a': max ts wins, tie between newer-x/newer-y broken by digest;
     # url 'b': full (ts,len) tie broken by digest — deterministic either way
     assert a["html"].tolist()[0] in (b"newer-x", b"newer-y")
+
+
+def test_dedup_join_collapses_identical_copies(ray_session):
+    """Bit-identical (url, ts, html) rows in DIFFERENT blocks must collapse
+    to one row under the join strategy (regression: both used to survive
+    the max-rank filter)."""
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.stages.dedup import dedup_pages
+
+    ts = pa.array([100, 100, 100], pa.timestamp("us", tz="UTC"))
+    t = pa.table({
+        "url": ["a", "a", "b"],
+        "warc_ts": ts,
+        "html": pa.array([b"same-bytes", b"same-bytes", b"x"], pa.binary()),
+        "text": pa.array([None] * 3, pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+    })
+    # repartition(3) puts the identical copies in separate blocks, so the
+    # per-batch combiner cannot collapse them before the shuffle
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = dedup_pages(ds, strategy="join", num_partitions=2).to_pandas()
+    assert sorted(out["url"].tolist()) == ["a", "b"]
