@@ -28,8 +28,13 @@ from .html_extract import extract_html, extract_plain_text
 from .pdf_extract import extract_pdf
 from .types import ExtractResult, PayloadKind
 
-_MARKUP_RE = re.compile(r"<\s*(?:!doctype|html|head|body|div|p|h[1-6]|a|span|br"
+# no whitespace after '<' — HTML never allows it, and permitting it
+# misrouted plain text like "x < a and y > b" into the HTML branch
+_MARKUP_RE = re.compile(r"<(?:!doctype|html|head|body|div|p|h[1-6]|a|span|br"
                         r"|table|ul|ol|li|article|section|main|nav|title|meta)\b", re.I)
+
+#: BOMs that legitimately put NUL bytes in text payloads
+_TEXT_BOMS = (b"\xff\xfe", b"\xfe\xff", b"\x00\x00\xfe\xff", b"\xef\xbb\xbf")
 
 DEFAULT_CONFIG = ExtractConfig()
 
@@ -40,6 +45,9 @@ def sniff_kind(payload: bytes | None) -> str:
         return PayloadKind.EMPTY
     if payload.lstrip()[:5] == b"%PDF-":
         return PayloadKind.PDF
+    if payload.startswith(_TEXT_BOMS):
+        # UTF-16/32 text carries NUL bytes by design — route to decode
+        return PayloadKind.HTML
     if b"\x00" in payload:
         return PayloadKind.ERROR
     return PayloadKind.HTML  # html-or-text, disambiguated after decode

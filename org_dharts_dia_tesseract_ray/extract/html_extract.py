@@ -62,7 +62,11 @@ _FLUSH_TAGS = frozenset({
 _HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
 _WS_RE = re.compile(r"\s+")   # \s matches NBSP etc. on str in Python 3
-_WORD_CHARS_RE = re.compile(r"\w", re.UNICODE)
+
+#: skip tags that never nest in themselves — a second opening implies the
+#: first closed (browsers auto-close; an unclosed <option> must not poison
+#: the skip state and silently swallow the rest of the document)
+_NON_NESTING_SKIP = frozenset({"option", "head", "title", "select"})
 
 # ---------------------------------------------------------------------------
 # stopword tables (built-in, tiny) — used by the confidence score's
@@ -128,8 +132,10 @@ class _SegmentingParser(HTMLParser):
         # open-paragraph state
         self._items: list[tuple] = []       # ("txt", s, in_link) | ("br",)
         self._inline_tags = 0
-        # nesting counters
-        self._skip = 0
+        # nesting state: skip tracked as a STACK of open skip tags so that
+        # malformed nesting (unclosed <option>, omitted </head>) can apply
+        # implied-close rules instead of poisoning a counter forever
+        self._skip_stack: list[str] = []
         self._boiler = 0
         self._link = 0
         self._pre = 0
@@ -158,7 +164,11 @@ class _SegmentingParser(HTMLParser):
 
     # -- paragraph buffer ---------------------------------------------------
 
-    def _flush(self, tag_hint: str = "") -> None:
+    def _flush(self) -> None:
+        # a block boundary implicitly closes inline context: browsers
+        # auto-close an unclosed <a> here, and a stale _link>0 would count
+        # every later paragraph as 100% link text (→ all NOISE)
+        self._link = 0
         if not self._items:
             self._inline_tags = 0
             return
@@ -198,11 +208,6 @@ class _SegmentingParser(HTMLParser):
         self._items = []
         self._inline_tags = 0
 
-    def _open_para_context(self, tag: str) -> None:
-        # snapshot of context taken when text first arrives; cheap approach:
-        # keep rolling values, consulted at flush time
-        pass
-
     # rolling context consulted at flush time
     @property
     def _open_group(self) -> tuple | None:
@@ -233,12 +238,29 @@ class _SegmentingParser(HTMLParser):
 
     # -- HTMLParser hooks ---------------------------------------------------
 
+    @property
+    def _skip(self) -> int:
+        return len(self._skip_stack)
+
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
-            self._skip += 1
+            # implied close: non-nesting skip tags close themselves when a
+            # sibling opens (<option>A<option>B), and <head> closes when
+            # body content starts
+            if tag in _NON_NESTING_SKIP and self._skip_stack \
+                    and self._skip_stack[-1] == tag:
+                self._skip_stack.pop()
+            self._skip_stack.append(tag)
             return
         if self._skip:
-            return
+            # HTML5 allows omitting </head>: any structural/flowing tag
+            # implies it closed (otherwise the whole page is swallowed)
+            if "head" in self._skip_stack and tag in _FLUSH_TAGS:
+                self._skip_stack.remove("head")
+                if self._skip:
+                    return
+            else:
+                return
         if tag == "br":
             self._items.append(("br",))
             return
@@ -255,7 +277,7 @@ class _SegmentingParser(HTMLParser):
         if self.selector_tag and tag == self.selector_tag:
             self._selector += 1
         if tag in _FLUSH_TAGS:
-            self._flush(tag)
+            self._flush()
             if tag == "pre":
                 self._pre += 1
             role = ""
@@ -288,8 +310,12 @@ class _SegmentingParser(HTMLParser):
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS:
-            if self._skip:
-                self._skip -= 1
+            # pop the nearest matching open skip tag (tolerates interleaved
+            # malformed closes); anything above it was implicitly closed
+            for i in range(len(self._skip_stack) - 1, -1, -1):
+                if self._skip_stack[i] == tag:
+                    del self._skip_stack[i:]
+                    break
             return
         if self._skip:
             return
@@ -298,7 +324,7 @@ class _SegmentingParser(HTMLParser):
         if self._pre and tag == "pre":
             self._pre -= 1
         if tag in _FLUSH_TAGS:
-            self._flush(tag)
+            self._flush()
             if tag in _BOILER_TAGS and self._boiler:
                 # pop matching boiler container if present
                 for i in range(len(self._group_stack) - 1, -1, -1):
@@ -434,15 +460,22 @@ class _Block:
     paras: list[_Para]
 
 
-def _apply_charfilter(line: str, cfg: ExtractConfig) -> str:
-    if cfg.char_blacklist:
-        line = line.translate({ord(c): None for c in cfg.char_blacklist})
-    if cfg.char_whitelist:
-        keep = set(cfg.char_whitelist) | {" "}
-        line = "".join(c for c in line if c in keep)
-    if cfg.char_blacklist or cfg.char_whitelist:
-        line = _WS_RE.sub(" ", line).strip()
-    return line
+def _make_charfilter(cfg: ExtractConfig):
+    """Build the char-filter closure ONCE per document — constructing the
+    translate table / keep-set per line put O(filter length) dict builds in
+    the hottest loop."""
+    table = ({ord(c): None for c in cfg.char_blacklist}
+             if cfg.char_blacklist else None)
+    keep = (set(cfg.char_whitelist) | {" "}) if cfg.char_whitelist else None
+
+    def apply(line: str) -> str:
+        if table is not None:
+            line = line.translate(table)
+        if keep is not None:
+            line = "".join(c for c in line if c in keep)
+        return _WS_RE.sub(" ", line).strip()
+
+    return apply
 
 
 def segment_html(text: str, cfg: ExtractConfig) -> list[_Block]:
@@ -459,8 +492,9 @@ def segment_html(text: str, cfg: ExtractConfig) -> list[_Block]:
     paras = [p for p in parser.paras if p.in_selector]
 
     if cfg.char_whitelist or cfg.char_blacklist:
+        _filt = _make_charfilter(cfg)
         for p in paras:
-            p.lines = [ln for ln in (_apply_charfilter(l, cfg) for l in p.lines) if ln]
+            p.lines = [ln for ln in (_filt(l) for l in p.lines) if ln]
             p.chars = sum(len(l) for l in p.lines)
         paras = [p for p in paras if p.lines or not p.is_text]
 
@@ -469,11 +503,9 @@ def segment_html(text: str, cfg: ExtractConfig) -> list[_Block]:
         return [_Block(BlockType.FLOWING_TEXT, kept)] if kept else []
 
     blocks: list[_Block] = []
-    prev_key = object()
     for p in paras:
         btype = _classify(p, cfg)
         if btype == BlockType.NOISE:
-            prev_key = object()  # noise breaks nothing... see note below
             continue
         key = _merge_key(p, btype)
         # connected-region merging: dropped noise BETWEEN two compatible

@@ -45,9 +45,11 @@ def _unescape(raw: bytes) -> bytes:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal escape \ddd (1-3 digits)
+            if nxt in b"01234567":  # octal escape \ddd (1-3 OCTAL digits —
+                # \8 or \9 are not octal; the PDF spec says drop the
+                # backslash, and int(...,8) would raise and error the doc)
                 j = i + 1
-                while j < len(raw) and j < i + 4 and raw[j:j + 1].isdigit():
+                while j < len(raw) and j < i + 4 and raw[j] in b"01234567":
                     j += 1
                 out.append(int(raw[i + 1:j], 8) & 0xFF)
                 i = j
@@ -72,7 +74,10 @@ def extract_pdf(payload: bytes, lang: str | None, cfg: ExtractConfig) -> Extract
             sdict, data = m.group(1), m.group(2)
             if b"FlateDecode" in sdict:
                 try:
-                    data = zlib.decompress(data.strip(b"\r\n"))
+                    # NO strip: trailing 0x0a/0x0d may be adler32 checksum
+                    # bytes of the stream itself; zlib tolerates trailing
+                    # garbage but not missing checksum bytes
+                    data = zlib.decompress(data)
                 except zlib.error:
                     continue
             for bt in _BT_RE.finditer(data):

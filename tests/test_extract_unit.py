@@ -226,3 +226,66 @@ def test_tiny_golden_matches_live_extractor(fixtures_dir):
     for row in pages.to_pylist():
         res = extract_one(row["html"], row["lang"], row["text"])
         assert (res.text, res.payload_kind) in gold_by_url[row["url"]]
+
+
+# ---------------------------------------------------------------------------
+# malformed-markup robustness (regressions from round-1 code review)
+
+
+def test_unclosed_option_does_not_swallow_document():
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+    r = extract_one(b"<p>before</p><select><option>A<option>B</select>"
+                    b"<p>real article content here</p>")
+    assert "before" in r.text and "real article content here" in r.text
+    assert "A" not in r.text.split()      # option contents stay dropped
+
+
+def test_omitted_head_close_is_implied():
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+    r = extract_one(b"<head><title>t</title><body><p>Hello world</p>")
+    assert r.text == "Hello world"
+
+
+def test_unclosed_anchor_resets_at_block_boundary():
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+    r = extract_one(b'<p><a href="/x">home</p>'
+                    b"<p>long normal prose paragraph with many words</p>")
+    assert "long normal prose paragraph" in r.text
+
+
+def test_utf16_payload_decodes():
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+    payload = "<html><body><p>Hello unicode</p></body></html>".encode("utf-16")
+    r = extract_one(payload)
+    assert r.payload_kind == "html" and r.text == "Hello unicode"
+    assert r.charset.startswith("utf-16")
+
+
+def test_utf8_bom_stripped():
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+    r = extract_one(b"\xef\xbb\xbf<html><body><p>Hello bom</p></body></html>")
+    assert r.text == "Hello bom"          # no spurious U+FEFF paragraph
+
+
+def test_plain_text_with_angle_comparisons_stays_text():
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+    r = extract_one(b"Suppose x < a and y > b.\n\nSecond paragraph here.")
+    assert r.payload_kind == "text"
+    assert r.n_blocks == 2                # blank-line split preserved
+
+
+def test_charset_not_sniffed_from_script_urls():
+    from org_dharts_dia_tesseract_ray.extract.charset import (
+        sniff_declared_charset)
+    page = (b'<html><head><script src="a.js?charset=latin-1"></script>'
+            b'<meta charset="utf-8"></head><body>x</body></html>')
+    assert sniff_declared_charset(page) == "utf-8"
+
+
+def test_pdf_bad_octal_escape_degrades_gracefully():
+    from org_dharts_dia_tesseract_ray.config import ExtractConfig
+    from org_dharts_dia_tesseract_ray.extract.pdf_extract import extract_pdf
+    pdf = (b"%PDF-1.4\n<< /Length 40 >>\nstream\n"
+           b"BT (Good text here) Tj (bad\\8esc) Tj ET\nendstream\n%%EOF")
+    r = extract_pdf(pdf, "en", ExtractConfig())
+    assert r.payload_kind == "pdf" and "Good text here" in r.text
