@@ -374,25 +374,36 @@ def _q_doc_stats_by_lang(sf_dir: str):
 
 
 def _q_events_latest(sf_dir: str):
+    """Latest event per user — partial-combine then the hash-partitioned
+    vectorized reduce (NOT per-user map_groups: one Python call per
+    partition, each handling all its users in one sorted pass)."""
+    from org_dharts_dia_tesseract_ray.util import (default_num_partitions,
+                                                   keep_first_per_key,
+                                                   partition_ids)
     ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    order = [("ts", "descending"), ("event_id", "descending")]
 
     def combine(b: pa.Table) -> pa.Table:
         """Per-batch combiner (vectorized): keep each key's latest row
         before the shuffle — the partial-aggregation pattern; the reduce
         then sees ≤ one row per key per block."""
-        from org_dharts_dia_tesseract_ray.util import keep_first_per_key
-        return keep_first_per_key(b, "user_id",
-                                  [("ts", "descending"),
-                                   ("event_id", "descending")])
+        return keep_first_per_key(b, "user_id", order)
 
-    def keep_latest(g: pa.Table) -> pa.Table:
-        t = g.sort_by([("ts", "descending"), ("event_id", "descending")])
-        return t.slice(0, 1)
+    P = default_num_partitions()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column("__part", partition_ids(b["user_id"], P))
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        return keep_first_per_key(g.drop_columns(["__part"]),
+                                  "user_id", order)
 
     pre = ds.map_batches(combine, batch_format="pyarrow",
                          zero_copy_batch=True)
-    return pre.groupby("user_id").map_groups(keep_latest,
-                                             batch_format="pyarrow")
+    return (pre.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .groupby("__part").map_groups(reduce_part,
+                                          batch_format="pyarrow"))
 
 
 def _q_events_rollup(sf_dir: str):
@@ -482,6 +493,31 @@ def _q_events_sliding(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.windows import (
         sliding_aggregate)
     return sliding_aggregate(_read(sf_dir, "events", ["ts", "event_type"]))
+
+
+def _q_lineitem_sessions(sf_dir: str):
+    """High-cardinality sessionization: ~147k distinct l_orderkey at sf0.1
+    (~15k at the sf0.01 oracle scale) — the query that would time out on a
+    per-key map_groups reducer and runs as P vectorized partition passes."""
+    from org_dharts_dia_tesseract_ray.functions.windows import sessionize
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_shipdate"])
+    return sessionize(li, gap_minutes=30 * 24 * 60, user_col="l_orderkey",
+                      ts_col="l_shipdate", id_col="l_linenumber")
+
+
+def _q_lineitem_asof_lastship(sf_dir: str):
+    """High-cardinality as-of join (~147k keys at sf0.1): each lineitem
+    picks up the line number of the latest shipment in the same order
+    at-or-before its own ship date (self as-of)."""
+    from org_dharts_dia_tesseract_ray.functions.joins import asof_join
+    left = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_shipdate"])
+    right = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_linenumber", "l_shipdate"])
+    return asof_join(left, right, key="l_orderkey", left_ts="l_shipdate",
+                     right_ts="l_shipdate", value_col="l_linenumber",
+                     out_col="last_ship_line")
 
 
 def _q_approx_distinct_tokens(sf_dir: str):
@@ -591,7 +627,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": _q_events_sliding,
         "approx_distinct_tokens": _q_approx_distinct_tokens,
         "events_sessions": _q_events_sessions,
+        "lineitem_sessions": _q_lineitem_sessions,
         "events_asof_order": _q_events_asof_order,
+        "lineitem_asof_lastship": _q_lineitem_asof_lastship,
         "events_enrich_customer": _q_events_enrich_customer,
         "order_shipments_90d": _q_order_shipments_90d,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -604,6 +642,13 @@ def _windows_sql(kind: str) -> str:
     return {"tumbling": tumbling_aggregate_sql,
             "sliding": sliding_aggregate_sql,
             "sessions": sessionize_sql}[kind]()
+
+
+def _lineitem_sessions_sql() -> str:
+    from org_dharts_dia_tesseract_ray.functions.windows import sessionize_sql
+    return sessionize_sql(gap_minutes=30 * 24 * 60, table="lineitem",
+                          user_col="l_orderkey", ts_col="l_shipdate",
+                          id_col="l_linenumber")
 
 
 def _sampling_sql(kind: str) -> str:
@@ -702,6 +747,16 @@ FROM events GROUP BY event_type""",
         "events_windowed": _windows_sql("tumbling"),
         "events_sliding_window": _windows_sql("sliding"),
         "events_sessions": _windows_sql("sessions"),
+        "lineitem_sessions": _lineitem_sessions_sql(),
+        "lineitem_asof_lastship": """
+WITH r AS (SELECT l_orderkey, l_shipdate,
+                  max(l_linenumber) AS last_ship_line
+           FROM lineitem GROUP BY 1, 2)
+SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+       r.last_ship_line
+FROM lineitem l
+ASOF LEFT JOIN r ON l.l_orderkey = r.l_orderkey
+                AND l.l_shipdate >= r.l_shipdate""",
         "events_asof_order": """
 WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
                   max(o_orderkey) AS o_orderkey

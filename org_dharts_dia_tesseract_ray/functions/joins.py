@@ -1,25 +1,31 @@
-"""Distributed as-of join (time-series lookup join).
+"""Distributed as-of / range joins (time-series lookup joins).
 
-Ray Data has no native as-of join; this is the custom-operator composition
-the engine provides (SURVEY.md §2.5 "Joins: absent in reference"): for each
-left row, the latest right row with ``right.ts ≤ left.ts`` within the same
-key.
+Ray Data has no native as-of join; these are the custom-operator
+compositions the engine provides (SURVEY.md §2.5 "Joins: absent in
+reference"): for each left row, the latest right row with
+``right.ts ≤ left.ts`` within the same key (as-of), and per right interval
+the count of left rows inside it (range-count).
 
-Plan shape — co-partition + per-key vectorized merge:
+Plan shape — hash-partition + per-partition vectorized merge:
 
 1. both sides are slimmed, schema-aligned and tagged, then hash-shuffled
-   ONCE together by the join key (``groupby(key)``) — the union rides one
-   shuffle, not two;
-2. each key group is merged with ``np.searchsorted`` (sorted right-side
-   timestamps against left timestamps) — O((l+r) log r) numpy per key, no
-   per-row Python;
+   ONCE together by ``__part = hash(key) % P`` (``groupby(__part)``) — the
+   union rides one shuffle, not two;
+2. each PARTITION (not each key!) is merged by a single numpy pass over all
+   of its keys at once — sort by (key, ts) then boundary-aware
+   forward-fill / rank-composite searchsorted.  Python call count = P,
+   independent of key cardinality: the per-key ``map_groups`` reducer this
+   replaces made one Python call per key, pathological for the
+   high-cardinality keys (users, urls, order ids) a 100 TB corpus hits
+   first;
 3. right-side ties on (key, ts) are pre-reduced to one row (max of the
    value column) so the result is deterministic — mirrored in the DuckDB
    ``ASOF JOIN`` oracle.
 
-Partitioning assumption: one key's rows fit one group (true for per-user /
-per-host streams; salt the key if a single entity's history exceeds a
-worker).
+Partitioning assumption: one PARTITION's rows fit one worker (tune
+``num_partitions``); a single key no longer needs to dominate a Python
+call, only to fit inside its partition together with its co-partitioned
+peers.
 """
 
 from __future__ import annotations
@@ -27,6 +33,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from ..util import default_num_partitions, partition_ids
 
 
 def broadcast_lookup(ds, dim_ds, *, key: str, dim_key: str,
@@ -66,74 +74,120 @@ def broadcast_lookup(ds, dim_ds, *, key: str, dim_key: str,
                           concurrency=concurrency)
 
 
+def _np_i64(col) -> np.ndarray:
+    return np.asarray(pc.cast(col, pa.int64()))
+
+
+def _key_change_mask(keys: pa.Array, n: int) -> np.ndarray:
+    """Boolean mask: row i starts a new key run (sorted input)."""
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        change[1:] = np.asarray(
+            pc.not_equal(keys.slice(1), keys.slice(0, n - 1)))
+    return change
+
+
 def range_join_count(left_ds, right_ds, *, key: str, left_ts: str,
                      right_start: str, right_end: str,
-                     out_col: str = "n_in_range"):
+                     out_col: str = "n_in_range",
+                     num_partitions: int | None = None):
     """Range-join aggregate: for each right interval, how many left rows
     fall inside ``[start, end]`` within the same key.
 
-    Co-partition by key (one shuffle via the same union trick as
-    :func:`asof_join`); per key, counts come from two ``searchsorted``
-    passes over the sorted left timestamps — O((l+r) log l) per key, exact
-    for arbitrarily overlapping intervals (each interval queries the sorted
-    array independently; no pair materialization).
+    Per-partition merge, vectorized across ALL keys at once via a
+    rank-composite: keys are dictionary-encoded to dense codes, every
+    timestamp (left points + interval endpoints) is replaced by its dense
+    rank in the partition's shared value set, and ``code * K + rank``
+    (K = rank-space size) makes ONE sorted int64 array searchable for every
+    interval of every key with two ``np.searchsorted`` calls.  Exact for
+    arbitrarily overlapping intervals; no pair materialization.  Overflow
+    bound: codes × K < 2^63 holds for any partition under ~10^9 rows.
     """
-    left_slim = left_ds.map_batches(
-        lambda b: pa.table({key: b[key], "__lts": b[left_ts],
-                            "__rs": pa.nulls(b.num_rows, b[left_ts].type),
-                            "__re": pa.nulls(b.num_rows, b[left_ts].type),
-                            "__side": pa.array([0] * b.num_rows, pa.int8())}),
-        batch_format="pyarrow", zero_copy_batch=True)
+    P = num_partitions or default_num_partitions()
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        return pa.table({key: b[key], "__lts": b[left_ts],
+                         "__rs": pa.nulls(b.num_rows, b[left_ts].type),
+                         "__re": pa.nulls(b.num_rows, b[left_ts].type),
+                         "__side": pa.array([0] * b.num_rows, pa.int8()),
+                         "__part": partition_ids(b[key], P)})
 
     def tag_right(b: pa.Table) -> pa.Table:
         n = b.num_rows
         return pa.table({key: b[key],
                          "__lts": pa.nulls(n, b[right_start].type),
                          "__rs": b[right_start], "__re": b[right_end],
-                         "__side": pa.array([1] * n, pa.int8())})
+                         "__side": pa.array([1] * n, pa.int8()),
+                         "__part": partition_ids(b[key], P)})
 
-    right_tagged = right_ds.map_batches(tag_right, batch_format="pyarrow",
-                                        zero_copy_batch=True)
-    unioned = left_slim.union(right_tagged)
+    unioned = (left_ds.map_batches(tag_left, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+               .union(right_ds.map_batches(tag_right,
+                                           batch_format="pyarrow",
+                                           zero_copy_batch=True)))
 
-    def merge(group: pa.Table) -> pa.Table:
-        side = np.asarray(group["__side"])
-        lt = group.filter(pa.array(side == 0))
-        rt = group.filter(pa.array(side == 1))
+    def merge(part: pa.Table) -> pa.Table:
+        side = np.asarray(part["__side"])
+        lt = part.filter(pa.array(side == 0))
+        rt = part.filter(pa.array(side == 1))
         if rt.num_rows == 0:
-            return pa.table({key: pa.array([], group[key].type),
-                             "range_start": pa.array([], group["__rs"].type),
-                             "range_end": pa.array([], group["__re"].type),
+            return pa.table({key: pa.array([], part[key].type),
+                             "range_start": pa.array([], part["__rs"].type),
+                             "range_end": pa.array([], part["__re"].type),
                              out_col: pa.array([], pa.int64())})
-        lts = np.sort(np.asarray(pc.cast(lt["__lts"], pa.int64())))
-        rs = np.asarray(pc.cast(rt["__rs"], pa.int64()))
-        re_ = np.asarray(pc.cast(rt["__re"], pa.int64()))
-        lo = np.searchsorted(lts, rs, side="left")
-        hi = np.searchsorted(lts, re_, side="right")
+        # dense key codes consistent across both sides: encode ONE array
+        keys_all = part[key]
+        if isinstance(keys_all, pa.ChunkedArray):
+            keys_all = keys_all.combine_chunks()
+        codes_all = np.asarray(keys_all.dictionary_encode().indices,
+                               dtype=np.int64)
+        codes_l = codes_all[side == 0]
+        codes_r = codes_all[side == 1]
+        lts = _np_i64(lt["__lts"])
+        rs = _np_i64(rt["__rs"])
+        re_ = _np_i64(rt["__re"])
+        # shared dense rank space over every timestamp in the partition
+        uniq = np.unique(np.concatenate([lts, rs, re_]))
+        K = np.int64(len(uniq) + 1)
+        r_lts = np.searchsorted(uniq, lts)
+        comp_l = np.sort(codes_l * K + r_lts)
+        lo = np.searchsorted(comp_l, codes_r * K + np.searchsorted(uniq, rs),
+                             side="left")
+        hi = np.searchsorted(comp_l, codes_r * K + np.searchsorted(uniq, re_),
+                             side="right")
         return pa.table({
             key: rt[key],
             "range_start": rt["__rs"],
             "range_end": rt["__re"],
-            out_col: pa.array(np.maximum(hi - lo, 0), pa.int64()),
+            out_col: pa.array(hi - lo, pa.int64()),
         })
 
-    return unioned.groupby(key).map_groups(merge, batch_format="pyarrow")
+    return unioned.groupby("__part").map_groups(merge,
+                                                batch_format="pyarrow")
 
 
 def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
-              value_col: str, out_col: str | None = None):
+              value_col: str, out_col: str | None = None,
+              num_partitions: int | None = None):
     """Left as-of join: every left row, plus ``out_col`` = value of the
-    latest right row at-or-before its timestamp (null if none)."""
+    latest right row at-or-before its timestamp (null if none).
+
+    Per-partition merge, vectorized across ALL keys at once: sort the
+    unioned partition by (key, ts, right-before-left-at-ties), then one
+    ``np.maximum.accumulate`` forward-fill carries the index of the last
+    right row to every row; a key-boundary reset mask invalidates fills
+    that crossed into a different key.  No per-key Python.
+    """
     from ray.data.aggregate import Max
 
+    P = num_partitions or default_num_partitions()
     out_col = out_col or f"asof_{value_col}"
     left_schema = left_ds.schema()
     left_names = list(left_schema.names)
     left_types = {n: t for n, t in zip(left_schema.names, left_schema.types)}
-    rts_type = dict(zip(right_ds.schema().names,
-                        right_ds.schema().types))[right_ts]
-    rval_type = dict(zip(right_ds.schema().names,
-                         right_ds.schema().types))[value_col]
+    rtypes = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    rts_type = rtypes[right_ts]
+    rval_type = rtypes[value_col]
 
     # pre-reduce right ties deterministically: one row per (key, ts)
     right_slim = (right_ds
@@ -150,6 +204,7 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
         cols["__rts"] = pa.nulls(b.num_rows, rts_type)
         cols["__rval"] = pa.nulls(b.num_rows, rval_type)
         cols["__side"] = pa.array([0] * b.num_rows, pa.int8())
+        cols["__part"] = partition_ids(b[key], P)
         return pa.table(cols)
 
     def tag_right(b: pa.Table) -> pa.Table:
@@ -162,38 +217,53 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
         cols["__rts"] = b[right_ts]
         cols["__rval"] = b[value_col]
         cols["__side"] = pa.array([1] * b.num_rows, pa.int8())
+        cols["__part"] = partition_ids(b[key], P)
         return pa.table(cols)
 
-    left_tagged = left_ds.map_batches(tag_left, batch_format="pyarrow",
-                                      zero_copy_batch=True)
-    right_tagged = right_slim.map_batches(tag_right, batch_format="pyarrow",
-                                          zero_copy_batch=True)
-    unioned = left_tagged.union(right_tagged)
+    unioned = (left_ds.map_batches(tag_left, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+               .union(right_slim.map_batches(tag_right,
+                                             batch_format="pyarrow",
+                                             zero_copy_batch=True)))
 
-    def merge(group: pa.Table) -> pa.Table:
-        side = np.asarray(group["__side"])
-        lsel = pa.array(side == 0)
-        lt = group.filter(lsel)
-        out_cols = {n: lt[n] for n in left_names}
-        n_right = int((side == 1).sum())
-        if n_right == 0:
-            vals = pa.nulls(lt.num_rows, rval_type)
-        else:
-            rt = group.filter(pa.array(side == 1))
-            rts = np.asarray(pc.cast(rt["__rts"], pa.int64()))
-            rvals = rt["__rval"]
-            if isinstance(rvals, pa.ChunkedArray):
-                rvals = rvals.combine_chunks()
-            order = np.argsort(rts, kind="stable")
-            rts = rts[order]
-            rvals = rvals.take(pa.array(order))
-            lts = np.asarray(pc.cast(lt[left_ts], pa.int64()))
-            idx = np.searchsorted(rts, lts, side="right") - 1
-            take = pa.array(np.where(idx >= 0, idx, 0), pa.int64())
-            vals = rvals.take(take)
-            vals = pc.if_else(pa.array(idx >= 0), vals,
-                              pa.nulls(lt.num_rows, vals.type))
+    def merge(part: pa.Table) -> pa.Table:
+        n = part.num_rows
+        side = np.asarray(part["__side"])
+        lts_i = pc.cast(part[left_ts], pa.int64())
+        rts_i = pc.cast(part["__rts"], pa.int64())
+        uts = pc.coalesce(pc.if_else(pa.array(side == 0), lts_i, rts_i),
+                          pa.scalar(0, pa.int64()))
+        # right rows sort BEFORE left rows at equal (key, ts): the as-of
+        # condition is inclusive (rts ≤ lts)
+        t = (part.append_column("__uts", uts)
+             .append_column("__ord", pa.array(side.astype(np.int8))))
+        t = t.sort_by([(key, "ascending"), ("__uts", "ascending"),
+                       ("__ord", "descending")])
+        n = t.num_rows
+        side_s = np.asarray(t["__side"])
+        is_right = side_s == 1
+        idx = np.arange(n, dtype=np.int64)
+        last_right = np.maximum.accumulate(np.where(is_right, idx, -1))
+        keys_s = t[key]
+        if isinstance(keys_s, pa.ChunkedArray):
+            keys_s = keys_s.combine_chunks()
+        key_first = np.maximum.accumulate(
+            np.where(_key_change_mask(keys_s, n), idx, -1))
+        valid = last_right >= key_first
+        left_mask = ~is_right
+        lsel = pa.array(left_mask)
+        lt = t.filter(lsel)
+        rvals = t["__rval"]
+        if isinstance(rvals, pa.ChunkedArray):
+            rvals = rvals.combine_chunks()
+        fill = last_right[left_mask]
+        ok = valid[left_mask]
+        vals = rvals.take(pa.array(np.where(ok, fill, 0), pa.int64()))
+        vals = pc.if_else(pa.array(ok), vals, pa.nulls(lt.num_rows,
+                                                       rval_type))
+        out_cols = {name: lt[name] for name in left_names}
         out_cols[out_col] = vals
         return pa.table(out_cols)
 
-    return unioned.groupby(key).map_groups(merge, batch_format="pyarrow")
+    return unioned.groupby("__part").map_groups(merge,
+                                                batch_format="pyarrow")

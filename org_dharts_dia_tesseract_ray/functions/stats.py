@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..util import round_half_away
+
 
 def grouped_quantiles(ds, *, key: str, value_col: str,
                       quantiles=(0.5, 0.9, 0.99)):
@@ -29,8 +31,9 @@ def grouped_quantiles(ds, *, key: str, value_col: str,
         out = {key: g[key].slice(0, 1)}
         for q, name in zip(quantiles, qcols):
             v = float(np.percentile(vals, q * 100, method="linear"))
-            out[name] = pa.array([round(v * 10000.0) / 10000.0],
-                                 pa.float64())
+            # half-away-from-zero — same quantization as every other oracle
+            # (Python round() is half-to-even and diverges on exact halves)
+            out[name] = pa.array([round_half_away(v, 4)], pa.float64())
         return pa.table(out)
 
     return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")

@@ -25,14 +25,17 @@ US_PER_MIN = 60_000_000
 
 def tumbling_window_batch(batch: pa.Table, width_us: int,
                           ts_col: str = "ts") -> pa.Table:
-    """Append ``window_start`` (timestamp, floor(ts / width) * width)."""
+    """Append ``window_start`` (timestamp, floor(ts / width) * width).
+
+    Floor division must round toward -inf (numpy ``//``), not toward zero
+    (Arrow ``pc.divide`` on int64) — pre-epoch timestamps land in the wrong
+    window under truncation, diverging from both ``sliding_aggregate`` and
+    the DuckDB ``//`` oracle."""
     ts = batch[ts_col]
-    epoch = pc.cast(ts, pa.int64())
-    start = pc.multiply(pc.divide(epoch, width_us), width_us)  # int floor div
+    epoch = np.asarray(pc.cast(ts, pa.int64()))
+    start = (epoch // width_us) * width_us
     return batch.append_column(
-        "window_start",
-        pc.cast(start, ts.type if not isinstance(ts, pa.ChunkedArray)
-                else ts.type))
+        "window_start", pc.cast(pa.array(start, pa.int64()), ts.type))
 
 
 def tumbling_aggregate(ds, *, width_minutes: int = 60, ts_col: str = "ts",
@@ -132,29 +135,56 @@ GROUP BY 1, 2"""
 
 
 def sessionize(ds, *, gap_minutes: int = 30, user_col: str = "user_id",
-               ts_col: str = "ts", id_col: str = "event_id"):
-    """Gap-based sessions per user → (user_id, session_no, n_events,
+               ts_col: str = "ts", id_col: str = "event_id",
+               num_partitions: int | None = None):
+    """Gap-based sessions per key → (user_col, session_no, n_events,
     session_start, session_end).  ``session_no`` is 1-based in (ts, id)
-    order; a gap > gap_minutes starts a new session."""
-    gap_us = gap_minutes * US_PER_MIN
+    order; a gap > gap_minutes starts a new session.
 
-    def per_user(g: pa.Table) -> pa.Table:
-        t = g.sort_by([(ts_col, "ascending"), (id_col, "ascending")])
+    Scale design — hash-partition, NOT per-key ``map_groups``: the key
+    (user id) is the canonical high-cardinality column, so one Python call
+    per key is pathological at web scale.  Instead ``__part =
+    hash(key) % P`` is appended as a pure vectorized column, ONE
+    ``groupby(__part)`` shuffle co-locates each key, and every partition is
+    processed by a SINGLE numpy pass that computes all its keys' sessions
+    at once: sort by (key, ts, id), then a session boundary is key-change
+    OR gap-exceeded.  Python call count = P (≈ 2×CPUs), independent of key
+    cardinality.  Memory bound: one partition per worker — size
+    ``num_partitions`` accordingly at scale."""
+    from ..util import default_num_partitions, partition_ids
+
+    gap_us = gap_minutes * US_PER_MIN
+    P = num_partitions or default_num_partitions()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column("__part", partition_ids(b[user_col], P))
+
+    def per_partition(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(user_col, "ascending"), (ts_col, "ascending"),
+                       (id_col, "ascending")])
+        n = t.num_rows
         ts = np.asarray(pc.cast(t[ts_col], pa.int64()))
-        new_session = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_session[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        session_no = np.cumsum(new_session)
-        # per-session bounds via boundary indices (vectorized)
-        bounds = np.flatnonzero(new_session)
-        ends = np.r_[bounds[1:], len(ts)]
-        user_arr = t[user_col].slice(0, 1)
-        if isinstance(user_arr, pa.ChunkedArray):
-            user_arr = user_arr.combine_chunks()
+        keys = t[user_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        key_change = np.ones(n, dtype=bool)
+        if n > 1:
+            key_change[1:] = np.asarray(
+                pc.not_equal(keys.slice(1), keys.slice(0, n - 1)))
+        new_session = key_change.copy()
+        if n > 1:
+            new_session[1:] |= np.diff(ts) > gap_us
+        bounds = np.flatnonzero(new_session)          # session start rows
+        ends = np.r_[bounds[1:], n]
+        # 1-based session_no per key: rank of each session within its key
+        sess_first = key_change[bounds]               # first session of key?
+        seq = np.arange(len(bounds), dtype=np.int64)
+        first_idx = np.flatnonzero(sess_first)
+        reps = np.diff(np.r_[first_idx, len(bounds)])
+        session_no = seq - np.repeat(seq[first_idx], reps) + 1
         return pa.table({
-            user_col: pa.concat_arrays([user_arr] * len(bounds))
-            if len(bounds) != 1 else user_arr,
-            "session_no": pa.array(session_no[bounds], pa.int64()),
+            user_col: keys.take(pa.array(bounds, pa.int64())),
+            "session_no": pa.array(session_no, pa.int64()),
             "n_events": pa.array(ends - bounds, pa.int64()),
             "session_start": pc.cast(pa.array(ts[bounds], pa.int64()),
                                      t[ts_col].type),
@@ -162,27 +192,34 @@ def sessionize(ds, *, gap_minutes: int = 30, user_col: str = "user_id",
                                    t[ts_col].type),
         })
 
-    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+    parted = ds.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return parted.groupby("__part").map_groups(per_partition,
+                                               batch_format="pyarrow")
 
 
-def sessionize_sql(gap_minutes: int = 30, table: str = "events") -> str:
+def sessionize_sql(gap_minutes: int = 30, table: str = "events",
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id") -> str:
     gap_us = gap_minutes * US_PER_MIN
     return f"""
 WITH o AS (
-  SELECT user_id, event_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+  SELECT {user_col}, {id_col}, {ts_col},
+         CASE WHEN lag({ts_col}) OVER w IS NULL
+                   OR epoch_us({ts_col}) - epoch_us(lag({ts_col}) OVER w)
+                      > {gap_us}
               THEN 1 ELSE 0 END AS new_s
   FROM {table}
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {id_col})
 ),
 s AS (
-  SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT {user_col}, {ts_col},
+         SUM(new_s) OVER (PARTITION BY {user_col}
+                          ORDER BY {ts_col}, {id_col}
                           ROWS UNBOUNDED PRECEDING) AS session_no
   FROM o
 )
-SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+SELECT {user_col}, CAST(session_no AS BIGINT) AS session_no,
        count(*) AS n_events,
-       min(ts) AS session_start, max(ts) AS session_end
-FROM s GROUP BY user_id, session_no"""
+       min({ts_col}) AS session_start, max({ts_col}) AS session_end
+FROM s GROUP BY {user_col}, session_no"""

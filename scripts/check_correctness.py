@@ -42,7 +42,7 @@ def canon(df):
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import duckdb
     import ray
 
@@ -62,6 +62,8 @@ def main(sf_dir: str) -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     n_fail = 0
     for name, fn in qs.items():
         t0 = time.time()
@@ -99,7 +101,7 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    rc = main(sf)
+    rc = main(sf, only=sys.argv[2:] or None)
     import ray
     ray.shutdown()
     sys.exit(rc)
