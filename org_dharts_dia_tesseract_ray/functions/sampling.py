@@ -53,21 +53,56 @@ def train_val_test_split(ds, *, val_percent: int = 10, test_percent: int = 10,
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _topn_per_group(t: pa.Table, group_col: str, id_col: str,
+                    n: int) -> pa.Table:
+    """Vectorized top-n per group over an in-memory table sorted on
+    (group, __fp, id): position-within-run mask, no per-group Python."""
+    import numpy as np
+
+    t = t.sort_by([(group_col, "ascending"), ("__fp", "ascending"),
+                   (id_col, "ascending")])
+    m = t.num_rows
+    if m == 0:
+        return t
+    keys = t[group_col]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    change = np.ones(m, dtype=bool)
+    if m > 1:
+        change[1:] = np.asarray(
+            pc.not_equal(keys.slice(1), keys.slice(0, m - 1)))
+    idx = np.arange(m, dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(change, idx, -1))
+    return t.filter(pa.array(idx - run_start < n))
+
+
 def stratified_sample(ds, *, group_col: str, n_per_group: int = 20,
                       text_col: str = "text", id_col: str = "doc_id"):
     """Deterministic n-per-group sample: within each group take the first n
     rows in (md5(text), id) order — content-hash order is a reproducible
     pseudo-random shuffle, invariant under partitioning (same property as
-    :func:`deterministic_sample`)."""
-    def per_group(g: pa.Table) -> pa.Table:
-        fps = pa.array([hashlib.md5((s or "").encode("utf-8")).hexdigest()
-                        for s in g[text_col].to_pylist()])
-        t = g.append_column("__fp", fps)
-        t = t.sort_by([("__fp", "ascending"), (id_col, "ascending")])
-        return t.slice(0, n_per_group).drop_columns(["__fp"])
+    :func:`deterministic_sample`).
 
-    return ds.groupby(group_col).map_groups(per_group,
-                                            batch_format="pyarrow")
+    Skew-proof plan: a per-batch PARTIAL top-n combiner cuts every group to
+    ≤ n rows per batch before any shuffle, so the final per-group merge sees
+    at most n × n_batches slim rows no matter how skewed the corpus is (one
+    group holding 90% of rows never materializes on a worker); both passes
+    are the same vectorized position-within-run mask.
+    """
+    def combine(b: pa.Table) -> pa.Table:
+        fps = pa.array([hashlib.md5((s or "").encode("utf-8")).hexdigest()
+                        for s in b[text_col].to_pylist()])
+        return _topn_per_group(b.append_column("__fp", fps),
+                               group_col, id_col, n_per_group)
+
+    def merge(g: pa.Table) -> pa.Table:
+        return _topn_per_group(g, group_col, id_col,
+                               n_per_group).drop_columns(["__fp"])
+
+    partial = ds.map_batches(combine, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partial.groupby(group_col).map_groups(merge,
+                                                 batch_format="pyarrow")
 
 
 def stratified_sample_sql(group_col: str = "lang", n_per_group: int = 20,

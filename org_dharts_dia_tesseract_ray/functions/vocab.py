@@ -110,19 +110,33 @@ GROUP BY token"""
 
 
 def tfidf_top_term(ds, n_corpus: int, *, text_col: str = "text",
-                   id_col: str = "doc_id"):
+                   id_col: str = "doc_id", num_partitions: int | None = None):
     """Per document: the term with the highest tf·idf (idf = ln(N/df)).
 
-    Composition showcase: (doc, token, tf) explode with per-batch Arrow
-    group_by → document-frequency table (small — the vocabulary) broadcast
-    via ``ray.put`` and joined map-side → vectorized scoring → per-doc
-    argmax.  Tie-break (tfidf desc, token asc) is deterministic; identical
-    scores arise only from identical (tf, df), where the token order
-    decides — mirrored in the SQL oracle's row_number.
+    Web-scale composition — every stage is a Dataset op, nothing touches
+    the driver:
+
+    1. (doc, token, tf) explode with per-batch Arrow ``group_by``;
+    2. the document-frequency table (which at web scale is itself huge —
+       hundreds of GB of distinct tokens) stays a DATASET and reaches the
+       tf pairs through a hash join on ``token``, not a driver-side dict;
+    3. vectorized scoring (idf computed once per distinct df value);
+    4. per-doc argmax as ONE packed-rank ``Max`` aggregate — the survivor-
+       index pattern: tfidf's raw float64 bits (order-preserving for
+       non-negative floats) zero-padded decimal, then ``|token`` — no
+       per-doc Python call, no join-back.
+
+    Tie-break is (tfidf desc, token desc) — deterministic, mirrored in the
+    SQL oracle's row_number.
     """
     import math
 
-    import ray
+    from ray.data.aggregate import Max
+
+    from ..util import cluster_cpus
+
+    if num_partitions is None:
+        num_partitions = max(2, min(32, cluster_cpus()))
 
     def tf_pairs(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
@@ -136,37 +150,45 @@ def tfidf_top_term(ds, n_corpus: int, *, text_col: str = "text",
 
     pairs = ds.map_batches(tf_pairs, batch_format="pyarrow",
                            zero_copy_batch=True)
+    df = (doc_frequency(ds, text_col=text_col, id_col=id_col)
+          .select_columns(["token", "n_docs"]))
+    joined = pairs.join(df, join_type="inner",
+                        num_partitions=num_partitions, on=("token",))
 
-    df_rows = doc_frequency(ds, text_col=text_col, id_col=id_col) \
-        .select_columns(["token", "n_docs"]).take_all()
-    df_map = {r["token"]: r["n_docs"] for r in df_rows}
-    ref = ray.put(df_map)
+    def pack_rank(b: pa.Table) -> pa.Table:
+        import numpy as np
+        tf = np.asarray(pc.cast(b["tf"], pa.int64()))
+        dfv = np.asarray(pc.cast(b["n_docs"], pa.int64()))
+        # idf via math.log once per DISTINCT df value: bit-identical to the
+        # oracle's scalar ln() (numpy's SIMD log may differ by 1 ulp, which
+        # would flip near-tied rankings)
+        uniq, inv = np.unique(dfv, return_inverse=True)
+        idf = np.array([math.log(n_corpus / d) for d in uniq],
+                       dtype=np.float64)
+        tfidf = tf.astype(np.float64) * idf[inv]
+        bits = pa.array(tfidf.view(np.uint64))
+        bits_str = pc.utf8_lpad(pc.cast(bits, pa.string()), 20, "0")
+        rank = pc.binary_join_element_wise(bits_str, b["token"], "|")
+        return pa.table({id_col: b[id_col], "__rank": rank})
 
-    class Score:
-        def __init__(self, r):
-            self.df = ray.get(r)
+    best = (joined.map_batches(pack_rank, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby(id_col)
+            .aggregate(Max("__rank", alias_name="__best")))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            toks = b["token"].to_pylist()
-            tf = b["tf"].to_pylist()
-            scores = [t * math.log(n_corpus / self.df[tok])
-                      for t, tok in zip(tf, toks)]
-            return b.append_column("tfidf", pa.array(scores, pa.float64()))
+    def unpack(b: pa.Table) -> pa.Table:
+        import numpy as np
+        bits = np.asarray(
+            pc.cast(pc.utf8_slice_codeunits(b["__best"], 0, 20),
+                    pa.uint64()))
+        tfidf = bits.view(np.float64)
+        q = np.floor(tfidf * 1e6 + 0.5) / 1e6   # half away (tfidf >= 0)
+        token = pc.utf8_slice_codeunits(b["__best"], 21, 2**31 - 1)
+        return pa.table({id_col: b[id_col], "top_token": token,
+                         "tfidf": pa.array(q, pa.float64())})
 
-    scored = pairs.map_batches(Score, fn_constructor_args=(ref,),
-                               batch_format="pyarrow", zero_copy_batch=True,
-                               concurrency=(1, 8))
-
-    def top1(g: pa.Table) -> pa.Table:
-        t = g.sort_by([("tfidf", "descending"), ("token", "ascending")])
-        t = t.slice(0, 1)
-        q = pc.divide(
-            pc.round(pc.multiply(t["tfidf"], pa.scalar(1e6)), 0,
-                     round_mode="half_towards_infinity"), pa.scalar(1e6))
-        return pa.table({id_col: t[id_col], "top_token": t["token"],
-                         "tfidf": q})
-
-    return scored.groupby(id_col).map_groups(top1, batch_format="pyarrow")
+    return best.map_batches(unpack, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def tfidf_top_term_sql(n_corpus, table: str = "documents",
@@ -192,7 +214,7 @@ scored AS (
          p.tf * ln({n_corpus} / df.n_docs) AS tfidf,
          row_number() OVER (PARTITION BY p.{id_col}
                             ORDER BY p.tf * ln({n_corpus} / df.n_docs) DESC,
-                                     p.token ASC) AS rk
+                                     p.token DESC) AS rk
   FROM pairs p JOIN df USING (token)
 )
 SELECT {id_col}, token AS top_token,

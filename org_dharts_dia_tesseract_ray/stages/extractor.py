@@ -202,34 +202,52 @@ def boxes_batch(batch: pa.Table, *, level: str = "line") -> pa.Table:
     the cursor-algebra predicates ``isAtBeginningOf`` / ``isAtFinalElement``
     (I3/I4, LayoutIterator.java:216-218, 252-254) derived by offset
     arithmetic against the parent span — the flattened-table equivalent of
-    the reference's cursor state queries."""
-    urls = batch["url"].to_pylist()
-    texts = batch["extracted_text"].to_pylist()
+    the reference's cursor state queries.
+
+    Vectorized like :func:`explode_spans_batch`: flatten + parent lookup
+    via global index arithmetic (a span's position inside its document's
+    list equals its ``node_id`` — ids are allocated in append order by
+    ``assemble``), so the parent row of flat position j is
+    ``list_offset(doc) + parent_id``.  Only the final text slice runs per
+    row (a C-level str slice), never a per-span dict conversion."""
+    import numpy as np
+
     spans_col = batch["spans"]
     if isinstance(spans_col, pa.ChunkedArray):
         spans_col = spans_col.combine_chunks()
-    o_url, o_nid, o_lvl, o_s, o_e, o_txt, o_first, o_last = \
-        [], [], [], [], [], [], [], []
-    for i in range(batch.num_rows):
-        spans = spans_col[i].as_py() or []
-        by_id = {s["node_id"]: s for s in spans}
-        for s in spans:
-            if s["level"] != level:
-                continue
-            parent = by_id.get(s["parent_id"])
-            o_url.append(urls[i])
-            o_nid.append(s["node_id"])
-            o_lvl.append(s["level"])
-            o_s.append(s["start"])
-            o_e.append(s["end"])
-            o_txt.append(texts[i][s["start"]:s["end"]])
-            o_first.append(parent is None or s["start"] == parent["start"])
-            o_last.append(parent is None or s["end"] == parent["end"])
+    flat = pc.list_flatten(spans_col)
+    parent_row = np.asarray(pc.list_parent_indices(spans_col))
+    # rebase physical list offsets to the flattened (logical) value space
+    offs = np.asarray(spans_col.offsets, dtype=np.int64)
+    doc_offsets = (offs - offs[0])[:-1]
+
+    nid = np.asarray(flat.field("node_id"), dtype=np.int64)
+    pid = np.asarray(flat.field("parent_id"), dtype=np.int64)
+    start = np.asarray(flat.field("start"))
+    end = np.asarray(flat.field("end"))
+    # parent span's global flat index (clamped for root spans, pid == -1)
+    pg = doc_offsets[parent_row] + np.maximum(pid, 0)
+    is_root = pid < 0
+    p_start = start[pg]
+    p_end = end[pg]
+    first = is_root | (start == p_start)
+    last = is_root | (end == p_end)
+
+    keep = np.flatnonzero(np.asarray(pc.equal(flat.field("level"), level)))
+    texts = batch["extracted_text"].to_pylist()
+    k_row = parent_row[keep]
+    k_s = start[keep]
+    k_e = end[keep]
+    slices = [texts[r][s:e]
+              for r, s, e in zip(k_row.tolist(), k_s.tolist(), k_e.tolist())]
+    keep_arr = pa.array(keep, pa.int64())
     return pa.Table.from_arrays(
-        [pa.array(o_url, pa.string()), pa.array(o_nid, pa.int32()),
-         pa.array(o_lvl, pa.string()), pa.array(o_s, pa.int64()),
-         pa.array(o_e, pa.int64()), pa.array(o_txt, pa.string()),
-         pa.array(o_first, pa.bool_()), pa.array(o_last, pa.bool_())],
+        [pc.take(batch["url"], pa.array(k_row, pa.int64())),
+         flat.field("node_id").take(keep_arr),
+         flat.field("level").take(keep_arr),
+         pa.array(k_s, pa.int64()), pa.array(k_e, pa.int64()),
+         pa.array(slices, pa.string()),
+         pa.array(first[keep]), pa.array(last[keep])],
         schema=BOXES_SCHEMA)
 
 
