@@ -177,6 +177,52 @@ def _mode_query(mode: str):
     return q
 
 
+def _q_extract_subsup(sf_dir: str):
+    """I13 word predicates: the subsup-wrapped corpus yields exactly one
+    subscript word (H2O) and one superscript word (mc2) per document."""
+    import pyarrow.compute as _pc
+
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        pages_from_documents)
+    from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
+        extract_pages, spans_view)
+    spans = spans_view(extract_pages(pages_from_documents(sf_dir,
+                                                          subsup=True)))
+
+    def flagged(b: pa.Table) -> pa.Table:
+        m = _pc.and_(_pc.equal(b["level"], "word"),
+                     _pc.or_(b["is_subscript"], b["is_superscript"]))
+        t = b.filter(m)
+        return t.select(["url", "level", "start", "end",
+                         "is_subscript", "is_superscript"])
+
+    return spans.map_batches(flagged, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def _q_extract_custom_rule(sf_dir: str):
+    """BlockRule extension surface (PageItemFactory/CloseListener
+    analogue): a user rule re-types heading blocks to caption_text; the
+    oracle proves the reclassification lands in the spans output."""
+    from org_dharts_dia_tesseract_ray.config import ExtractConfig
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        roundtrip_extract)
+    from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
+        spans_view)
+
+    def heading_to_caption(ctx):
+        if ctx.default_type == "heading_text":
+            return "caption_text"
+        return None
+
+    cfg = ExtractConfig(block_rules=(heading_to_caption,))
+    spans = spans_view(roundtrip_extract(sf_dir, cfg))
+    return (spans
+            .filter(expr="level == 'block'")
+            .select_columns(["url", "node_id", "level", "block_type",
+                             "start", "end"]))
+
+
 def _q_token_stats(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.text_stats import (
         apply_token_stats)
@@ -590,6 +636,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_mode_single_block": _mode_query("single_block"),
         "extract_charfilter_digits": _mode_query("charfilter_digits"),
         "extract_selector_article": _mode_query("selector_article"),
+        # user-extension surface (BlockRule) + I13 word predicates
+        "extract_custom_rule": _q_extract_custom_rule,
+        "extract_subsup": _q_extract_subsup,
         # text analysis suite
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -692,12 +741,15 @@ def oracle_sql() -> dict[str, str]:
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
         roundtrip_spans_sql, roundtrip_sql)
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
-        boxes_sql, mixed_pdf_sql, mode_sql)
+        boxes_sql, mixed_pdf_sql, mode_sql, subsup_words_sql)
     return {
         "extract_roundtrip": roundtrip_sql(),
         "extract_spans": roundtrip_spans_sql(),
         "extract_mixed_pdf": mixed_pdf_sql(),
         "extract_boxes": boxes_sql(),
+        "extract_custom_rule": roundtrip_spans_sql(
+            heading_type="caption_text"),
+        "extract_subsup": subsup_words_sql(),
         "extract_mode_text_only": mode_sql("text_only"),
         "extract_mode_single_block": mode_sql("single_block"),
         "extract_charfilter_digits": mode_sql("charfilter_digits"),

@@ -15,6 +15,37 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 
+@dataclass(frozen=True)
+class BlockRuleContext:
+    """The paragraph view handed to user :data:`BlockRule` callables.
+
+    The user-extension surface — analogue of the reference's plugin hooks:
+    ``PageItemFactory<ItemType>`` (examples/.../PageItemFactory.java:24-27,
+    the empty hook callers implement to materialize their own item types
+    from cursor state) and the ``CloseListener``/``ListenerRegistration``
+    callback wiring (CloseListener.java:21-24, LayoutIterator.java:150-160).
+    Instead of wrapping a stateful cursor, a rule sees one immutable
+    paragraph record and may re-type it.
+    """
+
+    group: tuple          # parser merge-group, e.g. ("heading", 1), ("flow",)
+    text: str             # normalized paragraph text ("" for non-text)
+    n_words: int
+    n_chars: int
+    link_density: float
+    default_type: str     # the built-in classifier's verdict (may be NOISE)
+
+
+#: A BlockRule is any callable ``(BlockRuleContext) -> str | None``:
+#: return a BlockType value to re-classify the paragraph (including
+#: ``BlockType.NOISE`` to drop it, or a content type to rescue a paragraph
+#: the built-in heuristics dropped), or None to keep the default.  Rules
+#: are applied in registration order; each sees the ORIGINAL default type.
+#: Rules must be pure and deterministic — they run inside the extraction
+#: actors under the byte-identity gate.
+BlockRule = "Callable[[BlockRuleContext], str | None]"
+
+
 class Mode:
     """Segmentation mode — PageSegMode analogue (PublicTypes.java:66-120).
 
@@ -57,6 +88,11 @@ class ExtractConfig:
     long_para_max_link_density: float = 0.65
     # Emit spans below block level (para/line/word rows).
     emit_word_spans: bool = True
+
+    # User-supplied BlockRule callables (see :class:`BlockRuleContext`) —
+    # the PageItemFactory/CloseListener-analogue extension point.  A tuple
+    # so the config stays hashable; rules ship to workers by value.
+    block_rules: tuple = field(default_factory=tuple)
 
     # freeform passthrough, the setVariable analogue; values must be str.
     variables: tuple = field(default_factory=tuple)

@@ -34,7 +34,7 @@ import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
-from ..config import ExtractConfig, Mode
+from ..config import BlockRuleContext, ExtractConfig, Mode
 from .types import BlockType, ExtractResult, Level, PayloadKind, Span
 
 # ---------------------------------------------------------------------------
@@ -61,7 +61,19 @@ _FLUSH_TAGS = frozenset({
 
 _HEADINGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
+#: sectioning roots: opening/closing one implies any still-open inline
+#: anchor (or <sub>/<sup>) is closed.  Deliberately NOT every block tag:
+#: HTML5 anchors legally contain flow content (<a><div>card</div></a>,
+#: <a><h3>title</h3><p>desc</p></a>), so resetting the link counter at
+#: every paragraph boundary under-counted link text on block-anchor link
+#: farms and let boilerplate leak into the extracted text.
+_ANCHOR_RESET_TAGS = frozenset({
+    "article", "section", "main", "body", "html", "nav", "header",
+    "footer", "aside",
+})
+
 _WS_RE = re.compile(r"\s+")   # \s matches NBSP etc. on str in Python 3
+_NONWS_RE = re.compile(r"\S+")
 
 #: skip tags that never nest in themselves — a second opening implies the
 #: first closed (browsers auto-close; an unclosed <option> must not poison
@@ -109,6 +121,13 @@ class _Para:
     link_chars: int = 0    # normalized chars inside <a>
     inline_tags: int = 0   # inline tags opened while para open (density input)
     in_selector: bool = True
+    # per-line word sub/sup bitmasks (1=sub, 2=sup), parallel to ``lines``;
+    # None when the paragraph contains no <sub>/<sup> (the common fast path)
+    word_masks: list | None = None
+    # classic dropcap markup detected: the paragraph's first text node is a
+    # single uppercase letter split out of its word by an inline element
+    # (<span class="dropcap">O</span>nce …)
+    dropcap_first: bool = False
 
     @property
     def is_text(self) -> bool:
@@ -130,8 +149,10 @@ class _SegmentingParser(HTMLParser):
         self.selector_tag = selector_tag
         self.paras: list[_Para] = []
         # open-paragraph state
-        self._items: list[tuple] = []       # ("txt", s, in_link) | ("br",)
+        self._items: list[tuple] = []   # ("txt", s, in_link, mask) | ("br",)
         self._inline_tags = 0
+        self._sub = 0
+        self._sup = 0
         # nesting state: skip tracked as a STACK of open skip tags so that
         # malformed nesting (unclosed <option>, omitted </head>) can apply
         # implied-close rules instead of poisoning a counter forever
@@ -165,39 +186,74 @@ class _SegmentingParser(HTMLParser):
     # -- paragraph buffer ---------------------------------------------------
 
     def _flush(self) -> None:
-        # a block boundary implicitly closes inline context: browsers
-        # auto-close an unclosed <a> here, and a stale _link>0 would count
-        # every later paragraph as 100% link text (→ all NOISE)
-        self._link = 0
+        # NOTE: an open <a> deliberately SURVIVES the paragraph boundary —
+        # HTML5 anchors may contain flow content (<a><div>card</div></a>),
+        # so only a new <a> or a sectioning root (_ANCHOR_RESET_TAGS)
+        # closes the link context.
         if not self._items:
             self._inline_tags = 0
             return
         para = _Para(group=self._open_group or ("flow",))
+        # word sub/sup tracking only when the paragraph actually contains
+        # <sub>/<sup> content — the common path stays byte-for-byte the
+        # original normalization
+        any_mask = any(it[0] == "txt" and it[3] for it in self._items)
         lines: list[str] = []
-        cur: list[str] = []
-        cur_link = 0
+        masks: list = []
+        cur: list[tuple] = []
         total = 0
         link_total = 0
 
         def end_line():
-            nonlocal cur, cur_link, total, link_total
-            text = _WS_RE.sub(" ", "".join(cur)).strip()
-            if text:
-                lines.append(text)
-                total += len(text)
+            nonlocal cur, total, link_total
+            raw = "".join(s for s, _m in cur)
+            if not any_mask:
+                text = _WS_RE.sub(" ", raw).strip()
+                if text:
+                    lines.append(text)
+                    masks.append(None)
+                    total += len(text)
+            else:
+                cmask: list[int] = []
+                for s, m in cur:
+                    cmask.extend([m] * len(s))
+                toks: list[str] = []
+                tmasks: list[int] = []
+                for mt in _NONWS_RE.finditer(raw):
+                    mm = 0
+                    for c in range(mt.start(), mt.end()):
+                        mm |= cmask[c]
+                    toks.append(mt.group())
+                    tmasks.append(mm)
+                if toks:
+                    # " ".join(tokens) == _WS_RE.sub(" ", raw).strip() —
+                    # the byte-identity invariant of the fast path
+                    text = " ".join(toks)
+                    lines.append(text)
+                    masks.append(tmasks)
+                    total += len(text)
             cur = []
 
         for item in self._items:
             if item[0] == "br":
                 end_line()
             else:
-                _, s, in_link = item
-                cur.append(s)
+                _, s, in_link, m = item
+                cur.append((s, m))
                 if in_link:
                     link_total += len(_WS_RE.sub(" ", s).strip())
         end_line()
         if lines:
             para.lines = lines
+            para.word_masks = masks if any_mask else None
+            # dropcap: first text node a lone uppercase letter, glued (no
+            # whitespace) to the following text node — i.e. split out of
+            # its word by markup, the classic dropcap pattern
+            txts = [it for it in self._items if it[0] == "txt"]
+            para.dropcap_first = (
+                len(txts) >= 2 and len(txts[0][1]) == 1
+                and txts[0][1].isalpha() and txts[0][1].isupper()
+                and bool(txts[1][1]) and not txts[1][1][0].isspace())
             para.chars = total
             para.link_chars = min(link_total, total)
             para.inline_tags = self._inline_tags
@@ -278,6 +334,10 @@ class _SegmentingParser(HTMLParser):
             self._selector += 1
         if tag in _FLUSH_TAGS:
             self._flush()
+            if tag in _ANCHOR_RESET_TAGS:
+                self._link = 0
+                self._sub = 0
+                self._sup = 0
             if tag == "pre":
                 self._pre += 1
             role = ""
@@ -300,7 +360,13 @@ class _SegmentingParser(HTMLParser):
             return
         # inline tag
         if tag == "a":
-            self._link += 1
+            # HTML5: anchors never nest — a new <a> implies the previous
+            # one closed (the browser's adoption rule)
+            self._link = 1
+        elif tag == "sub":
+            self._sub += 1
+        elif tag == "sup":
+            self._sup += 1
         self._inline_tags += 1
 
     def handle_startendtag(self, tag, attrs):
@@ -325,6 +391,10 @@ class _SegmentingParser(HTMLParser):
             self._pre -= 1
         if tag in _FLUSH_TAGS:
             self._flush()
+            if tag in _ANCHOR_RESET_TAGS:
+                self._link = 0
+                self._sub = 0
+                self._sup = 0
             if tag in _BOILER_TAGS and self._boiler:
                 # pop matching boiler container if present
                 for i in range(len(self._group_stack) - 1, -1, -1):
@@ -345,6 +415,10 @@ class _SegmentingParser(HTMLParser):
             self._note_context(tag, closing=True)
         elif tag == "a":
             self._link = max(0, self._link - 1)
+        elif tag == "sub":
+            self._sub = max(0, self._sub - 1)
+        elif tag == "sup":
+            self._sup = max(0, self._sup - 1)
         if self.selector_tag and tag == self.selector_tag:
             self._selector = max(0, self._selector - 1)
 
@@ -363,15 +437,16 @@ class _SegmentingParser(HTMLParser):
             self.__dict__["_os"] = self._selector > 0
             if "_og" not in self.__dict__ or self.__dict__["_og"] is None:
                 self.__dict__["_og"] = ("flow",)
+        mask = (1 if self._sub else 0) | (2 if self._sup else 0)
         if "\n" in data and self._pre:
             parts = data.split("\n")
             for i, part in enumerate(parts):
                 if i:
                     self._items.append(("br",))
                 if part:
-                    self._items.append(("txt", part, self._link > 0))
+                    self._items.append(("txt", part, self._link > 0, mask))
         else:
-            self._items.append(("txt", data, self._link > 0))
+            self._items.append(("txt", data, self._link > 0, mask))
 
     def close(self):
         super().close()
@@ -408,8 +483,8 @@ def _para_confidence(text: str, link_density: float, stop: frozenset[str]) -> fl
     return round(100.0 * max(0.0, min(1.0, score)), 4)
 
 
-def _classify(para: _Para, cfg: ExtractConfig) -> str:
-    """Map a paragraph to its block type or NOISE (dropped).
+def _default_classify(para: _Para, cfg: ExtractConfig) -> str:
+    """Built-in paragraph → block-type / NOISE heuristics.
 
     The NOISE decision is the boilerplate heuristic: structural boilerplate
     containers are always noise; otherwise link-dense short paragraphs are
@@ -440,6 +515,26 @@ def _classify(para: _Para, cfg: ExtractConfig) -> str:
     if g[0] == "bq":
         return BlockType.PULLOUT_TEXT
     return BlockType.FLOWING_TEXT
+
+
+def _classify(para: _Para, cfg: ExtractConfig) -> str:
+    """Default classification, then user :data:`BlockRule` overrides —
+    the PageItemFactory-analogue extension point (SURVEY.md §2.5): each
+    registered rule sees the paragraph's feature view (with the ORIGINAL
+    default verdict) and may re-type it, drop it (NOISE), or rescue it."""
+    btype = _default_classify(para, cfg)
+    if cfg.block_rules:
+        text = "\n".join(para.lines) if para.is_text else ""
+        ld = para.link_chars / para.chars if para.chars else 0.0
+        ctx = BlockRuleContext(group=para.group, text=text,
+                               n_words=len(text.split()),
+                               n_chars=para.chars, link_density=ld,
+                               default_type=btype)
+        for rule in cfg.block_rules:
+            r = rule(ctx)
+            if r is not None:
+                btype = r
+    return btype
 
 
 def _merge_key(para: _Para, btype: str):
@@ -496,6 +591,7 @@ def segment_html(text: str, cfg: ExtractConfig) -> list[_Block]:
         for p in paras:
             p.lines = [ln for ln in (_filt(l) for l in p.lines) if ln]
             p.chars = sum(len(l) for l in p.lines)
+            p.word_masks = None   # filtering re-segments words
         paras = [p for p in paras if p.lines or not p.is_text]
 
     if cfg.mode == Mode.SINGLE_BLOCK:
@@ -583,12 +679,10 @@ def assemble(blocks: list[_Block], lang: str | None, cfg: ExtractConfig) -> Extr
             pspan = Span(pid, bid, Level.PARA, blk.btype, offset, offset, conf,
                          round(td, 4), round(ld, 4))
             spans.append(pspan)
-            first_line = True
-            for line in para.lines:
-                if not first_line:
+            for line_idx, line in enumerate(para.lines):
+                if line_idx:
                     parts.append("\n")
                     offset += 1
-                first_line = False
                 lid = nid()
                 lspan = Span(lid, pid, Level.LINE, blk.btype, offset,
                              offset + len(line), conf, pspan.text_density, pspan.link_density)
@@ -596,12 +690,19 @@ def assemble(blocks: list[_Block], lang: str | None, cfg: ExtractConfig) -> Extr
                 if cfg.emit_word_spans:
                     # line text is already whitespace-collapsed: words are
                     # maximal runs of non-space, separated by single spaces
+                    lmasks = (para.word_masks[line_idx]
+                              if para.word_masks else None)
+                    words = line.split(" ")
                     pos = 0
-                    for w in line.split(" "):
+                    for w_idx, w in enumerate(words):
                         if w:
+                            m = lmasks[w_idx] if lmasks else 0
+                            drop = (line_idx == 0 and w_idx == 0
+                                    and para.dropcap_first)
                             spans.append(Span(nid(), lid, Level.WORD, blk.btype,
                                               offset + pos, offset + pos + len(w),
-                                              conf, pspan.text_density, pspan.link_density))
+                                              conf, pspan.text_density, pspan.link_density,
+                                              bool(m & 1), bool(m & 2), drop))
                         pos += len(w) + 1
                 parts.append(line)
                 offset += len(line)

@@ -96,6 +96,16 @@ class Span:
     confidence: float
     text_density: float
     link_density: float
+    # Symbol-level predicates (I13) lifted to word spans — the
+    # ``isSubscript`` / ``isSuperscript`` / ``isDropcap`` analogues
+    # (RecognitionResultsIterator.java:146-158).  sub/sup are tag-derived
+    # (<sub>/<sup>); dropcap is the classic markup pattern (a single
+    # uppercase-letter first word split out of its paragraph) — HTML has no
+    # direct dropcap signal, CSS-driven dropcaps are invisible here
+    # (documented divergence).
+    is_subscript: bool = False
+    is_superscript: bool = False
+    is_dropcap: bool = False
 
 
 @dataclass

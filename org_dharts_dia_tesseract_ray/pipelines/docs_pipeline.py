@@ -83,11 +83,31 @@ def wrap_documents_batch_mixed(batch: pa.Table, *, pdf_every: int = 10,
     return t.set_column(2, "html", pa.array(html, pa.binary()))
 
 
-def pages_from_documents(sf_dir: str, *, mixed_pdf: bool = False):
+#: template variant whose body paragraph carries <sub>/<sup> content — the
+#: fixture for the I13 word-flag predicates (isSubscript/isSuperscript,
+#: RecognitionResultsIterator.java:146-158)
+_TEMPLATE_SUBSUP = _TEMPLATE.replace(
+    "<p>{text}</p>",
+    "<p>{text} H<sub>2</sub>O and mc<sup>2</sup></p>")
+
+
+def wrap_documents_batch_subsup(batch: pa.Table) -> pa.Table:
+    t = wrap_documents_batch(batch)
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    html = [_TEMPLATE_SUBSUP.format(id=i, text=x).encode("utf-8")
+            for i, x in zip(ids, texts)]
+    return t.set_column(2, "html", pa.array(html, pa.binary()))
+
+
+def pages_from_documents(sf_dir: str, *, mixed_pdf: bool = False,
+                         subsup: bool = False):
     """documents.parquet → pages Dataset (lazy, streaming)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
-    fn = wrap_documents_batch_mixed if mixed_pdf else wrap_documents_batch
+    fn = (wrap_documents_batch_mixed if mixed_pdf
+          else wrap_documents_batch_subsup if subsup
+          else wrap_documents_batch)
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -171,17 +191,21 @@ SELECT {url} AS url, 7 AS node_id, 'line' AS level,
 FROM {table}"""
 
 
-def roundtrip_spans_sql(table: str = "documents") -> str:
+def roundtrip_spans_sql(table: str = "documents",
+                        heading_type: str = "heading_text") -> str:
     """Oracle for block-level spans of the wrapped corpus.
 
     Structure is fixed by the template: heading block (node 0) spanning
     ``Doc {id}`` then — after block+para+line+2 word spans — the flowing
     block (node 5) spanning the body text, offset by the heading + blank
     line.  Mirrors the reference's 3-blocks/22-lines structural golden.
+    ``heading_type`` parameterizes the BlockRule-override oracle
+    (``extract_custom_rule``): a registered rule re-types the heading
+    block, everything else is unchanged.
     """
     return f"""
 SELECT 'https://corpus.test/doc/' || doc_id AS url,
-       0 AS node_id, 'block' AS level, 'heading_text' AS block_type,
+       0 AS node_id, 'block' AS level, '{heading_type}' AS block_type,
        CAST(0 AS BIGINT) AS "start",
        CAST(4 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS "end"
 FROM {table}
@@ -190,4 +214,26 @@ SELECT 'https://corpus.test/doc/' || doc_id AS url,
        5 AS node_id, 'block' AS level, 'flowing_text' AS block_type,
        CAST(6 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS "start",
        CAST(6 + length(CAST(doc_id AS VARCHAR)) + length(text) AS BIGINT) AS "end"
+FROM {table}"""
+
+
+def subsup_words_sql(table: str = "documents") -> str:
+    """Oracle for the I13 word-flag fixture: the wrapped body is
+    ``text || ' H2O and mc2'`` — exactly one subscript-flagged word (H2O)
+    and one superscript-flagged word (mc2) per document, at offsets
+    computable from the template."""
+    base = "6 + length(CAST(doc_id AS VARCHAR)) + length(text)"
+    return f"""
+SELECT 'https://corpus.test/doc/' || doc_id AS url,
+       'word' AS level,
+       CAST({base} + 1 AS BIGINT) AS "start",
+       CAST({base} + 4 AS BIGINT) AS "end",
+       TRUE AS is_subscript, FALSE AS is_superscript
+FROM {table}
+UNION ALL
+SELECT 'https://corpus.test/doc/' || doc_id AS url,
+       'word' AS level,
+       CAST({base} + 9 AS BIGINT) AS "start",
+       CAST({base} + 12 AS BIGINT) AS "end",
+       FALSE, TRUE
 FROM {table}"""

@@ -52,14 +52,14 @@ _LANGS = ("en", "en", "en", "de", "fr", "es", "ar")   # en-heavy mix
 
 FAMILIES = ("poetry", "article_nav", "headings", "table_caption", "rtl",
             "charsets", "multi_block_merge", "dup_urls", "oversized",
-            "pdf_text", "broken")
+            "pdf_text", "broken", "inline_marks")
 
 # steady-state family weights (oversized/broken/pdf deliberately rare,
 # mirroring a crawl's tail)
 _WEIGHTS = {
     "poetry": 6, "article_nav": 30, "headings": 18, "table_caption": 8,
     "rtl": 6, "charsets": 6, "multi_block_merge": 12, "dup_urls": 6,
-    "oversized": 1, "pdf_text": 4, "broken": 3,
+    "oversized": 1, "pdf_text": 4, "broken": 3, "inline_marks": 5,
 }
 
 
@@ -204,11 +204,36 @@ def _f_broken(rng: random.Random, lang: str):
     full = _page(f"<p>{_sentence(rng, lang, 30)}</p><p>{_sentence(rng, lang, 20)}", lang)
     return full[:len(full) // 2].encode("utf-8"), None, lang
 
+def _f_inline_marks(rng: random.Random, lang: str):
+    """I13 word-flag fixture + block-anchor link cards:
+
+    * a dropcap paragraph (`<span>O</span>nce …` — letter split out of its
+      word by markup);
+    * a formula paragraph with <sub>/<sup> words;
+    * an HTML5 card farm of anchors WRAPPING flow content
+      (<a><div><h3>…</h3><p>…</p></div></a>) — link text must keep counting
+      across the inner paragraph boundaries so the cards classify NOISE.
+    """
+    word = rng.choice(["Once", "Deep", "Many", "Some"])
+    dropcap_p = (f'<p><span class="dropcap">{word[0]}</span>{word[1:]} '
+                 f"{_sentence(rng, lang, 15)}</p>")
+    formula_p = (f"<p>{_sentence(rng, lang, 10)} "
+                 f"H<sub>2</sub>O and E = mc<sup>2</sup></p>")
+    cards = "".join(
+        f'<a href="/c/{j}"><div><h3>card {j}</h3>'
+        f'<p>{_sentence(rng, "en", 2)}</p></div></a>'
+        for j in range(rng.randint(3, 6)))
+    body = (f"{_nav(rng)}<main><h1>{_sentence(rng, lang, 4)}</h1>"
+            f"{dropcap_p}{formula_p}<section>{cards}</section></main>"
+            f"{_footer(rng)}")
+    return _page(body, lang).encode("utf-8"), None, lang
+
 _BUILDERS = {
     "poetry": _f_poetry, "article_nav": _f_article_nav, "headings": _f_headings,
     "table_caption": _f_table_caption, "rtl": _f_rtl, "charsets": _f_charsets,
     "multi_block_merge": _f_multi_block_merge, "oversized": _f_oversized,
     "pdf_text": _f_pdf_text, "broken": _f_broken,
+    "inline_marks": _f_inline_marks,
 }
 
 

@@ -34,6 +34,9 @@ SPAN_STRUCT = pa.struct([
     ("confidence", pa.float32()),
     ("text_density", pa.float32()),
     ("link_density", pa.float32()),
+    ("is_subscript", pa.bool_()),
+    ("is_superscript", pa.bool_()),
+    ("is_dropcap", pa.bool_()),
 ])
 
 EXTRACTED_SCHEMA = pa.schema([
@@ -61,6 +64,9 @@ SPANS_SCHEMA = pa.schema([
     ("confidence", pa.float32()),
     ("text_density", pa.float32()),
     ("link_density", pa.float32()),
+    ("is_subscript", pa.bool_()),
+    ("is_superscript", pa.bool_()),
+    ("is_dropcap", pa.bool_()),
 ])
 
 
@@ -105,6 +111,9 @@ class HtmlExtractor:
         f_conf: list[float] = []
         f_td: list[float] = []
         f_ld: list[float] = []
+        f_sub: list[bool] = []
+        f_sup: list[bool] = []
+        f_drop: list[bool] = []
 
         # bulk-convert once (chunk-wise C loop) — per-element .as_py() costs
         # a Python call per cell
@@ -133,6 +142,9 @@ class HtmlExtractor:
                 f_conf.append(s.confidence)
                 f_td.append(s.text_density)
                 f_ld.append(s.link_density)
+                f_sub.append(s.is_subscript)
+                f_sup.append(s.is_superscript)
+                f_drop.append(s.is_dropcap)
             offsets.append(len(f_nid))
 
         struct_arr = pa.StructArray.from_arrays(
@@ -142,6 +154,8 @@ class HtmlExtractor:
                 pa.array(f_start, pa.int64()), pa.array(f_end, pa.int64()),
                 pa.array(f_conf, pa.float32()), pa.array(f_td, pa.float32()),
                 pa.array(f_ld, pa.float32()),
+                pa.array(f_sub, pa.bool_()), pa.array(f_sup, pa.bool_()),
+                pa.array(f_drop, pa.bool_()),
             ],
             fields=list(SPAN_STRUCT),
         )

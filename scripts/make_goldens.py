@@ -64,6 +64,9 @@ def extract_serial(rows: list[dict]) -> tuple[pa.Table, pa.Table]:
             span_cols["confidence"].append(s.confidence)
             span_cols["text_density"].append(s.text_density)
             span_cols["link_density"].append(s.link_density)
+            span_cols["is_subscript"].append(s.is_subscript)
+            span_cols["is_superscript"].append(s.is_superscript)
+            span_cols["is_dropcap"].append(s.is_dropcap)
 
     doc_schema = pa.schema([f for f in EXTRACTED_SCHEMA if f.name != "spans"])
     extracted = pa.Table.from_pydict(doc_cols, schema=doc_schema)

@@ -246,11 +246,45 @@ def test_omitted_head_close_is_implied():
     assert r.text == "Hello world"
 
 
-def test_unclosed_anchor_resets_at_block_boundary():
+def test_unclosed_anchor_scopes_to_sectioning_boundary():
+    """Browser-faithful anchor scope: an unclosed <a> keeps applying to
+    following flow content (the adoption rule re-opens it per paragraph),
+    and only a sectioning root closes it."""
     from org_dharts_dia_tesseract_ray.extract.api import extract_one
     r = extract_one(b'<p><a href="/x">home</p>'
-                    b"<p>long normal prose paragraph with many words</p>")
+                    b"<p>still link text</p>"
+                    b"<section><p>long normal prose paragraph with many "
+                    b"words surviving fine</p></section>")
     assert "long normal prose paragraph" in r.text
+    assert "still link text" not in r.text
+
+
+def test_block_anchor_cards_classified_noise():
+    """HTML5 anchors wrapping flow content (<a><div>card</div></a>) stay
+    100% link text — the card farm is boilerplate, the following real
+    paragraph survives."""
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+    cards = b"".join(
+        b'<a href="/c"><div><h3>card title</h3><p>card teaser</p></div></a>'
+        for _ in range(3))
+    r = extract_one(cards + b"<p>real content paragraph with several "
+                            b"plain words here</p>")
+    assert "card" not in r.text
+    assert "real content paragraph" in r.text
+
+
+def test_subsup_word_flags_and_dropcap():
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+    r = extract_one(b'<p><span class="dc">O</span>nce upon a time formula '
+                    b"H<sub>2</sub>O and E = mc<sup>2</sup> appeared</p>")
+    words = {r.text[s.start:s.end]: s for s in r.spans if s.level == "word"}
+    assert words["H2O"].is_subscript and not words["H2O"].is_superscript
+    assert words["mc2"].is_superscript and not words["mc2"].is_subscript
+    assert words["Once"].is_dropcap
+    assert not words["upon"].is_dropcap
+    assert not words["and"].is_subscript and not words["and"].is_superscript
+    # byte-identity: flags never change the text itself
+    assert r.text == ("Once upon a time formula H2O and E = mc2 appeared")
 
 
 def test_utf16_payload_decodes():
