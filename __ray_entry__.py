@@ -840,9 +840,19 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus""",
-        # no oracle (non-SQL-expressible, rows-only check):
-        #   neardup_minhash_lsh / neardup_simhash / neardup_jaccard_brute
-        #   (hash-family-dependent), winnow_fingerprints, ann_ivf_topk
-        #   (approximate), langid is SQL-checked above, media_* (binary
-        #   payload plumbing).
+        # Golden-parquet oracles (pinned serial computations over sf0.01;
+        # scripts/make_op_goldens.py — the LayoutIteratorTests golden-count
+        # philosophy).  The near-dup pair goldens are INDEPENDENT brute-force
+        # all-pairs runs, so they also prove the banded LSH/pigeonhole
+        # candidate generation reaches full recall at these parameters;
+        # clusters is a union-find, PCA a one-shot numpy fit.
+        **{name: f"SELECT * FROM read_parquet('{_REPO}/fixtures/op_goldens/"
+                 f"{name}.parquet')"
+           for name in ("winnow_fingerprints", "neardup_minhash_lsh",
+                        "neardup_jaccard_brute", "neardup_simhash",
+                        "neardup_clusters", "embeddings_pca",
+                        "approx_distinct_tokens", "media_decode",
+                        "media_frame_sample")},
+        # no oracle (rows-only check): ann_ivf_topk (approximate recall —
+        # asserted vs brute in tests instead).
     }

@@ -103,9 +103,24 @@ class MediaDecoder:
 
     def _decode(self, payload: bytes, kind: str):
         if self._pil is not None and payload[:4] != _MAGIC:
-            # real-codec branch would decode here; out of scope by design
-            raise NotImplementedError(
-                "real media decode is stubbed in this environment")
+            # real-codec branch (import-gated): decode with PIL when it is
+            # available and the payload is actual encoded media
+            import io
+            try:
+                img = self._pil.open(io.BytesIO(payload))
+                w, h = img.size
+                nf = int(getattr(img, "n_frames", 1))
+                # deterministic features: 8×8 grayscale thumbnail bytes
+                thumb = img.convert("L").resize((8, 8))
+                raw = thumb.tobytes()
+                u = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+                feats[:min(FEATURE_DIM, len(u) // 4)] = (
+                    u[:min(FEATURE_DIM, len(u) // 4) * 4]
+                    .reshape(-1, 4).mean(axis=1) / 255.0)
+                return (w, h, nf), feats
+            except Exception:
+                return None
         if self.strict:
             raise NotImplementedError("codec library unavailable (stub)")
         hdr = _decode_header(payload)

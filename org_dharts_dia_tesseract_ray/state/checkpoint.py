@@ -71,6 +71,7 @@ def run_checkpointed(
     cfg: ExtractConfig | None = None,
     *,
     files_per_shard: int = 1,
+    write_spans: bool = True,
     **extract_kwargs,
 ) -> dict:
     """Process shards, skipping completed partitions.  Returns a summary
@@ -79,6 +80,13 @@ def run_checkpointed(
     Each shard runs as its own streaming pipeline (read → extract →
     write_parquet into its partition dir); a failed/killed run leaves no
     manifest, so the next invocation redoes exactly that shard.
+
+    ``write_spans=True`` also materializes the flagship two-table contract
+    per partition: the flat spans view is exploded from the just-written
+    combined parquet (a cheap columnar re-read, NOT a re-extraction) into
+    the sibling ``spans/part=NNNNN/`` directory.  The manifest is written
+    after BOTH tables, so a kill between the writes leaves no manifest and
+    the shard — both views — is redone wholesale on resume.
     """
     cfg = cfg or ExtractConfig()
     cfg_repr = repr(cfg)
@@ -94,15 +102,30 @@ def run_checkpointed(
             skipped.append(part)
             metrics[part] = m
             continue
-        # stale or partial → wipe and redo (never merge partials)
-        if os.path.isdir(part_dir):
-            shutil.rmtree(part_dir)
+        # stale or partial → wipe and redo (never merge partials); the
+        # spans sibling belongs to the same idempotency unit
+        spans_dir = os.path.join(out_dir, "spans", part)
+        for d in (part_dir, spans_dir):
+            if os.path.isdir(d):
+                shutil.rmtree(d)
         os.makedirs(part_dir, exist_ok=True)
 
         t0 = time.monotonic()
         combined = extract_pipeline.extract_pages(
             extract_pipeline.read_pages(shard), cfg, **extract_kwargs)
         combined.write_parquet(part_dir)
+
+        spans_rows = 0
+        if write_spans:
+            import ray.data
+
+            from ..stages.extractor import apply_explode_spans
+            os.makedirs(spans_dir, exist_ok=True)
+            written = ray.data.read_parquet(
+                [os.path.join(part_dir, fn) for fn in os.listdir(part_dir)
+                 if fn.endswith(".parquet")],
+                columns=["url", "spans"])
+            apply_explode_spans(written).write_parquet(spans_dir)
         wall = time.monotonic() - t0
 
         # lineage + metrics from the freshly written partition (cheap read of
@@ -119,12 +142,19 @@ def run_checkpointed(
                 out_bytes += os.path.getsize(fpath)
                 t = pq.read_table(fpath, columns=["error"])
                 n_errors += t.num_rows - t.column("error").null_count
+        if write_spans:
+            for fn in os.listdir(spans_dir):
+                if fn.endswith(".parquet"):
+                    fpath = os.path.join(spans_dir, fn)
+                    spans_rows += pq.ParquetFile(fpath).metadata.num_rows
+                    out_bytes += os.path.getsize(fpath)
 
         manifest = {
             "partition": part,
             "fingerprint": fp,
             "inputs": [os.path.basename(f) for f in sorted(shard)],
             "rows": rows,
+            "spans_rows": spans_rows,
             "output_bytes": out_bytes,
             "error_rows": n_errors,
             "wall_seconds": round(wall, 3),

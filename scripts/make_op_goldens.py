@@ -1,0 +1,215 @@
+"""Golden parquet oracles for the non-SQL-expressible operators (sf0.01).
+
+The driver's DuckDB oracle cannot compute minhash/simhash/winnowing/HLL/PCA
+natively, so — following the reference's golden-fixture philosophy
+(/root/reference/tests/.../LayoutIteratorTests.java:54-64: pinned structural
+counts) — these oracles are golden parquet files produced by pinned SERIAL
+computations over /root/testdata/sf0.01, loaded into DuckDB via
+``read_parquet``.  Where possible the serial path is an INDEPENDENT
+algorithm, not the distributed one:
+
+* near-dup pair sets: brute-force all-pairs over the signature/shingle
+  kernels (no LSH banding, no self-joins) — verifies the banded candidate
+  generation achieves full recall at these parameters;
+* clusters: a driver-side union-find (no label propagation);
+* PCA: one-shot numpy moments + eigh with the same pinned sign convention;
+* winnow / HLL / media: the pinned per-batch kernels applied serially.
+
+Usage:  python scripts/make_op_goldens.py   (from the repo root)
+Rewrites fixtures/op_goldens/*.parquet; byte-stable across reruns.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = os.path.join(REPO, "fixtures", "op_goldens")
+
+MINHASH_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 3
+
+
+def _docs() -> pa.Table:
+    return pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+
+def g_winnow() -> pa.Table:
+    from org_dharts_dia_tesseract_ray.functions.fingerprint import (
+        winnow_batch)
+    t = winnow_batch(_docs())
+    return t.select(["doc_id", "n_fp", "min_fp"])
+
+
+def _brute_jaccard_pairs(k: int = 8) -> pa.Table:
+    """Independent brute force: all-pairs exact Jaccard over shingle sets."""
+    from org_dharts_dia_tesseract_ray.functions.dedup import (jaccard,
+                                                              shingle_set)
+    t = _docs()
+    ids = t["doc_id"].to_pylist()
+    sets = [shingle_set(s, k) for s in t["text"].to_pylist()]
+    order = np.argsort(ids)
+    a_out, b_out, js = [], [], []
+    for ii in range(len(order)):
+        for jj in range(ii + 1, len(order)):
+            i, j = order[ii], order[jj]
+            jac = jaccard(sets[i], sets[j])
+            if jac >= MINHASH_THRESHOLD:
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+                js.append(math.floor(jac * 10000.0 + 0.5) / 10000.0)
+    return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                     "id_b": pa.array(b_out, pa.int64()),
+                     "jaccard": pa.array(js, pa.float64())})
+
+
+def g_minhash_pairs() -> pa.Table:
+    # the distributed LSH verifies candidates with EXACT Jaccard, so its
+    # output equals the brute set iff banding recall is 1.0 at these
+    # parameters — which this golden asserts end-to-end
+    return _brute_jaccard_pairs(k=8)
+
+
+def g_jaccard_pairs() -> pa.Table:
+    return _brute_jaccard_pairs(k=8)
+
+
+def g_simhash_pairs() -> pa.Table:
+    from org_dharts_dia_tesseract_ray.functions.dedup import (hamming64,
+                                                              simhash_batch)
+    t = _docs()
+    sh = simhash_batch(t, k=4)
+    ids = np.asarray(sh["doc_id"], dtype=np.int64)
+    sims = np.asarray(sh["simhash"])
+    a_out, b_out, hs = [], [], []
+    for i in range(len(ids)):
+        d = hamming64(np.full(len(ids) - i - 1, sims[i], dtype=np.uint64),
+                      sims[i + 1:])
+        for off in np.flatnonzero(d <= SIMHASH_MAX_HAMMING):
+            x, y = int(ids[i]), int(ids[i + 1 + off])
+            a, b = (x, y) if x < y else (y, x)
+            a_out.append(a)
+            b_out.append(b)
+            hs.append(int(d[off]))
+    order = np.lexsort((b_out, a_out))
+    return pa.table({
+        "id_a": pa.array(np.asarray(a_out, dtype=np.int64)[order]),
+        "id_b": pa.array(np.asarray(b_out, dtype=np.int64)[order]),
+        "hamming": pa.array(np.asarray(hs, dtype=np.int64)[order]),
+    })
+
+
+def g_clusters() -> pa.Table:
+    """Union-find over the brute pair set — independent of the distributed
+    min-label propagation."""
+    pairs = _brute_jaccard_pairs(k=8)
+    ids = _docs()["doc_id"].to_pylist()
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return pa.table({
+        "doc_id": pa.array(sorted(ids), pa.int64()),
+        "cluster": pa.array([find(i) for i in sorted(ids)], pa.int64()),
+    })
+
+
+def g_pca() -> pa.Table:
+    """One-shot numpy PCA with the pinned sign convention + the query's
+    4 dp quantization (np.round, matching _q_embeddings_pca.widen)."""
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    X = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"].to_pylist()])
+    n = X.shape[0]
+    sx = X.sum(axis=0)
+    sxx = X.T @ X
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    comp = v[:, ::-1][:, :4].T.copy()
+    for i in range(comp.shape[0]):
+        j = int(np.abs(comp[i]).argmax())
+        if comp[i, j] < 0:
+            comp[i] = -comp[i]
+    Y = (X - mean) @ comp.T
+    cols = {"vec_id": t["vec_id"]}
+    for i in range(Y.shape[1]):
+        cols[f"pc{i}"] = pa.array(np.round(Y[:, i] * 10000.0) / 10000.0,
+                                  pa.float64())
+    return pa.table(cols)
+
+
+def g_approx_distinct() -> pa.Table:
+    from org_dharts_dia_tesseract_ray.functions.sketch import (M, hll_add,
+                                                               hll_estimate,
+                                                               _token_hashes)
+    t = _docs()
+    regs: dict[str, np.ndarray] = {}
+    for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+        reg = regs.setdefault(lang, np.zeros(M, dtype=np.int8))
+        hll_add(reg, _token_hashes(text))
+    langs = sorted(regs)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "approx_distinct": pa.array(
+            [int(round(hll_estimate(regs[lang]))) for lang in langs],
+            pa.int64()),
+    })
+
+
+def g_media_decode() -> pa.Table:
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        MediaDecoder, synth_media_table)
+    out = MediaDecoder()(synth_media_table(64))
+    return out.select(["item_id", "status", "width", "height", "n_frames"])
+
+
+def g_media_frames() -> pa.Table:
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        frame_sample_batch, synth_media_table)
+    return frame_sample_batch(synth_media_table(64, kind="video"), every=4)
+
+
+GOLDENS = {
+    "winnow_fingerprints": g_winnow,
+    "neardup_minhash_lsh": g_minhash_pairs,
+    "neardup_jaccard_brute": g_jaccard_pairs,
+    "neardup_simhash": g_simhash_pairs,
+    "neardup_clusters": g_clusters,
+    "embeddings_pca": g_pca,
+    "approx_distinct_tokens": g_approx_distinct,
+    "media_decode": g_media_decode,
+    "media_frame_sample": g_media_frames,
+}
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for name, fn in GOLDENS.items():
+        t = fn()
+        pq.write_table(t, os.path.join(OUT, f"{name}.parquet"))
+        print(f"{name}: {t.num_rows} rows, cols={t.column_names}")
+
+
+if __name__ == "__main__":
+    main()

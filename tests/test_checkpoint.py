@@ -76,3 +76,28 @@ def test_stale_fingerprint_triggers_redo(corpus3, tmp_path):
     json.dump(m, open(os.path.join(part0, "_MANIFEST.json"), "w"))
     r = run_checkpointed(_inputs(corpus3), out, skew_routing=False)
     assert r["done"] == ["part=00000"]
+
+
+def test_spans_written_and_survive_resume(corpus3, tmp_path):
+    """The flagship two-table contract survives checkpointing: every
+    partition writes a spans view beside the extracted table under the same
+    manifest discipline, and a kill between the two writes redoes BOTH."""
+    out = str(tmp_path / "out")
+    r1 = run_checkpointed(_inputs(corpus3), out, skew_routing=False)
+    for part, m in r1["metrics"].items():
+        spans_dir = os.path.join(out, "spans", part)
+        t = pq.read_table(spans_dir)
+        assert t.num_rows == m["spans_rows"] > 0
+        assert {"url", "node_id", "level", "start", "end",
+                "is_subscript"} <= set(t.column_names)
+
+    # kill between the extracted write and the spans write: extracted files
+    # exist, spans half-written, manifest absent → whole shard redone
+    victim = os.path.join(out, "part=00001")
+    os.remove(os.path.join(victim, "_MANIFEST.json"))
+    shutil.rmtree(os.path.join(out, "spans", "part=00001"))
+
+    r2 = run_checkpointed(_inputs(corpus3), out, skew_routing=False)
+    assert r2["done"] == ["part=00001"]
+    t = pq.read_table(os.path.join(out, "spans", "part=00001"))
+    assert t.num_rows == r2["metrics"]["part=00001"]["spans_rows"] > 0

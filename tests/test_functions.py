@@ -457,3 +457,30 @@ def test_pca_matches_numpy(ray_session, emb_table):
     # deterministic across reruns
     mean2, comp2 = fit_pca(ds, n_components=4)
     assert np.array_equal(comp, comp2)
+
+
+def test_media_decode_real_codec_branch_with_pil():
+    """Import-gated real-codec path: when PIL is installed, genuine encoded
+    images decode through it (the stub path is untouched)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        MediaDecoder, synth_media_table)
+    img = PIL.new("RGB", (20, 10), (1, 2, 3))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    t = pa.table({
+        "item_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "payload": pa.array([buf.getvalue()], pa.binary()),
+        "width": pa.array([0], pa.int32()),
+        "height": pa.array([0], pa.int32()),
+        "n_frames": pa.array([0], pa.int32()),
+    })
+    out = MediaDecoder()(t)
+    assert out["status"][0].as_py() == "ok"
+    assert out["width"][0].as_py() == 20 and out["height"][0].as_py() == 10
+    # synthetic payloads still take the deterministic stub path
+    out2 = MediaDecoder()(synth_media_table(4))
+    assert set(out2["status"].to_pylist()) == {"ok"}
