@@ -7,7 +7,9 @@ Prints ONE JSON line::
 
 Env: ``GRAFT_SF_DIR`` (default /root/testdata/sf0.1), ``RAY_GRAFT_CPUS``
 (default 32), ``GRAFT_BENCH_REPLICATE`` (corpus amplification for the
-headline extraction run; default 20 → ~100k docs at sf0.1).
+headline extraction run; default 60 → ~300k docs at sf0.1, large enough
+that the streaming executor's ~1.5 s fixed startup cost stops dominating
+and the number reported is steady-state throughput).
 
 ``--scaling`` runs the headline pipeline in TWO fresh subprocesses
 (num_cpus=8 then 32) on identical input and reports both throughputs plus
@@ -29,7 +31,7 @@ os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "20"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "60"))
 # N vs 4N parallelism levels for --scaling (the north-rule two-cluster-size
 # criterion, sandbox protocol).  4→16 leaves headroom on the 32-core box for
 # Ray's own service threads — scaling is then measured on the pipeline, not

@@ -89,6 +89,11 @@ class ExtractConfig:
     # Emit spans below block level (para/line/word rows).
     emit_word_spans: bool = True
 
+    # Fast regex tokenizer front-end (html.parser-equivalent event stream,
+    # parity-tested; falls back to the stdlib parser per document on any
+    # internal error).  False forces the stdlib front-end everywhere.
+    fast_parser: bool = True
+
     # User-supplied BlockRule callables (see :class:`BlockRuleContext`) —
     # the PageItemFactory/CloseListener-analogue extension point.  A tuple
     # so the config stays hashable; rules ship to workers by value.

@@ -75,3 +75,60 @@ def test_arbitrary_bytes_never_raise(payload):
     r = extract_one(payload, None, None, CFG)
     assert r.payload_kind in ("html", "text", "pdf", "empty", "error")
     assert isinstance(r.text, str)
+
+
+def test_fast_tokenizer_parity_with_stdlib():
+    """The regex tokenizer front-end must produce the IDENTICAL
+    ExtractResult (text, spans, confidences) as the stdlib html.parser
+    front-end — over every fixture page, truncation points, and a gauntlet
+    of adversarial constructs (comments, CDATA, PIs, raw script/style
+    content, tolerant attr grammar, unterminated constructs at EOF)."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+
+    from org_dharts_dia_tesseract_ray.config import ExtractConfig
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+
+    fast = ExtractConfig(fast_parser=True)
+    slow = ExtractConfig(fast_parser=False)
+
+    def check(payload, lang=None, ctext=None):
+        a = extract_one(payload, lang, ctext, fast)
+        b = extract_one(payload, lang, ctext, slow)
+        assert a.text == b.text, (payload[:80], a.text[:80], b.text[:80])
+        assert a.n_blocks == b.n_blocks and a.doc_confidence == b.doc_confidence
+        assert [dataclasses.astuple(s) for s in a.spans] == \
+               [dataclasses.astuple(s) for s in b.spans], payload[:80]
+
+    t = pq.read_table("/root/repo/fixtures/pages_tiny.parquet")
+    for i in range(t.num_rows):
+        check(t["html"][i].as_py(), t["lang"][i].as_py(), t["text"][i].as_py())
+    # truncation sweep over a few small pages
+    for i in range(6):
+        h = t["html"][i].as_py() or b""
+        if len(h) > 4000:
+            continue
+        for cut in range(0, len(h), 11):
+            check(h[:cut], t["lang"][i].as_py())
+    for c in [
+        b"<p>a < b and c > d</p>",
+        b"<p>x &amp; y &lt;3 &notarealentity; &amp y</p>",
+        b"<p>unterminated <a href='x",
+        b"<script>if(a<b){x='</div>'}</script><p>after</p>",
+        b"<style>p>a{color:red}</style><p>styled</p>",
+        b"<!-- <p>not text</p> --><p>real</p>",
+        b"<![CDATA[<p>no</p>]]><p>yes</p>",
+        b"<?php echo '<p>no</p>'; ?><p>pi</p>",
+        b'<p title="a>b">gt in attr</p>',
+        b"<a href=/>slash link</a><p>word text here</p>",
+        b"<P>UPPER</P><DiV>mixed</dIv>",
+        b"<option>a<option>b</select><p>after select</p>",
+        b"<script>no close tag at eof",
+        b"<p>text<!-- unclosed comment",
+        b"<p>cdata trunc <![CDATA[ oops",
+        b"<!-- x > y --><p>cmt gt</p>",
+        b"< notatag <p>real text</p>",
+        b"<p a=1 b='2' c=\"3\" d>attrs</p>",
+    ]:
+        check(c, "en")
