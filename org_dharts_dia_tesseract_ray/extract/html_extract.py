@@ -246,14 +246,17 @@ class _SegmentingParser(HTMLParser):
         if lines:
             para.lines = lines
             para.word_masks = masks if any_mask else None
-            # dropcap: first text node a lone uppercase letter, glued (no
-            # whitespace) to the following text node — i.e. split out of
-            # its word by markup, the classic dropcap pattern
-            txts = [it for it in self._items if it[0] == "txt"]
+            # dropcap: the paragraph's first two items are ADJACENT text
+            # nodes (no <br> between — a lone letter on its own verse line
+            # is not a dropcap), the first a lone uppercase letter glued
+            # (no whitespace) to the second — i.e. split out of its word by
+            # markup, the classic dropcap pattern
+            its = self._items
             para.dropcap_first = (
-                len(txts) >= 2 and len(txts[0][1]) == 1
-                and txts[0][1].isalpha() and txts[0][1].isupper()
-                and bool(txts[1][1]) and not txts[1][1][0].isspace())
+                len(its) >= 2 and its[0][0] == "txt" and its[1][0] == "txt"
+                and len(its[0][1]) == 1
+                and its[0][1].isalpha() and its[0][1].isupper()
+                and bool(its[1][1]) and not its[1][1][0].isspace())
             para.chars = total
             para.link_chars = min(link_total, total)
             para.inline_tags = self._inline_tags
@@ -471,13 +474,46 @@ _TAG_RE = re.compile(
     r"|!\[CDATA\[.*?\]\]>"                       # CDATA section
     r"|(/)\s*([a-zA-Z][a-zA-Z0-9:._-]*)\s*[^>]*>"   # end tag
     r"|([a-zA-Z][a-zA-Z0-9:._-]*)"               # start tag name
-    r"((?:\"[^\"]*\"|'[^']*'|[^\"'>])*)>"        # ...attrs blob
+    # attrs blob — quoted values engage ONLY right after '=' (html.parser's
+    # tolerant attr grammar: <p title=don't> has the UNQUOTED value "don't";
+    # a general quoted-string alternative would swallow text to the next
+    # apostrophe in the document)
+    r"((?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*)>"
     r"|(!--|!\[CDATA\[)"                         # unterminated at EOF → data
     r"|[!?][^>]*>"                               # doctype / bogus / PI
     r")", re.S)
 
-_ROLE_RE = re.compile(
-    r"""\brole\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I)
+_ROLE_HINT_RE = re.compile(r"role", re.I)
+
+#: a blob ending in an unterminated quoted value: stdlib never ends the tag
+#: here — it scans to EOF for the closing quote, then demotes the
+#: incomplete tag prefix to data and resumes parsing after it
+_UNTERM_Q_RE = re.compile(r"=\s*(\"[^\"]*|'[^']*)$")
+
+#: sequential attribute tokenizer (html.parser attrfind_tolerant shape):
+#: consuming attrs in order means quoted VALUES are skipped atomically, so
+#: 'role=' text inside another attribute's value or a data-role attribute
+#: name can never be mistaken for the role attribute
+_ATTR_SEQ_RE = re.compile(
+    r"[\s/]*([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^>\s]*))?")
+
+
+def _role_attr(blob: str):
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        m = _ATTR_SEQ_RE.match(blob, pos)
+        if m is None or m.end() == pos:
+            pos += 1
+            continue
+        pos = m.end()
+        if m.group(1).lower() == "role":
+            v = m.group(2) or ""
+            if v[:1] in "\"'":
+                v = v[1:-1]
+            return v
+    return None
 
 _CDATA_CLOSE = {
     "script": re.compile(r"</\s*script", re.I),
@@ -514,11 +550,18 @@ def _feed_fast(parser: _SegmentingParser, text: str) -> None:
             continue
         tag = name.lower()
         blob = m.group(4) or ""
+        if _UNTERM_Q_RE.search(blob):
+            # incomplete start tag (quote never closes): emit the prefix as
+            # data and reprocess from the '>' as ordinary text — the stdlib
+            # event sequence for this construct
+            data(text[m.start():m.end() - 1])
+            pos = m.end() - 1
+            continue
         attrs = []
-        if "role" in blob or "ROLE" in blob or "Role" in blob:
-            rm = _ROLE_RE.search(blob)
-            if rm:
-                val = rm.group(1) or rm.group(2) or rm.group(3) or ""
+        # attrs only matter for the boilerplate role check on flush tags
+        if tag in _FLUSH_TAGS and _ROLE_HINT_RE.search(blob):
+            val = _role_attr(blob)
+            if val is not None:
                 attrs = [("role", unescape(val) if "&" in val else val)]
         stripped = blob.rstrip()
         # self-closing iff the trailing "/" is its own token — a "/" glued

@@ -34,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import default_num_partitions, partition_ids
+from ..util import default_num_partitions, key_change_mask, partition_ids
 
 
 def broadcast_lookup(ds, dim_ds, *, key: str, dim_key: str,
@@ -76,15 +76,6 @@ def broadcast_lookup(ds, dim_ds, *, key: str, dim_key: str,
 
 def _np_i64(col) -> np.ndarray:
     return np.asarray(pc.cast(col, pa.int64()))
-
-
-def _key_change_mask(keys: pa.Array, n: int) -> np.ndarray:
-    """Boolean mask: row i starts a new key run (sorted input)."""
-    change = np.ones(n, dtype=bool)
-    if n > 1:
-        change[1:] = np.asarray(
-            pc.not_equal(keys.slice(1), keys.slice(0, n - 1)))
-    return change
 
 
 def range_join_count(left_ds, right_ds, *, key: str, left_ts: str,
@@ -143,9 +134,16 @@ def range_join_count(left_ds, right_ds, *, key: str, left_ts: str,
                                dtype=np.int64)
         codes_l = codes_all[side == 0]
         codes_r = codes_all[side == 1]
-        lts = _np_i64(lt["__lts"])
-        rs = _np_i64(rt["__rs"])
-        re_ = _np_i64(rt["__re"])
+        # null left timestamps can never fall in a range; null right bounds
+        # never match (SQL comparison-with-null semantics) — computed on
+        # zero-filled values, masked back to 0 below
+        l_ok = np.asarray(pc.is_valid(lt["__lts"]))
+        codes_l = codes_l[l_ok]
+        lts = _np_i64(lt.filter(pa.array(l_ok))["__lts"])
+        r_ok = np.asarray(pc.and_(pc.is_valid(rt["__rs"]),
+                                  pc.is_valid(rt["__re"])))
+        rs = _np_i64(pc.coalesce(rt["__rs"], pa.scalar(0, rt["__rs"].type)))
+        re_ = _np_i64(pc.coalesce(rt["__re"], pa.scalar(0, rt["__re"].type)))
         # shared dense rank space over every timestamp in the partition
         uniq = np.unique(np.concatenate([lts, rs, re_]))
         K = np.int64(len(uniq) + 1)
@@ -155,11 +153,13 @@ def range_join_count(left_ds, right_ds, *, key: str, left_ts: str,
                              side="left")
         hi = np.searchsorted(comp_l, codes_r * K + np.searchsorted(uniq, re_),
                              side="right")
+        # inverted intervals (start > end) and null bounds count 0
+        counts = np.where(r_ok, np.maximum(hi - lo, 0), 0)
         return pa.table({
             key: rt[key],
             "range_start": rt["__rs"],
             "range_end": rt["__re"],
-            out_col: pa.array(hi - lo, pa.int64()),
+            out_col: pa.array(counts, pa.int64()),
         })
 
     return unioned.groupby("__part").map_groups(merge,
@@ -244,11 +244,8 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
         is_right = side_s == 1
         idx = np.arange(n, dtype=np.int64)
         last_right = np.maximum.accumulate(np.where(is_right, idx, -1))
-        keys_s = t[key]
-        if isinstance(keys_s, pa.ChunkedArray):
-            keys_s = keys_s.combine_chunks()
         key_first = np.maximum.accumulate(
-            np.where(_key_change_mask(keys_s, n), idx, -1))
+            np.where(key_change_mask(t[key], n), idx, -1))
         valid = last_right >= key_first
         left_mask = ~is_right
         lsel = pa.array(left_mask)

@@ -59,18 +59,14 @@ def _topn_per_group(t: pa.Table, group_col: str, id_col: str,
     (group, __fp, id): position-within-run mask, no per-group Python."""
     import numpy as np
 
+    from ..util import key_change_mask
+
     t = t.sort_by([(group_col, "ascending"), ("__fp", "ascending"),
                    (id_col, "ascending")])
     m = t.num_rows
     if m == 0:
         return t
-    keys = t[group_col]
-    if isinstance(keys, pa.ChunkedArray):
-        keys = keys.combine_chunks()
-    change = np.ones(m, dtype=bool)
-    if m > 1:
-        change[1:] = np.asarray(
-            pc.not_equal(keys.slice(1), keys.slice(0, m - 1)))
+    change = key_change_mask(t[group_col], m)
     idx = np.arange(m, dtype=np.int64)
     run_start = np.maximum.accumulate(np.where(change, idx, -1))
     return t.filter(pa.array(idx - run_start < n))

@@ -30,12 +30,15 @@ def tumbling_window_batch(batch: pa.Table, width_us: int,
     Floor division must round toward -inf (numpy ``//``), not toward zero
     (Arrow ``pc.divide`` on int64) — pre-epoch timestamps land in the wrong
     window under truncation, diverging from both ``sliding_aggregate`` and
-    the DuckDB ``//`` oracle."""
+    the DuckDB ``//`` oracle.  Null timestamps yield a null window_start
+    (computed on zero-filled values, masked back)."""
     ts = batch[ts_col]
-    epoch = np.asarray(pc.cast(ts, pa.int64()))
-    start = (epoch // width_us) * width_us
-    return batch.append_column(
-        "window_start", pc.cast(pa.array(start, pa.int64()), ts.type))
+    epoch_a = pc.cast(ts, pa.int64())
+    epoch = np.asarray(pc.coalesce(epoch_a, pa.scalar(0, pa.int64())))
+    start = pa.array((epoch // width_us) * width_us, pa.int64())
+    col = pc.if_else(pc.is_valid(epoch_a), pc.cast(start, ts.type),
+                     pa.scalar(None, ts.type))
+    return batch.append_column("window_start", col)
 
 
 def tumbling_aggregate(ds, *, width_minutes: int = 60, ts_col: str = "ts",
@@ -157,9 +160,14 @@ def sessionize(ds, *, gap_minutes: int = 30, user_col: str = "user_id",
     P = num_partitions or default_num_partitions()
 
     def add_part(b: pa.Table) -> pa.Table:
+        # rows with a null event time are dropped: gap-based session
+        # membership is undefined without a timestamp (documented)
+        b = b.filter(pc.is_valid(b[ts_col]))
         return b.append_column("__part", partition_ids(b[user_col], P))
 
     def per_partition(g: pa.Table) -> pa.Table:
+        from ..util import key_change_mask
+
         t = g.sort_by([(user_col, "ascending"), (ts_col, "ascending"),
                        (id_col, "ascending")])
         n = t.num_rows
@@ -167,10 +175,7 @@ def sessionize(ds, *, gap_minutes: int = 30, user_col: str = "user_id",
         keys = t[user_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        key_change = np.ones(n, dtype=bool)
-        if n > 1:
-            key_change[1:] = np.asarray(
-                pc.not_equal(keys.slice(1), keys.slice(0, n - 1)))
+        key_change = key_change_mask(keys, n)
         new_session = key_change.copy()
         if n > 1:
             new_session[1:] |= np.diff(ts) > gap_us

@@ -89,7 +89,9 @@ def run_checkpointed(
     the shard — both views — is redone wholesale on resume.
     """
     cfg = cfg or ExtractConfig()
-    cfg_repr = repr(cfg)
+    # write_spans is part of the partition's identity: a partition
+    # completed without the spans view must NOT satisfy a run that wants it
+    cfg_repr = repr(cfg) + f":spans={bool(write_spans)}"
     os.makedirs(out_dir, exist_ok=True)
     done, skipped, metrics = [], [], {}
 
@@ -98,7 +100,9 @@ def run_checkpointed(
         part_dir = os.path.join(out_dir, part)
         fp = _fingerprint(shard, cfg_repr)
         m = read_manifest(part_dir)
-        if m is not None and m.get("fingerprint") == fp:
+        if m is not None and m.get("fingerprint") == fp and (
+                not write_spans
+                or os.path.isdir(os.path.join(out_dir, "spans", part))):
             skipped.append(part)
             metrics[part] = m
             continue

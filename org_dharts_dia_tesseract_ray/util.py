@@ -39,6 +39,19 @@ def keep_first_per_key(t: pa.Table, key: str, order_by: list) -> pa.Table:
     return first_per_key(t.sort_by(sort_keys), key)
 
 
+def key_change_mask(keys, n: int):
+    """Boolean numpy mask: row i starts a new run of equal key values in an
+    already-sorted column (adjacent-compare; row 0 always True).  The
+    boundary-detection primitive of every partition-vectorized reducer."""
+    import numpy as np
+    keys = as_array(keys)
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        change[1:] = np.asarray(
+            pc.not_equal(keys.slice(1), keys.slice(0, n - 1)))
+    return change
+
+
 def round_half_away(v: float, decimals: int = 4) -> float:
     """Round half away from zero — DuckDB ``round()`` semantics.  Python's
     built-in ``round`` is half-to-even and diverges from every oracle on
@@ -97,9 +110,13 @@ def _string_hash64(col: pa.Array):
             for i in range(1, max_len):
                 powers[i] = powers[i - 1] * np.uint64(1099511628211)
         contrib = seg * powers[pos]
-        idx = (starts - int(offsets[0])).clip(0, max(len(seg) - 1, 0))
-        h = np.add.reduceat(contrib, idx) if len(seg) else \
-            np.zeros(len(arr), dtype=np.uint64)
+        # sentinel zero so an empty row's start (== len(seg)) is a valid
+        # reduceat index — clipping instead would truncate the PRECEDING
+        # row's byte range and hash the same key differently depending on
+        # whether a trailing empty string shares its batch
+        contrib = np.append(contrib, np.uint64(0))
+        idx = starts - int(offsets[0])
+        h = np.add.reduceat(contrib, idx)
     h = h.astype(np.uint64, copy=False)
     h[lengths == 0] = np.uint64(0)
     return mix64(h)

@@ -130,5 +130,15 @@ def test_fast_tokenizer_parity_with_stdlib():
         b"<!-- x > y --><p>cmt gt</p>",
         b"< notatag <p>real text</p>",
         b"<p a=1 b='2' c=\"3\" d>attrs</p>",
+        # tolerant attr grammar: unquoted values containing quotes must not
+        # swallow document text (code-review regression)
+        b"<p title=don't>first words here</p><p>it's more content words</p>",
+        b"<p title=don't>real content paragraph words</p>",
+        b'<p title="x>after unterminated quote</p>',
+        # role detection must not fire on data-role or quoted-value text
+        b'<div data-role="navigation">real content paragraph here</div>',
+        b'<div title="see role=navigation here">real content words</div>',
+        b'<div role=navigation>boiler words</div><p>content words here</p>',
+        b"<div rOlE='banner'>b</div><p>mixed case role content</p>",
     ]:
         check(c, "en")

@@ -484,3 +484,60 @@ def test_media_decode_real_codec_branch_with_pil():
     # synthetic payloads still take the deterministic stub path
     out2 = MediaDecoder()(synth_media_table(4))
     assert set(out2["status"].to_pylist()) == {"ok"}
+
+
+def test_partition_ids_stable_under_trailing_empty_strings():
+    """Code-review regression: a trailing empty/null string in a batch must
+    not change the partition of the preceding key (the reduceat sentinel)."""
+    import pyarrow as _pa
+
+    from org_dharts_dia_tesseract_ray.util import partition_ids
+
+    a = partition_ids(_pa.array(["example.com/a", ""]), 64)[0].as_py()
+    b = partition_ids(_pa.array(["example.com/a", "other"]), 64)[0].as_py()
+    c = partition_ids(_pa.array(["example.com/a", None]), 64)[0].as_py()
+    d = partition_ids(_pa.array(["example.com/a"]), 64)[0].as_py()
+    assert a == b == c == d
+
+
+def test_tumbling_window_null_ts_yields_null_window():
+    import pyarrow as _pa
+
+    from org_dharts_dia_tesseract_ray.functions.windows import (
+        tumbling_window_batch)
+    t = _pa.table({"ts": _pa.array([1_000_000, None, -1],
+                                   _pa.timestamp("us"))})
+    out = tumbling_window_batch(t, 60_000_000)
+    ws = out["window_start"]
+    assert ws[1].as_py() is None
+    assert ws[0].as_py() is not None
+    # pre-epoch floors toward -inf
+    assert ws[2].as_py().timestamp() == -60.0
+
+
+def test_range_join_inverted_interval_counts_zero(ray_session):
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from org_dharts_dia_tesseract_ray.functions.joins import range_join_count
+    ts = _pa.timestamp("us")
+    left = _rd.from_arrow(_pa.table({
+        "k": _pa.array([1, 1], _pa.int64()),
+        "t": _pa.array([100, 200], ts)}))
+    right = _rd.from_arrow(_pa.table({
+        "k": _pa.array([1, 1], _pa.int64()),
+        "s": _pa.array([300, 50], ts),
+        "e": _pa.array([50, 300], ts)}))
+    out = range_join_count(left, right, key="k", left_ts="t",
+                           right_start="s", right_end="e").to_pandas()
+    got = {(r.range_start.timestamp(), r.range_end.timestamp()):
+           r.n_in_range for r in out.itertuples()}
+    assert got[(0.0003, 0.00005)] == 0      # inverted interval, not negative
+    assert got[(0.00005, 0.0003)] == 2
+
+
+def test_dropcap_not_flagged_across_br():
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+    r = extract_one(b"<p>I<br>wandered lonely as a cloud</p>")
+    flagged = [s for s in r.spans if s.is_dropcap]
+    assert flagged == []
