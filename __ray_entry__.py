@@ -393,6 +393,16 @@ def _q_length_quantiles(sf_dir: str):
                              key="lang", value_col="n_chars")
 
 
+def _q_lineitem_price_quantiles(sf_dir: str):
+    """High-cardinality grouped quantiles (~147k distinct l_orderkey at
+    sf0.1): the hash-partitioned reduce computes every order's price
+    quantiles with P Python calls, not one per key."""
+    from org_dharts_dia_tesseract_ray.functions.stats import grouped_quantiles
+    return grouped_quantiles(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]),
+        key="l_orderkey", value_col="l_extendedprice")
+
+
 def _q_doc_frequency(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.vocab import doc_frequency
     return doc_frequency(_read(sf_dir, "documents", ["doc_id", "text"]))
@@ -650,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": _q_split,
         "stratified_sample": _q_stratified,
         "length_quantiles_by_lang": _q_length_quantiles,
+        "lineitem_price_quantiles": _q_lineitem_price_quantiles,
         "doc_frequency": _q_doc_frequency,
         "tfidf_top_term": _q_tfidf_top_term,
         "bigrams_top100": _q_bigrams_top100,
@@ -722,6 +733,14 @@ def _stats_sql() -> str:
     return grouped_quantiles_sql()
 
 
+def _lineitem_quantiles_sql() -> str:
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        grouped_quantiles_sql)
+    return grouped_quantiles_sql(key="l_orderkey",
+                                 value_col="l_extendedprice",
+                                 table="lineitem")
+
+
 def _vocab_sql(k: int, ngram: int) -> str:
     from org_dharts_dia_tesseract_ray.functions.vocab import (
         doc_frequency_sql, vocab_topk_sql)
@@ -773,6 +792,7 @@ FROM documents GROUP BY lang""",
         "train_val_test_split": _sampling_sql("split"),
         "stratified_sample": _sampling_sql("stratified"),
         "length_quantiles_by_lang": _stats_sql(),
+        "lineitem_price_quantiles": _lineitem_quantiles_sql(),
         "doc_frequency": _vocab_sql(0, 0),
         "tfidf_top_term": _tfidf_sql(),
         "bigrams_top100": _vocab_sql(100, 2),

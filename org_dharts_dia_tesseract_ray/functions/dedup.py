@@ -483,6 +483,7 @@ def neardup_clusters(ids_ds, pairs_ds, *, id_col: str = "doc_id",
     # per node, held distributed in the object store, never on the driver.
     sym = sym.materialize()
     labels = labels.materialize()
+    prev_sum = None
     for _ in range(rounds):
         prop = sym.join(
             labels.map_batches(
@@ -496,6 +497,13 @@ def neardup_clusters(ids_ds, pairs_ds, *, id_col: str = "doc_id",
                   .groupby("node")
                   .aggregate(Min("label", alias_name="label"))
                   .materialize())
+        # convergence: labels only ever DECREASE (Min), so the label total
+        # is strictly monotone while anything changes — an unchanged sum
+        # means a fixed point, and further rounds are pure shuffle cost
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
 
     return labels.map_batches(
         lambda b: pa.table({id_col: b["node"], "cluster": b["label"]}),

@@ -2,41 +2,64 @@
 
 Corpus profiling needs distribution shape (doc-length quantiles per
 language/source drive filtering thresholds).  Exact per-group quantiles via
-``groupby(key).map_groups`` + ``np.percentile`` (linear interpolation —
-bit-compatible with DuckDB ``quantile_cont`` modulo double-rounding noise,
-hence the shared 4 dp quantization).
+the engine's hash-partition pattern: ``__part = hash(key) % P`` is a pure
+vectorized column, ONE ``groupby(__part)`` shuffle co-locates each key, and
+every partition is processed by a single call that sorts once and walks its
+key runs — Python call count = P, not |keys|, so high-cardinality keys
+(quantiles per order, per host) cost no per-key Ray overhead.  Within a
+run ``np.percentile`` (linear interpolation — bit-compatible with DuckDB
+``quantile_cont`` modulo double-rounding noise, hence the shared 4 dp
+quantization).
 
-Scale note: per-group numpy is fine while one key's rows fit a worker (true
-for lang/source profiling: few groups, many rows — the map_groups call
-count equals the group count, which is SMALL here, the opposite of the url
-dedup case).  For millions of groups switch to a sketch (KLL/t-digest) —
-mergeable per-batch partials, one small groupby.
+Scale note: for sketch-grade accuracy at extreme cardinality × huge groups,
+switch to a mergeable KLL/t-digest partial per batch; exact per-partition
+sorting is the right answer while one partition fits a worker.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..util import round_half_away
+from ..util import (default_num_partitions, key_change_mask, partition_ids,
+                    round_half_away)
 
 
 def grouped_quantiles(ds, *, key: str, value_col: str,
-                      quantiles=(0.5, 0.9, 0.99)):
+                      quantiles=(0.5, 0.9, 0.99),
+                      num_partitions: int | None = None):
     """(key, q50, q90, …) — exact linear-interpolation quantiles per group."""
     qcols = [f"q{int(q * 100)}" for q in quantiles]
+    qpcts = [q * 100 for q in quantiles]
+    P = num_partitions or default_num_partitions()
 
-    def per_group(g: pa.Table) -> pa.Table:
-        vals = np.asarray(g[value_col], dtype=np.float64)
-        out = {key: g[key].slice(0, 1)}
-        for q, name in zip(quantiles, qcols):
-            v = float(np.percentile(vals, q * 100, method="linear"))
-            # half-away-from-zero — same quantization as every other oracle
-            # (Python round() is half-to-even and diverges on exact halves)
-            out[name] = pa.array([round_half_away(v, 4)], pa.float64())
-        return pa.table(out)
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column("__part", partition_ids(b[key], P))
 
-    return ds.groupby(key).map_groups(per_group, batch_format="pyarrow")
+    def per_partition(g: pa.Table) -> pa.Table:
+        t = g.sort_by([(key, "ascending")])
+        n = t.num_rows
+        vals = np.asarray(t[value_col], dtype=np.float64)
+        bounds = np.flatnonzero(key_change_mask(t[key], n))
+        ends = np.r_[bounds[1:], n]
+        out_q = [np.empty(len(bounds), dtype=np.float64) for _ in qpcts]
+        for i, (s, e) in enumerate(zip(bounds, ends)):
+            res = np.percentile(vals[s:e], qpcts, method="linear")
+            for j, v in enumerate(res):
+                out_q[j][i] = round_half_away(float(v), 4)
+        keys = t[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        cols = {key: keys.take(pa.array(bounds, pa.int64()))}
+        for name, arr in zip(qcols, out_q):
+            cols[name] = pa.array(arr, pa.float64())
+        return pa.table(cols)
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return parted.groupby("__part").map_groups(per_partition,
+                                               batch_format="pyarrow")
 
 
 def grouped_quantiles_sql(key: str = "lang", value_col: str = "n_chars",
