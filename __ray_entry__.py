@@ -871,8 +871,8 @@ GROUP BY l_returnflag, l_linestatus""",
            for name in ("winnow_fingerprints", "neardup_minhash_lsh",
                         "neardup_jaccard_brute", "neardup_simhash",
                         "neardup_clusters", "embeddings_pca",
-                        "approx_distinct_tokens", "media_decode",
-                        "media_frame_sample")},
-        # no oracle (rows-only check): ann_ivf_topk (approximate recall —
-        # asserted vs brute in tests instead).
+                        "ann_ivf_topk", "approx_distinct_tokens",
+                        "media_decode", "media_frame_sample")},
+        # every queries() entry now carries an oracle; the approximate ones
+        # additionally assert recall vs brute force in tests.
     }

@@ -159,6 +159,44 @@ def g_pca() -> pa.Table:
     return pa.table(cols)
 
 
+def g_ann_ivf() -> pa.Table:
+    """Serial replication of the IVF query at the harness parameters:
+    deterministic k-means index over the full matrix, union-of-probes
+    pruning, exact cosine top-k with (cos desc, id asc) tie-break."""
+    from org_dharts_dia_tesseract_ray.functions.similarity import (IvfIndex,
+                                                                   _normalize,
+                                                                   _q4)
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"].to_pylist()])
+    index = IvfIndex.train(M, n_centroids=8, iters=5)
+    nq, k, nprobe = 8, 5, 4
+    qids = ids[:nq]
+    Qn = _normalize(M[:nq].copy())
+    probes = index.probe(M[:nq], nprobe)
+    union = np.unique(probes)
+    assign = (_normalize(M) @ index.centroids.T).argmax(axis=1)
+    keep = np.isin(assign, union)
+    sub_ids = ids[keep]
+    Vn = _normalize(M[keep])
+    C = Qn @ Vn.T
+    q_out, n_out, c_out = [], [], []
+    for qi in range(nq):
+        cos = C[qi].copy()
+        cos[sub_ids == qids[qi]] = -np.inf
+        order = np.lexsort((sub_ids, -cos))[:k]
+        for j in order:
+            if np.isfinite(cos[j]):
+                q_out.append(int(qids[qi]))
+                n_out.append(int(sub_ids[j]))
+                c_out.append(float(_q4(np.array([cos[j]]))[0]))
+    return pa.table({"query_id": pa.array(q_out, pa.int64()),
+                     "neighbor_id": pa.array(n_out, pa.int64()),
+                     "cos": pa.array(c_out, pa.float64())})
+
+
 def g_approx_distinct() -> pa.Table:
     from org_dharts_dia_tesseract_ray.functions.sketch import (M, hll_add,
                                                                hll_estimate,
@@ -197,6 +235,7 @@ GOLDENS = {
     "neardup_simhash": g_simhash_pairs,
     "neardup_clusters": g_clusters,
     "embeddings_pca": g_pca,
+    "ann_ivf_topk": g_ann_ivf,
     "approx_distinct_tokens": g_approx_distinct,
     "media_decode": g_media_decode,
     "media_frame_sample": g_media_frames,
