@@ -74,9 +74,42 @@ def _mix64(h: np.ndarray) -> np.ndarray:
 
 
 def _token_hashes(text: str) -> np.ndarray:
+    """Single-document token hashes (kept for tests/serial callers)."""
     toks = set((text or "").split())
     raw = np.array([rolling_hash64(t) for t in toks], dtype=np.uint64)
     return _mix64(raw)
+
+
+def sketch_table(batch: pa.Table, *, key_col: str = "lang",
+                 text_col: str = "text") -> pa.Table:
+    """(key, sketch) — ONE vectorized pass over a whole table: Arrow
+    tokenize + flatten, the repo's vectorized byte-polynomial hash over the
+    flat token array, and a single 2-D ``np.maximum.at`` scatter into a
+    (keys × M) register matrix.  No Python per token (the previous version
+    hashed every token with a Python rolling-hash call — the slow part of
+    the sketch path at corpus scale)."""
+    from ..util import _string_hash64, as_array
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch[text_col]), WS_PATTERN)
+    flat = pc.list_flatten(toks)
+    keys_tok = pc.take(batch[key_col], pc.list_parent_indices(toks))
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    flat = flat.filter(nonempty)
+    keys_tok = keys_tok.filter(nonempty)
+    if len(flat) == 0:
+        return pa.table({key_col: batch[key_col].slice(0, 0),
+                         "sketch": pa.array([], pa.binary())})
+    h = _string_hash64(as_array(flat))
+    idx, rank = _ranks(h)
+    enc = as_array(keys_tok).dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    regs = np.zeros((len(enc.dictionary), M), dtype=np.int8)
+    np.maximum.at(regs, (codes, idx), rank)
+    return pa.table({
+        key_col: enc.dictionary,
+        "sketch": pa.array([r.tobytes() for r in regs], pa.binary()),
+    })
 
 
 def approx_distinct_tokens(ds, *, key_col: str = "lang",
@@ -87,17 +120,7 @@ def approx_distinct_tokens(ds, *, key_col: str = "lang",
     groupby(key) register-max merge → estimate.
     """
     def partial(b: pa.Table) -> pa.Table:
-        sketches: dict[str, np.ndarray] = {}
-        keys = b[key_col].to_pylist()
-        texts = b[text_col].to_pylist()
-        for k, t in zip(keys, texts):
-            reg = sketches.setdefault(k, np.zeros(M, dtype=np.int8))
-            hll_add(reg, _token_hashes(t))
-        return pa.table({
-            key_col: pa.array(list(sketches), pa.string()),
-            "sketch": pa.array([s.tobytes() for s in sketches.values()],
-                               pa.binary()),
-        })
+        return sketch_table(b, key_col=key_col, text_col=text_col)
 
     def merge(group: pa.Table) -> pa.Table:
         reg = np.zeros(M, dtype=np.int8)

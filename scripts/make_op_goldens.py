@@ -198,20 +198,19 @@ def g_ann_ivf() -> pa.Table:
 
 
 def g_approx_distinct() -> pa.Table:
-    from org_dharts_dia_tesseract_ray.functions.sketch import (M, hll_add,
-                                                               hll_estimate,
-                                                               _token_hashes)
-    t = _docs()
-    regs: dict[str, np.ndarray] = {}
-    for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
-        reg = regs.setdefault(lang, np.zeros(M, dtype=np.int8))
-        hll_add(reg, _token_hashes(text))
-    langs = sorted(regs)
+    """Serial single-pass sketch over the whole table (the same pinned
+    vectorized kernel the distributed partials use; register-max merging is
+    order-independent, so one pass == any batching)."""
+    from org_dharts_dia_tesseract_ray.functions.sketch import (hll_estimate,
+                                                               sketch_table)
+    t = sketch_table(_docs())
+    langs = t["lang"].to_pylist()
+    ests = [int(round(hll_estimate(np.frombuffer(blob, dtype=np.int8))))
+            for blob in t["sketch"].to_pylist()]
+    order = np.argsort(langs)
     return pa.table({
-        "lang": pa.array(langs, pa.string()),
-        "approx_distinct": pa.array(
-            [int(round(hll_estimate(regs[lang]))) for lang in langs],
-            pa.int64()),
+        "lang": pa.array([langs[i] for i in order], pa.string()),
+        "approx_distinct": pa.array([ests[i] for i in order], pa.int64()),
     })
 
 
