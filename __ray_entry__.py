@@ -223,6 +223,21 @@ def _q_extract_custom_rule(sf_dir: str):
                              "start", "end"]))
 
 
+def _q_pages_dedup_extract(sf_dir: str):
+    """Flagship north-rule composition end-to-end: a recrawl corpus with
+    TWO captures per url (the later one revised) → url dedup
+    (hash-partitioned keep-latest) → extraction; only the later capture's
+    text may appear, exactly one row per url."""
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        pages_from_documents)
+    from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
+        extract_pages)
+    pages = pages_from_documents(sf_dir, dup_captures=True)
+    combined = extract_pages(pages, dedup=True)
+    return combined.select_columns(["url", "extracted_text", "n_blocks",
+                                    "payload_kind"])
+
+
 def _q_token_stats(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.text_stats import (
         apply_token_stats)
@@ -639,6 +654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_spans": _q_extract_spans,
         "extract_mixed_pdf": _q_extract_mixed_pdf,
+        "pages_dedup_extract": _q_pages_dedup_extract,
         "extract_boxes": _q_extract_boxes,
         "extract_metrics_by_lang": _q_extract_metrics,
         # segmentation modes / ROI / char filter (M9 / M2 / M11)
@@ -765,6 +781,13 @@ def oracle_sql() -> dict[str, str]:
         "extract_roundtrip": roundtrip_sql(),
         "extract_spans": roundtrip_spans_sql(),
         "extract_mixed_pdf": mixed_pdf_sql(),
+        "pages_dedup_extract": """
+SELECT 'https://corpus.test/doc/' || doc_id AS url,
+       'Doc ' || doc_id || chr(10) || chr(10) || 'rev2 ' || text
+         AS extracted_text,
+       2 AS n_blocks,
+       'html' AS payload_kind
+FROM documents""",
         "extract_boxes": boxes_sql(),
         "extract_custom_rule": roundtrip_spans_sql(
             heading_type="caption_text"),

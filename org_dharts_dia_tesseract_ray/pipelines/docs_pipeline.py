@@ -100,13 +100,37 @@ def wrap_documents_batch_subsup(batch: pa.Table) -> pa.Table:
     return t.set_column(2, "html", pa.array(html, pa.binary()))
 
 
+def wrap_documents_batch_dup(batch: pa.Table) -> pa.Table:
+    """TWO captures per url: the original page at warc_ts, and a revised
+    page ('rev2 ' prefixed body) one hour later — the Common-Crawl
+    recrawl shape the url-dedup stage must resolve to the LATEST capture."""
+    import pyarrow.compute as pc
+
+    v1 = wrap_documents_batch(batch)
+    b2 = batch.set_column(
+        batch.column_names.index("text"), "text",
+        pc.binary_join_element_wise(
+            pa.array(["rev2"] * batch.num_rows), batch["text"], " "))
+    v2 = wrap_documents_batch(b2)
+    v2 = v2.set_column(
+        1, "warc_ts",
+        pc.add(v2["warc_ts"],
+               pa.scalar(3_600_000_000, pa.duration("us"))).cast(
+                   v2["warc_ts"].type))
+    # restore the corpus text column on v2 (the wrap bakes the revision
+    # into the HTML payload; the text column is corpus metadata)
+    v2 = v2.set_column(3, "text", batch["text"])
+    return pa.concat_tables([v1, v2])
+
+
 def pages_from_documents(sf_dir: str, *, mixed_pdf: bool = False,
-                         subsup: bool = False):
+                         subsup: bool = False, dup_captures: bool = False):
     """documents.parquet → pages Dataset (lazy, streaming)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
     fn = (wrap_documents_batch_mixed if mixed_pdf
           else wrap_documents_batch_subsup if subsup
+          else wrap_documents_batch_dup if dup_captures
           else wrap_documents_batch)
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
