@@ -40,6 +40,30 @@ SCALING_CPUS = [int(x) for x in
                 os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")]
 
 
+def probe_effective_cores(n_procs: int = 32) -> float:
+    """This sandbox's vCPUs are oversubscribed at the hypervisor: parallel
+    capacity swings between ~15 and ~4 effective cores hour to hour while
+    single-core speed stays constant.  A 32-process pure-CPU spin measures
+    the capacity actually available to THIS run, so every benchmark JSON
+    carries the context needed to interpret its throughput."""
+    import multiprocessing as mp
+
+    def spin(n):
+        t0 = time.time()
+        x = 0
+        for i in range(n):
+            x += i * i
+        return time.time() - t0
+
+    n = 3_000_000
+    t1 = spin(n)
+    with mp.Pool(n_procs) as p:
+        t0 = time.time()
+        p.map(spin, [n] * n_procs)
+        wall = time.time() - t0
+    return round(n_procs * t1 / wall, 1)
+
+
 def _init_ray():
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -226,6 +250,7 @@ def main() -> None:
 
     if scaling and not child:
         lo, hi = SCALING_CPUS
+        eff_cores = probe_effective_cores()
         results = {}
         for cpus in (lo, hi):
             env = dict(os.environ,
@@ -255,9 +280,11 @@ def main() -> None:
             },
             "sf": SF_DIR,
             "num_cpus": [lo, hi],
+            "effective_cores": eff_cores,
         }))
         return
 
+    eff_cores = probe_effective_cores()
     ray = _init_ray()
     try:
         headline = run_headline(SF_DIR, REPLICATE)
@@ -275,6 +302,7 @@ def main() -> None:
             "total_wall_sec": round(total, 3),
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
+            "effective_cores": eff_cores,
             "replicate": REPLICATE,
         }))
     finally:
