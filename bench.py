@@ -40,6 +40,14 @@ SCALING_CPUS = [int(x) for x in
                 os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")]
 
 
+def _spin(n: int) -> float:
+    t0 = time.time()
+    x = 0
+    for i in range(n):
+        x += i * i
+    return time.time() - t0
+
+
 def probe_effective_cores(n_procs: int = 32) -> float:
     """This sandbox's vCPUs are oversubscribed at the hypervisor: parallel
     capacity swings between ~15 and ~4 effective cores hour to hour while
@@ -48,18 +56,11 @@ def probe_effective_cores(n_procs: int = 32) -> float:
     carries the context needed to interpret its throughput."""
     import multiprocessing as mp
 
-    def spin(n):
-        t0 = time.time()
-        x = 0
-        for i in range(n):
-            x += i * i
-        return time.time() - t0
-
     n = 3_000_000
-    t1 = spin(n)
+    t1 = _spin(n)
     with mp.Pool(n_procs) as p:
         t0 = time.time()
-        p.map(spin, [n] * n_procs)
+        p.map(_spin, [n] * n_procs)
         wall = time.time() - t0
     return round(n_procs * t1 / wall, 1)
 
