@@ -235,6 +235,8 @@ class _SegmentingParser(HTMLParser):
             cur = []
 
         for item in self._items:
+            if item[0] == "tb":
+                continue
             if item[0] == "br":
                 end_line()
             else:
@@ -246,17 +248,24 @@ class _SegmentingParser(HTMLParser):
         if lines:
             para.lines = lines
             para.word_masks = masks if any_mask else None
-            # dropcap: the paragraph's first two items are ADJACENT text
-            # nodes (no <br> between — a lone letter on its own verse line
-            # is not a dropcap), the first a lone uppercase letter glued
-            # (no whitespace) to the second — i.e. split out of its word by
-            # markup, the classic dropcap pattern
+            # dropcap: the paragraph opens with a lone uppercase letter
+            # split out of its word by an inline ELEMENT boundary ("tb"
+            # marker) and glued (no whitespace) to the following text —
+            # the classic <span class=dropcap>O</span>nce pattern.  The
+            # marker requirement makes this independent of data-chunk
+            # granularity (a charref split emits two text nodes with no
+            # element between) and rejects <br>-separated verse lines.
             its = self._items
-            para.dropcap_first = (
-                len(its) >= 2 and its[0][0] == "txt" and its[1][0] == "txt"
-                and len(its[0][1]) == 1
-                and its[0][1].isalpha() and its[0][1].isupper()
-                and bool(its[1][1]) and not its[1][1][0].isspace())
+            drop = False
+            if (its and its[0][0] == "txt" and len(its[0][1]) == 1
+                    and its[0][1].isalpha() and its[0][1].isupper()):
+                j = 1
+                while j < len(its) and its[j][0] == "tb":
+                    j += 1
+                drop = (j > 1 and j < len(its) and its[j][0] == "txt"
+                        and bool(its[j][1])
+                        and not its[j][1][0].isspace())
+            para.dropcap_first = drop
             para.chars = total
             para.link_chars = min(link_total, total)
             para.inline_tags = self._inline_tags
@@ -371,6 +380,11 @@ class _SegmentingParser(HTMLParser):
         elif tag == "sup":
             self._sup += 1
         self._inline_tags += 1
+        if self._items:
+            # element-boundary marker: distinguishes markup-split text
+            # (dropcap detection) from mere data-chunk splits (charrefs),
+            # making the result independent of data granularity
+            self._items.append(("tb",))
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
@@ -416,12 +430,15 @@ class _SegmentingParser(HTMLParser):
             elif tag == "figure":
                 self._pop_group("figure")
             self._note_context(tag, closing=True)
-        elif tag == "a":
-            self._link = max(0, self._link - 1)
-        elif tag == "sub":
-            self._sub = max(0, self._sub - 1)
-        elif tag == "sup":
-            self._sup = max(0, self._sup - 1)
+        else:
+            if tag == "a":
+                self._link = max(0, self._link - 1)
+            elif tag == "sub":
+                self._sub = max(0, self._sub - 1)
+            elif tag == "sup":
+                self._sup = max(0, self._sup - 1)
+            if self._items:
+                self._items.append(("tb",))
         if self.selector_tag and tag == self.selector_tag:
             self._selector = max(0, self._selector - 1)
 
@@ -473,6 +490,7 @@ _TAG_RE = re.compile(
     r"!--.*?--\s*>"                              # comment
     r"|!\[CDATA\[.*?\]\]>"                       # CDATA section
     r"|(/)\s*([a-zA-Z][a-zA-Z0-9:._-]*)\s*[^>]*>"   # end tag
+    r"|/[^>]*>"                                  # bogus end tag → dropped
     r"|([a-zA-Z][a-zA-Z0-9:._-]*)"               # start tag name
     # attrs blob — quoted values engage ONLY right after '=' (html.parser's
     # tolerant attr grammar: <p title=don't> has the UNQUOTED value "don't";
@@ -486,9 +504,16 @@ _TAG_RE = re.compile(
 _ROLE_HINT_RE = re.compile(r"role", re.I)
 
 #: a blob ending in an unterminated quoted value: stdlib never ends the tag
-#: here — it scans to EOF for the closing quote, then demotes the
-#: incomplete tag prefix to data and resumes parsing after it
+#: here — it scans the REST OF THE DOCUMENT for the closing quote and its
+#: recovery depends on global document state, so the fast path hands the
+#: whole document to the stdlib front-end instead of approximating
 _UNTERM_Q_RE = re.compile(r"=\s*(\"[^\"]*|'[^']*)$")
+
+
+class _StdlibFallback(Exception):
+    """Raised when the fast tokenizer meets a construct whose stdlib
+    recovery is document-global (unterminated attribute quote) — the
+    caller reparses the document with html.parser."""
 
 #: sequential attribute tokenizer (html.parser attrfind_tolerant shape):
 #: consuming attrs in order means quoted VALUES are skipped atomically, so
@@ -538,9 +563,16 @@ def _feed_fast(parser: _SegmentingParser, text: str) -> None:
             seg = text[pos:m.start()]
             data(unescape(seg) if "&" in seg else seg)
         if m.group(5):                      # unterminated <!-- / <![CDATA[
-            # stdlib emits the raw remainder as data at EOF
-            data(text[m.start():])
-            break
+            # stdlib (at EOF) emits the construct as data up to and
+            # including the FIRST '>' (charrefs converted) and resumes
+            # parsing after it; with no '>' left, the remainder is data
+            j = text.find(">", m.start())
+            seg = text[m.start():] if j < 0 else text[m.start():j + 1]
+            data(unescape(seg) if "&" in seg else seg)
+            if j < 0:
+                break
+            pos = j + 1
+            continue
         pos = m.end()
         if m.group(2):                      # end tag
             parser.handle_endtag(m.group(2).lower())
@@ -551,12 +583,7 @@ def _feed_fast(parser: _SegmentingParser, text: str) -> None:
         tag = name.lower()
         blob = m.group(4) or ""
         if _UNTERM_Q_RE.search(blob):
-            # incomplete start tag (quote never closes): emit the prefix as
-            # data and reprocess from the '>' as ordinary text — the stdlib
-            # event sequence for this construct
-            data(text[m.start():m.end() - 1])
-            pos = m.end() - 1
-            continue
+            raise _StdlibFallback
         attrs = []
         # attrs only matter for the boilerplate role check on flush tags
         if tag in _FLUSH_TAGS and _ROLE_HINT_RE.search(blob):

@@ -52,6 +52,12 @@ def fit_pca(ds, *, vec_col: str = "embedding", n_components: int = 8):
                           zero_copy_batch=True).take_all()
     if not rows:
         raise ValueError("fit_pca: dataset is empty")
+    # float addition is non-associative: streaming execution can deliver
+    # partial rows in varying order run-to-run, which would perturb the
+    # covariance by ulps and flip near-degenerate eigenvectors — sort the
+    # partials by content so the reduction order is a pure function of the
+    # data (determinism gate)
+    rows.sort(key=lambda r: (r["n"], r["sx"], r["sxx"]))
     d = rows[0]["d"]
     n = sum(r["n"] for r in rows)
     sx = np.zeros(d)

