@@ -301,6 +301,17 @@ def _q_neardup_cosine(sf_dir: str):
                           threshold=COS_THRESHOLD)
 
 
+def _q_neardup_cosine_bucketed(sf_dir: str):
+    """Scale path for embedding near-dup: coarse-quantizer buckets + hash
+    self-join + exact-cosine verify — no driver-side corpus matrix (only a
+    bounded training sample).  Zero false positives by construction;
+    recall for near-identical pairs validated vs brute force in tests."""
+    from org_dharts_dia_tesseract_ray.functions.dedup import (
+        cosine_neardup_bucketed)
+    return cosine_neardup_bucketed(_read(sf_dir, "embeddings"),
+                                   threshold=0.45)
+
+
 def _q_ann_brute(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.similarity import brute_topk
     ids, Q = _query_matrix(sf_dir)
@@ -687,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_simhash": _q_neardup_simhash,
         "neardup_jaccard_brute": _q_neardup_jaccard_brute,
         "neardup_cosine": _q_neardup_cosine,
+        "neardup_cosine_bucketed": _q_neardup_cosine_bucketed,
         # similarity search
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
@@ -893,7 +905,8 @@ GROUP BY l_returnflag, l_linestatus""",
                  f"{name}.parquet')"
            for name in ("winnow_fingerprints", "neardup_minhash_lsh",
                         "neardup_jaccard_brute", "neardup_simhash",
-                        "neardup_clusters", "embeddings_pca",
+                        "neardup_clusters", "neardup_cosine_bucketed",
+                        "embeddings_pca",
                         "ann_ivf_topk", "approx_distinct_tokens",
                         "media_decode", "media_frame_sample")},
         # every queries() entry now carries an oracle; the approximate ones

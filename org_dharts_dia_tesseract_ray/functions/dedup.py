@@ -563,6 +563,84 @@ def cosine_neardup(ds, *, threshold: float = 0.4, vec_col: str = "embedding",
                           concurrency=(1, 8))
 
 
+def cosine_neardup_bucketed(ds, *, threshold: float = 0.4,
+                            n_centroids: int = 8, iters: int = 5,
+                            train_rows: int = 2048,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id", num_partitions=None):
+    """Bucketed embedding near-dup — the 100 TB path for cosine pairs.
+
+    The broadcast-matmul baseline (:func:`cosine_neardup`) materializes the
+    corpus matrix on the driver; this variant touches the driver only with
+    a bounded training sample: a deterministic coarse quantizer
+    (:class:`.similarity.IvfIndex`) buckets the stream, candidate pairs
+    come from a hash SELF-JOIN on the bucket id (normalized vectors riding
+    as binary), and each candidate is verified with the exact cosine.  No
+    all-pairs, no full materialization anywhere.
+
+    Recall caveat (standard coarse quantization): a pair straddling a
+    bucket boundary is missed — near-IDENTICAL vectors virtually always
+    share a nearest centroid, moderately-similar pairs may not.  The
+    harness pins behavior with a golden oracle; exactness at small scale
+    is the broadcast variant's job.
+    """
+    import ray
+
+    from .similarity import IvfIndex, _normalize
+
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    sample = ds.select_columns([vec_col]).limit(train_rows).take_all()
+    S = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
+    index = IvfIndex.train(S, n_centroids=n_centroids, iters=iters)
+    ref = ray.put(index.centroids)
+
+    class Assign:
+        def __init__(self, r):
+            self.C = ray.get(r)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "bucket": pa.array([], pa.int32()),
+                                 "vec": pa.array([], pa.binary())})
+            V = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                     for v in b[vec_col].to_pylist()]))
+            bucket = (V @ self.C.T).argmax(axis=1).astype(np.int32)
+            return pa.table({
+                id_col: b[id_col],
+                "bucket": pa.array(bucket, pa.int32()),
+                "vec": pa.array([row.tobytes() for row in V], pa.binary()),
+            })
+
+    assigned = ds.map_batches(Assign, fn_constructor_args=(ref,),
+                              batch_format="pyarrow", zero_copy_batch=True,
+                              concurrency=(1, 8))
+    cand = _self_join_pairs(assigned, ["bucket"], ["vec"], id_col,
+                            num_partitions)
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        va = np.stack([np.frombuffer(x, dtype=np.float64)
+                       for x in b["vec_a"].to_pylist()])
+        vb = np.stack([np.frombuffer(x, dtype=np.float64)
+                       for x in b["vec_b"].to_pylist()])
+        c = np.einsum("ij,ij->i", va, vb)
+        sc = c * 10000.0
+        cos = np.where(sc >= 0, np.floor(sc + 0.5),
+                       np.ceil(sc - 0.5)) / 10000.0
+        t = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                      "cos": pa.array(cos, pa.float64())})
+        return t.filter(pc.greater_equal(
+            pa.array(c), pa.scalar(float(threshold))))
+
+    return cand.map_batches(verify, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def cosine_neardup_sql(threshold: float = 0.4,
                        table: str = "embeddings") -> str:
     return f"""

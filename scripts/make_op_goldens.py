@@ -133,6 +133,47 @@ def g_clusters() -> pa.Table:
     })
 
 
+def g_cosine_bucketed() -> pa.Table:
+    """Serial replication of the bucketed cosine near-dup at the harness
+    params: same deterministic index (trained on the first 2048 = all
+    rows at sf0.01), per-bucket all-pairs exact cosine ≥ 0.45."""
+    from org_dharts_dia_tesseract_ray.functions.similarity import (IvfIndex,
+                                                                   _normalize)
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    M = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"].to_pylist()])
+    index = IvfIndex.train(M[:2048], n_centroids=8, iters=5)
+    Vn = _normalize(M)
+    bucket = (Vn @ index.centroids.T).argmax(axis=1)
+    a_out, b_out, cs = [], [], []
+    for bkt in np.unique(bucket):
+        sel = np.flatnonzero(bucket == bkt)
+        sub_ids = ids[sel]
+        sub = Vn[sel]
+        ii, jj = np.meshgrid(np.arange(len(sel)), np.arange(len(sel)),
+                             indexing="ij")
+        keep = sub_ids[ii] < sub_ids[jj]
+        ii, jj = ii[keep], jj[keep]
+        # same pairwise-dot kernel as the distributed verifier (einsum) —
+        # a BLAS matmul could differ by ulps right at the threshold
+        C = np.einsum("ij,ij->i", sub[ii], sub[jj])
+        for i_, j_, c in zip(sub_ids[ii], sub_ids[jj], C):
+            if c >= 0.45:
+                sc = c * 10000.0
+                a_out.append(int(i_))
+                b_out.append(int(j_))
+                cs.append((math.floor(sc + 0.5) if sc >= 0
+                           else math.ceil(sc - 0.5)) / 10000.0)
+    order = np.lexsort((b_out, a_out))
+    return pa.table({
+        "id_a": pa.array(np.asarray(a_out, np.int64)[order]),
+        "id_b": pa.array(np.asarray(b_out, np.int64)[order]),
+        "cos": pa.array(np.asarray(cs, np.float64)[order]),
+    })
+
+
 def g_pca() -> pa.Table:
     """One-shot numpy PCA with the pinned sign convention + the query's
     4 dp quantization (np.round, matching _q_embeddings_pca.widen)."""
@@ -233,6 +274,7 @@ GOLDENS = {
     "neardup_jaccard_brute": g_jaccard_pairs,
     "neardup_simhash": g_simhash_pairs,
     "neardup_clusters": g_clusters,
+    "neardup_cosine_bucketed": g_cosine_bucketed,
     "embeddings_pca": g_pca,
     "ann_ivf_topk": g_ann_ivf,
     "approx_distinct_tokens": g_approx_distinct,

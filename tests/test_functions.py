@@ -541,3 +541,27 @@ def test_dropcap_not_flagged_across_br():
     r = extract_one(b"<p>I<br>wandered lonely as a cloud</p>")
     flagged = [s for s in r.spans if s.is_dropcap]
     assert flagged == []
+
+
+def test_cosine_bucketed_no_false_positives_and_neardup_recall(ray_session):
+    """Bucketed cosine near-dup: every emitted pair is a true pair with the
+    exact same cosine (verification is exact), and near-identical pairs
+    (cos >= 0.5 in this corpus) are all found — the coarse-quantizer
+    recall claim for the near-dup regime."""
+    import ray.data as _rd
+
+    from org_dharts_dia_tesseract_ray.functions.dedup import (
+        cosine_neardup, cosine_neardup_bucketed)
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    brute = {(r["id_a"], r["id_b"]): r["cos"]
+             for r in cosine_neardup(_rd.read_parquet(path),
+                                     threshold=0.45).take_all()}
+    buck = {(r["id_a"], r["id_b"]): r["cos"]
+            for r in cosine_neardup_bucketed(_rd.read_parquet(path),
+                                             threshold=0.45).take_all()}
+    assert buck, "no candidate pairs emitted"
+    for k, v in buck.items():
+        assert k in brute and brute[k] == v        # zero false positives
+    for k, v in brute.items():
+        if v >= 0.5:                               # near-identical regime
+            assert k in buck
