@@ -173,13 +173,14 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
     latest right row at-or-before its timestamp (null if none).
 
     Per-partition merge, vectorized across ALL keys at once: sort the
-    unioned partition by (key, ts, right-before-left-at-ties), then one
-    ``np.maximum.accumulate`` forward-fill carries the index of the last
-    right row to every row; a key-boundary reset mask invalidates fills
-    that crossed into a different key.  No per-key Python.
+    unioned partition by (key, ts, right-before-left-at-ties, value), then
+    one ``np.maximum.accumulate`` forward-fill carries the index of the
+    last right row to every row; a key-boundary reset mask invalidates
+    fills that crossed into a different key.  No per-key Python.  Right
+    ties on (key, ts) resolve to the MAX value inside the same sorted pass
+    (the max-value right row sorts last among its ties, so the forward
+    fill lands on it) — no separate pre-reduce shuffle.
     """
-    from ray.data.aggregate import Max
-
     P = num_partitions or default_num_partitions()
     out_col = out_col or f"asof_{value_col}"
     left_schema = left_ds.schema()
@@ -189,15 +190,12 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
     rts_type = rtypes[right_ts]
     rval_type = rtypes[value_col]
 
-    # pre-reduce right ties deterministically: one row per (key, ts)
-    right_slim = (right_ds
-                  .map_batches(lambda b: pa.table({
-                      key: b[key],
-                      right_ts: b[right_ts],
-                      value_col: b[value_col]}),
-                      batch_format="pyarrow", zero_copy_batch=True)
-                  .groupby([key, right_ts])
-                  .aggregate(Max(value_col, alias_name=value_col)))
+    right_slim = right_ds.map_batches(
+        lambda b: pa.table({
+            key: b[key],
+            right_ts: b[right_ts],
+            value_col: b[value_col]}),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def tag_left(b: pa.Table) -> pa.Table:
         cols = {n: b[n] for n in left_names}
@@ -237,8 +235,10 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
         # condition is inclusive (rts ≤ lts)
         t = (part.append_column("__uts", uts)
              .append_column("__ord", pa.array(side.astype(np.int8))))
+        # right-tie resolution: among right rows sharing (key, ts) the MAX
+        # value sorts last, so the forward fill picks it
         t = t.sort_by([(key, "ascending"), ("__uts", "ascending"),
-                       ("__ord", "descending")])
+                       ("__ord", "descending"), ("__rval", "ascending")])
         n = t.num_rows
         side_s = np.asarray(t["__side"])
         is_right = side_s == 1
