@@ -245,6 +245,15 @@ def _q_token_stats(sf_dir: str):
                                    ["doc_id", "text"]))
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition filters (duplicate-token / top-n-gram mass)
+    — the quality axis length/stopword scoring doesn't cover."""
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        apply_repetition_stats)
+    return apply_repetition_stats(_read(sf_dir, "documents",
+                                        ["doc_id", "text"]))
+
+
 def _q_quality(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.text_stats import apply_quality
     return apply_quality(_read(sf_dir, "documents", ["doc_id", "text"]))
@@ -679,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis suite
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
+        "repetition_stats": _q_repetition_stats,
         "langid": _q_langid,
         "fingerprint_md5": _q_fingerprint,
         "winnow_fingerprints": _q_winnow,
@@ -784,7 +794,7 @@ def oracle_sql() -> dict[str, str]:
     from org_dharts_dia_tesseract_ray.functions.similarity import (
         brute_topk_sql)
     from org_dharts_dia_tesseract_ray.functions.text_stats import (
-        langid_sql, quality_sql, token_stats_sql)
+        langid_sql, quality_sql, repetition_stats_sql, token_stats_sql)
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
         roundtrip_spans_sql, roundtrip_sql)
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
@@ -819,6 +829,7 @@ SELECT lang,
 FROM documents GROUP BY lang""",
         "token_stats": token_stats_sql(),
         "quality_score": quality_sql(),
+        "repetition_stats": repetition_stats_sql(),
         "langid": langid_sql(),
         "fingerprint_md5": md5_sql(),
         "dedup_exact": exact_dedup_sql(),

@@ -284,3 +284,107 @@ SELECT {id_col},
     END
   END AS pred_lang
 FROM h"""
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality rules, Rae et al. 2021)
+
+
+def repetition_stats_batch(batch: pa.Table, *, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Per-document repetition signals — the Gopher repetition filters for
+    web text: duplicate-token mass and most-common n-gram mass.
+
+    (doc_id, n_words, distinct_frac, top_word_frac, top_bigram_frac),
+    fractions quantized 4 dp.  Fully vectorized: one Arrow tokenize, one
+    ``group_by`` per n-gram order, numpy scatter reductions — no Python
+    per document.
+    """
+    import numpy as np
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch[text_col]), WS_PATTERN)
+    n = batch.num_rows
+    n_words = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    flat = pc.list_flatten(toks)
+    parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+
+    g = (pa.table({"d": pa.array(parents), "w": flat})
+         .group_by(["d", "w"]).aggregate([("w", "count")]))
+    gd = np.asarray(g["d"], dtype=np.int64)
+    gc = np.asarray(g["w_count"], dtype=np.int64)
+    n_distinct = np.bincount(gd, minlength=n)
+    max_word = np.zeros(n, dtype=np.int64)
+    np.maximum.at(max_word, gd, gc)
+
+    # adjacent bigrams within documents (same aligned-slice trick as the
+    # vocabulary builder)
+    n_flat = len(flat)
+    n_big = np.zeros(n, dtype=np.int64)
+    max_big = np.zeros(n, dtype=np.int64)
+    if n_flat >= 2:
+        width = n_flat - 1
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, width), flat.slice(1, width), " ")
+        same_doc = parents[:width] == parents[1:width + 1]
+        sel = np.flatnonzero(same_doc)
+        if len(sel):
+            bparents = parents[sel]
+            bg = (pa.table({"d": pa.array(bparents),
+                            "g": grams.take(pa.array(sel, pa.int64()))})
+                  .group_by(["d", "g"]).aggregate([("g", "count")]))
+            bd = np.asarray(bg["d"], dtype=np.int64)
+            bc = np.asarray(bg["g_count"], dtype=np.int64)
+            n_big = np.bincount(bparents, minlength=n)
+            np.maximum.at(max_big, bd, bc)
+
+    def frac(num, den):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            f = np.where(den > 0, num / np.maximum(den, 1), 0.0)
+        return np.floor(f * 10000.0 + 0.5) / 10000.0
+
+    return pa.table({
+        id_col: batch[id_col],
+        "n_words": pa.array(n_words, pa.int64()),
+        "distinct_frac": pa.array(frac(n_distinct, n_words), pa.float64()),
+        "top_word_frac": pa.array(frac(max_word, n_words), pa.float64()),
+        "top_bigram_frac": pa.array(frac(max_big, n_big), pa.float64()),
+    })
+
+
+def apply_repetition_stats(ds, **kw):
+    return ds.map_batches(lambda b: repetition_stats_batch(b, **kw),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_stats_sql(table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         unnest(regexp_split_to_array(trim({text_col}), '{WS_PATTERN}')) AS w
+  FROM {table}
+),
+cnt AS (SELECT {id_col}, w, count(*) AS c FROM toks GROUP BY 1, 2),
+agg AS (SELECT {id_col}, CAST(sum(c) AS BIGINT) AS n_words,
+               count(*) AS n_distinct, max(c) AS max_c
+        FROM cnt GROUP BY 1),
+bt AS (
+  SELECT {id_col},
+         unnest(list_transform(range(1, len(a)),
+                               i -> a[i] || ' ' || a[i + 1])) AS g
+  FROM (SELECT {id_col},
+               regexp_split_to_array(trim({text_col}), '{WS_PATTERN}') AS a
+        FROM {table})
+),
+bc AS (SELECT {id_col}, g, count(*) AS c FROM bt GROUP BY 1, 2),
+bagg AS (SELECT {id_col}, CAST(sum(c) AS BIGINT) AS n_big, max(c) AS max_bc
+         FROM bc GROUP BY 1)
+SELECT a.{id_col}, a.n_words,
+       round(a.n_distinct / a.n_words * 10000.0) / 10000.0
+         AS distinct_frac,
+       round(a.max_c / a.n_words * 10000.0) / 10000.0 AS top_word_frac,
+       CASE WHEN b.n_big > 0
+            THEN round(b.max_bc / b.n_big * 10000.0) / 10000.0
+            ELSE 0.0 END AS top_bigram_frac
+FROM agg a LEFT JOIN bagg b USING ({id_col})"""

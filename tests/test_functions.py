@@ -565,3 +565,16 @@ def test_cosine_bucketed_no_false_positives_and_neardup_recall(ray_session):
     for k, v in brute.items():
         if v >= 0.5:                               # near-identical regime
             assert k in buck
+
+
+def test_repetition_stats_batch_values():
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        repetition_stats_batch)
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": ["a b a b c", "x", "w w w w"]})
+    out = repetition_stats_batch(t).to_pydict()
+    assert out["n_words"] == [5, 1, 4]
+    assert out["distinct_frac"] == [0.6, 1.0, 0.25]
+    assert out["top_word_frac"] == [0.4, 1.0, 1.0]
+    # "a b" occurs twice among 4 bigrams; single-word doc has none
+    assert out["top_bigram_frac"] == [0.5, 0.0, 1.0]
