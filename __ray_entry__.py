@@ -546,6 +546,25 @@ def _q_events_asof_order(sf_dir: str):
                      out_col="asof_orderkey")
 
 
+def _q_events_asof_next_order(sf_dir: str):
+    """Forward as-of join: each event picks up the customer's EARLIEST
+    order at-or-after the event time (direction='forward')."""
+    from org_dharts_dia_tesseract_ray.functions.joins import asof_join
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"user_id": b["o_custkey"],
+                         "o_orderdate": b["o_orderdate"],
+                         "o_orderkey": b["o_orderkey"]})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_orderkey"]).map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True)
+    return asof_join(events, orders, key="user_id", left_ts="ts",
+                     right_ts="o_orderdate", value_col="o_orderkey",
+                     out_col="next_orderkey", direction="forward")
+
+
 def _q_events_enrich_customer(sf_dir: str):
     """Broadcast dimension lookup: events enriched with customer attrs —
     the ray.put-once / read-per-actor small-side join (no shuffle)."""
@@ -728,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_sessions": _q_lineitem_sessions,
         "events_asof_order": _q_events_asof_order,
         "lineitem_asof_lastship": _q_lineitem_asof_lastship,
+        "events_asof_next_order": _q_events_asof_next_order,
         "events_enrich_customer": _q_events_enrich_customer,
         "order_shipments_90d": _q_order_shipments_90d,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -882,6 +902,13 @@ WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
 SELECT e.event_id, e.user_id, e.ts, r.o_orderkey AS asof_orderkey
 FROM events e
 ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate""",
+        "events_asof_next_order": """
+WITH r AS (SELECT o_custkey AS user_id, o_orderdate,
+                  max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, e.ts, r.o_orderkey AS next_orderkey
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts <= r.o_orderdate""",
         "events_enrich_customer": """
 SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey""",

@@ -168,9 +168,12 @@ def range_join_count(left_ds, right_ds, *, key: str, left_ts: str,
 
 def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
               value_col: str, out_col: str | None = None,
+              direction: str = "backward",
               num_partitions: int | None = None):
     """Left as-of join: every left row, plus ``out_col`` = value of the
-    latest right row at-or-before its timestamp (null if none).
+    latest right row at-or-before its timestamp (``direction="backward"``,
+    the default) or the earliest right row at-or-after it
+    (``direction="forward"``); null if none.
 
     Per-partition merge, vectorized across ALL keys at once: sort the
     unioned partition by (key, ts, right-before-left-at-ties, value), then
@@ -224,6 +227,8 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
                                              batch_format="pyarrow",
                                              zero_copy_batch=True)))
 
+    backward = direction == "backward"
+
     def merge(part: pa.Table) -> pa.Table:
         n = part.num_rows
         side = np.asarray(part["__side"])
@@ -231,31 +236,43 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
         rts_i = pc.cast(part["__rts"], pa.int64())
         uts = pc.coalesce(pc.if_else(pa.array(side == 0), lts_i, rts_i),
                           pa.scalar(0, pa.int64()))
-        # right rows sort BEFORE left rows at equal (key, ts): the as-of
-        # condition is inclusive (rts ≤ lts)
         t = (part.append_column("__uts", uts)
              .append_column("__ord", pa.array(side.astype(np.int8))))
-        # right-tie resolution: among right rows sharing (key, ts) the MAX
-        # value sorts last, so the forward fill picks it
-        t = t.sort_by([(key, "ascending"), ("__uts", "ascending"),
-                       ("__ord", "descending"), ("__rval", "ascending")])
+        if backward:
+            # right rows sort BEFORE left rows at equal (key, ts) — the
+            # condition is inclusive — and among right ties the MAX value
+            # sorts last, so the forward fill lands on it
+            t = t.sort_by([(key, "ascending"), ("__uts", "ascending"),
+                           ("__ord", "descending"),
+                           ("__rval", "ascending")])
+        else:
+            # forward: left first at equal ts (inclusive), max-value right
+            # tie sorts FIRST so the nearest-right scan picks it
+            t = t.sort_by([(key, "ascending"), ("__uts", "ascending"),
+                           ("__ord", "ascending"),
+                           ("__rval", "descending")])
         n = t.num_rows
         side_s = np.asarray(t["__side"])
         is_right = side_s == 1
         idx = np.arange(n, dtype=np.int64)
-        last_right = np.maximum.accumulate(np.where(is_right, idx, -1))
-        key_first = np.maximum.accumulate(
-            np.where(key_change_mask(t[key], n), idx, -1))
-        valid = last_right >= key_first
+        key_id = np.cumsum(key_change_mask(t[key], n)) - 1
+        if backward:
+            fill_idx = np.maximum.accumulate(np.where(is_right, idx, -1))
+            valid = (fill_idx >= 0) & (key_id[np.maximum(fill_idx, 0)]
+                                       == key_id)
+        else:
+            fill_idx = np.minimum.accumulate(
+                np.where(is_right, idx, n)[::-1])[::-1]
+            valid = (fill_idx < n) & (key_id[np.minimum(fill_idx, n - 1)]
+                                      == key_id)
         left_mask = ~is_right
-        lsel = pa.array(left_mask)
-        lt = t.filter(lsel)
+        lt = t.filter(pa.array(left_mask))
         rvals = t["__rval"]
         if isinstance(rvals, pa.ChunkedArray):
             rvals = rvals.combine_chunks()
-        fill = last_right[left_mask]
+        fill = np.clip(fill_idx[left_mask], 0, n - 1)
         ok = valid[left_mask]
-        vals = rvals.take(pa.array(np.where(ok, fill, 0), pa.int64()))
+        vals = rvals.take(pa.array(fill, pa.int64()))
         vals = pc.if_else(pa.array(ok), vals, pa.nulls(lt.num_rows,
                                                        rval_type))
         out_cols = {name: lt[name] for name in left_names}
