@@ -289,7 +289,10 @@ def main() -> None:
         }))
         return
 
-    eff_cores = probe_effective_cores()
+    # children skip the probe: the parent already measured, and 32-process
+    # spin rounds inside each child would perturb the very runs they
+    # annotate on this oversubscribed host
+    eff_cores = None if child else probe_effective_cores()
     ray = _init_ray()
     try:
         headline = run_headline(SF_DIR, REPLICATE)

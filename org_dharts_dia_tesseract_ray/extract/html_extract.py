@@ -464,9 +464,24 @@ class _SegmentingParser(HTMLParser):
                 if i:
                     self._items.append(("br",))
                 if part:
-                    self._items.append(("txt", part, self._link > 0, mask))
+                    self._append_text(part, mask)
         else:
-            self._items.append(("txt", data, self._link > 0, mask))
+            self._append_text(data, mask)
+
+    def _append_text(self, data: str, mask: int) -> None:
+        """Append a text item, MERGING into the previous one when no tag /
+        line boundary intervened and the inline state is identical — the
+        item stream becomes independent of data-chunk granularity (stdlib
+        emits a separate chunk per charref, the fast tokenizer one per
+        inter-tag segment; per-item link-length accounting must not see
+        the difference)."""
+        in_link = self._link > 0
+        items = self._items
+        if items and items[-1][0] == "txt" and items[-1][2] == in_link \
+                and items[-1][3] == mask:
+            items[-1] = ("txt", items[-1][1] + data, in_link, mask)
+        else:
+            items.append(("txt", data, in_link, mask))
 
     def close(self):
         super().close()
@@ -485,6 +500,13 @@ class _SegmentingParser(HTMLParser):
 # family and truncation point.  Anything the tokenizer cannot faithfully
 # handle falls back to the stdlib path per document (segment_html).
 
+#: a quoted attr VALUE may span '>' — but only when it follows a well-formed
+#: ``name=`` (html.parser's tolerant attr grammar: the name must follow a
+#: delimiter).  A bare ``='y>`` is NOT a quote opener (stdlib ends the tag at
+#: the '>'), and <p title=don't> has the UNQUOTED value "don't" — a general
+#: quoted-string alternative would swallow text to the next apostrophe.
+_ATTR_QPFX = r"(?<=[\s/\"'])[a-zA-Z_:][-a-zA-Z0-9_:.]*\s*=\s*"
+
 _TAG_RE = re.compile(
     r"<(?:"
     r"!--.*?--\s*>"                              # comment
@@ -492,11 +514,7 @@ _TAG_RE = re.compile(
     r"|(/)\s*([a-zA-Z][a-zA-Z0-9:._-]*)\s*[^>]*>"   # end tag
     r"|/[^>]*>"                                  # bogus end tag → dropped
     r"|([a-zA-Z][a-zA-Z0-9:._-]*)"               # start tag name
-    # attrs blob — quoted values engage ONLY right after '=' (html.parser's
-    # tolerant attr grammar: <p title=don't> has the UNQUOTED value "don't";
-    # a general quoted-string alternative would swallow text to the next
-    # apostrophe in the document)
-    r"((?:=\s*\"[^\"]*\"|=\s*'[^']*'|[^>])*)>"
+    rf"((?:{_ATTR_QPFX}\"[^\"]*\"|{_ATTR_QPFX}'[^']*'|[^>])*)>"
     r"|(!--|!\[CDATA\[)"                         # unterminated at EOF → data
     r"|[!?][^>]*>"                               # doctype / bogus / PI
     r")", re.S)

@@ -550,12 +550,11 @@ def cosine_neardup(ds, *, threshold: float = 0.4, vec_col: str = "embedding",
             # only emit (row_id < corpus_id) to halve output and kill dupes
             keep &= bid[:, None] < self.all_ids[None, :]
             ii, jj = np.nonzero(keep)
-            sc = C[ii, jj] * 10000.0
-            cos = np.where(sc >= 0, np.floor(sc + 0.5), np.ceil(sc - 0.5)) / 10000.0
+            from .similarity import _q4
             return pa.table({
                 "id_a": pa.array(bid[ii], pa.int64()),
                 "id_b": pa.array(self.all_ids[jj], pa.int64()),
-                "cos": pa.array(cos, pa.float64()),
+                "cos": pa.array(_q4(C[ii, jj]), pa.float64()),
             })
 
     return ds.map_batches(BatchPairs, fn_constructor_args=(ref,),
@@ -629,11 +628,9 @@ def cosine_neardup_bucketed(ds, *, threshold: float = 0.4,
         vb = np.stack([np.frombuffer(x, dtype=np.float64)
                        for x in b["vec_b"].to_pylist()])
         c = np.einsum("ij,ij->i", va, vb)
-        sc = c * 10000.0
-        cos = np.where(sc >= 0, np.floor(sc + 0.5),
-                       np.ceil(sc - 0.5)) / 10000.0
+        from .similarity import _q4
         t = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
-                      "cos": pa.array(cos, pa.float64())})
+                      "cos": pa.array(_q4(c), pa.float64())})
         return t.filter(pc.greater_equal(
             pa.array(c), pa.scalar(float(threshold))))
 

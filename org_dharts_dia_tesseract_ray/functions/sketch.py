@@ -7,8 +7,10 @@ shuffle volume is O(keys × batches × 4 KiB) regardless of corpus size,
 where exact counting would shuffle every distinct value.
 
 Flajolet et al. HLL with 2^12 registers (~1.6 % standard error) +
-linear-counting small-range correction.  Deterministic: token hashing uses
-the repo's fixed polynomial hash family (fingerprint.rolling_hash64).
+linear-counting small-range correction.  Deterministic: the batch kernel
+(:func:`sketch_table`) hashes tokens with the repo's vectorized
+byte-polynomial (util._string_hash64); the per-document helper
+:func:`_token_hashes` keeps the older rolling-hash family for tests.
 """
 
 from __future__ import annotations
@@ -97,17 +99,30 @@ def sketch_table(batch: pa.Table, *, key_col: str = "lang",
     nonempty = pc.greater(pc.utf8_length(flat), 0)
     flat = flat.filter(nonempty)
     keys_tok = keys_tok.filter(nonempty)
+    # every key present in the batch gets a row — a key whose documents are
+    # all empty still contributes a zero sketch (estimate 0), matching the
+    # per-row accumulation semantics this kernel replaced
+    all_keys = pc.unique(as_array(batch[key_col]))
     if len(flat) == 0:
-        return pa.table({key_col: batch[key_col].slice(0, 0),
-                         "sketch": pa.array([], pa.binary())})
-    h = _string_hash64(as_array(flat))
-    idx, rank = _ranks(h)
-    enc = as_array(keys_tok).dictionary_encode()
-    codes = np.asarray(enc.indices, dtype=np.int64)
-    regs = np.zeros((len(enc.dictionary), M), dtype=np.int8)
-    np.maximum.at(regs, (codes, idx), rank)
+        out_keys = all_keys
+        regs = np.zeros((len(all_keys), M), dtype=np.int8)
+    else:
+        h = _string_hash64(as_array(flat))
+        idx, rank = _ranks(h)
+        enc = as_array(keys_tok).dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        regs = np.zeros((len(enc.dictionary), M), dtype=np.int8)
+        np.maximum.at(regs, (codes, idx), rank)
+        missing = all_keys.filter(
+            pc.invert(pc.is_in(all_keys, value_set=enc.dictionary)))
+        out_keys = enc.dictionary
+        if len(missing):
+            out_keys = pa.concat_arrays(
+                [out_keys.cast(missing.type), missing])
+            regs = np.vstack([regs,
+                              np.zeros((len(missing), M), dtype=np.int8)])
     return pa.table({
-        key_col: enc.dictionary,
+        key_col: out_keys,
         "sketch": pa.array([r.tobytes() for r in regs], pa.binary()),
     })
 

@@ -302,8 +302,15 @@ def repetition_stats_batch(batch: pa.Table, *, text_col: str = "text",
     """
     import numpy as np
 
+    # null text ⇒ no row (mirrors the SQL oracle, where unnest of a null
+    # token array emits nothing for the document)
+    batch = batch.filter(pc.is_valid(batch[text_col]))
+    # RE2 trim on BOTH sides (pyarrow and DuckDB share RE2, so the oracle's
+    # regexp_replace is bit-compatible; utf8_trim_whitespace strips unicode
+    # spaces that DuckDB trim()/RE2 \s do not)
     toks = pc.split_pattern_regex(
-        pc.utf8_trim_whitespace(batch[text_col]), WS_PATTERN)
+        pc.replace_substring_regex(batch[text_col], r"^\s+|\s+$", ""),
+        WS_PATTERN)
     n = batch.num_rows
     n_words = np.asarray(pc.list_value_length(toks), dtype=np.int64)
     flat = pc.list_flatten(toks)
@@ -362,7 +369,9 @@ def repetition_stats_sql(table: str = "documents", text_col: str = "text",
     return f"""
 WITH toks AS (
   SELECT {id_col},
-         unnest(regexp_split_to_array(trim({text_col}), '{WS_PATTERN}')) AS w
+         unnest(regexp_split_to_array(
+             regexp_replace({text_col}, '^\\s+|\\s+$', '', 'g'),
+             '{WS_PATTERN}')) AS w
   FROM {table}
 ),
 cnt AS (SELECT {id_col}, w, count(*) AS c FROM toks GROUP BY 1, 2),
@@ -374,7 +383,9 @@ bt AS (
          unnest(list_transform(range(1, len(a)),
                                i -> a[i] || ' ' || a[i + 1])) AS g
   FROM (SELECT {id_col},
-               regexp_split_to_array(trim({text_col}), '{WS_PATTERN}') AS a
+               regexp_split_to_array(
+                   regexp_replace({text_col}, '^\\s+|\\s+$', '', 'g'),
+                   '{WS_PATTERN}') AS a
         FROM {table})
 ),
 bc AS (SELECT {id_col}, g, count(*) AS c FROM bt GROUP BY 1, 2),

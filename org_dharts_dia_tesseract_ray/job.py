@@ -42,6 +42,8 @@ def main(argv=None) -> int:
     ap.add_argument("--local", action="store_true",
                     help="ray.init(address='local') instead of the cluster")
     args = ap.parse_args(argv)
+    if args.files_per_shard < 1:
+        ap.error("--files-per-shard must be >= 1")
 
     import ray
     if not ray.is_initialized():

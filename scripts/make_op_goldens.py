@@ -158,14 +158,14 @@ def g_cosine_bucketed() -> pa.Table:
         ii, jj = ii[keep], jj[keep]
         # same pairwise-dot kernel as the distributed verifier (einsum) —
         # a BLAS matmul could differ by ulps right at the threshold
+        from org_dharts_dia_tesseract_ray.functions.similarity import _q4
         C = np.einsum("ij,ij->i", sub[ii], sub[jj])
-        for i_, j_, c in zip(sub_ids[ii], sub_ids[jj], C):
+        q = _q4(C)
+        for i_, j_, c, cq in zip(sub_ids[ii], sub_ids[jj], C, q):
             if c >= 0.45:
-                sc = c * 10000.0
                 a_out.append(int(i_))
                 b_out.append(int(j_))
-                cs.append((math.floor(sc + 0.5) if sc >= 0
-                           else math.ceil(sc - 0.5)) / 10000.0)
+                cs.append(float(cq))
     order = np.lexsort((b_out, a_out))
     return pa.table({
         "id_a": pa.array(np.asarray(a_out, np.int64)[order]),
@@ -238,20 +238,50 @@ def g_ann_ivf() -> pa.Table:
                      "cos": pa.array(c_out, pa.float64())})
 
 
+def _py_poly_hash(token: str) -> int:
+    """INDEPENDENT pure-Python reimplementation of the engine's vectorized
+    byte-polynomial hash + splitmix64 (util._string_hash64 / util.mix64) —
+    a regression in the numpy reduceat/scatter kernels shows up as a golden
+    mismatch here, not as a silently co-moving oracle."""
+    mask = (1 << 64) - 1
+    h = 0
+    p = 1
+    for b in token.encode("utf-8"):
+        h = (h + b * p) & mask
+        p = (p * 1099511628211) & mask
+    h = (h + 0x9E3779B97F4A7C15) & mask
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) & mask
+    h ^= h >> 27
+    h = (h * 0x94D049BB133111EB) & mask
+    h ^= h >> 31
+    return h
+
+
 def g_approx_distinct() -> pa.Table:
-    """Serial single-pass sketch over the whole table (the same pinned
-    vectorized kernel the distributed partials use; register-max merging is
-    order-independent, so one pass == any batching)."""
-    from org_dharts_dia_tesseract_ray.functions.sketch import (hll_estimate,
-                                                               sketch_table)
-    t = sketch_table(_docs())
-    langs = t["lang"].to_pylist()
-    ests = [int(round(hll_estimate(np.frombuffer(blob, dtype=np.int8))))
-            for blob in t["sketch"].to_pylist()]
-    order = np.argsort(langs)
+    """Independent serial HLL: Python tokenization + the pure-Python hash
+    above + per-token register updates (no shared numpy kernels except the
+    final estimator formula)."""
+    from org_dharts_dia_tesseract_ray.functions.sketch import (M, P,
+                                                               hll_estimate)
+    t = _docs()
+    regs: dict[str, np.ndarray] = {}
+    for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+        reg = regs.setdefault(lang, np.zeros(M, dtype=np.int8))
+        for tok in (text or "").split():
+            h = _py_poly_hash(tok)
+            idx = h >> (64 - P)
+            rest = (h << P) & ((1 << 64) - 1)
+            rank = (64 - P + 1) if rest == 0 else \
+                (64 - rest.bit_length() + 1)
+            if rank > reg[idx]:
+                reg[idx] = rank
+    langs = sorted(regs)
     return pa.table({
-        "lang": pa.array([langs[i] for i in order], pa.string()),
-        "approx_distinct": pa.array([ests[i] for i in order], pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+        "approx_distinct": pa.array(
+            [int(round(hll_estimate(regs[lang]))) for lang in langs],
+            pa.int64()),
     })
 
 

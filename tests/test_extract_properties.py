@@ -173,7 +173,9 @@ def test_fast_tokenizer_fuzz_parity():
              "\t", "text &lt; more", "<h1>", "</h1>", "<li>", "<ul>", "</ul>",
              "<pre>", "</pre>", "<option>", "<head>", "</head>", "<main>",
              "</main>", "é", "<P>", "</P>", "</&amp;>", "</>", "</ p>",
-             '<p title="x>', "&#65;", "&#x42;", "&quot;", "O", "Xy"]
+             '<p title="x>', "&#65;", "&#x42;", "&quot;", "O", "Xy",
+             "<x='y>", "<x ='y>", "<p foo=\"a\"bar='c>d'>",
+             "<p =\">junk\">", "<!>", "<q z='a>b'>"]
     rng = random.Random(424242)
     for _ in range(1500):
         doc = "".join(rng.choice(frags) for _ in range(rng.randint(1, 28)))
