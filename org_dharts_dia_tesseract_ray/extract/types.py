@@ -76,7 +76,7 @@ class PayloadKind:
     ERROR = "error"
 
 
-@dataclass
+@dataclass(slots=True)
 class Span:
     """One node of the flattened hierarchy (a cursor position made a row).
 

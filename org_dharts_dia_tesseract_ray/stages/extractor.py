@@ -100,20 +100,12 @@ class HtmlExtractor:
         charsets: list[str] = []
         pbytes: list[int] = []
         errors: list[str | None] = []
-        # flat span builders + per-row offsets (cheap ListArray construction)
+        # spans collected whole per doc (one C-level extend each); the flat
+        # field columns are built afterwards with one comprehension per
+        # field — measurably faster than 12 per-span .append calls in the
+        # hottest loop
         offsets = [0]
-        f_nid: list[int] = []
-        f_pid: list[int] = []
-        f_lvl: list[str] = []
-        f_bt: list[str] = []
-        f_start: list[int] = []
-        f_end: list[int] = []
-        f_conf: list[float] = []
-        f_td: list[float] = []
-        f_ld: list[float] = []
-        f_sub: list[bool] = []
-        f_sup: list[bool] = []
-        f_drop: list[bool] = []
+        all_spans: list = []
 
         # bulk-convert once (chunk-wise C loop) — per-element .as_py() costs
         # a Python call per cell
@@ -132,30 +124,23 @@ class HtmlExtractor:
             charsets.append(res.charset)
             pbytes.append(len(payload) if payload is not None else 0)
             errors.append(res.error)
-            for s in res.spans:
-                f_nid.append(s.node_id)
-                f_pid.append(s.parent_id)
-                f_lvl.append(s.level)
-                f_bt.append(s.block_type)
-                f_start.append(s.start)
-                f_end.append(s.end)
-                f_conf.append(s.confidence)
-                f_td.append(s.text_density)
-                f_ld.append(s.link_density)
-                f_sub.append(s.is_subscript)
-                f_sup.append(s.is_superscript)
-                f_drop.append(s.is_dropcap)
-            offsets.append(len(f_nid))
+            all_spans.extend(res.spans)
+            offsets.append(len(all_spans))
 
         struct_arr = pa.StructArray.from_arrays(
             [
-                pa.array(f_nid, pa.int32()), pa.array(f_pid, pa.int32()),
-                pa.array(f_lvl, pa.string()), pa.array(f_bt, pa.string()),
-                pa.array(f_start, pa.int64()), pa.array(f_end, pa.int64()),
-                pa.array(f_conf, pa.float32()), pa.array(f_td, pa.float32()),
-                pa.array(f_ld, pa.float32()),
-                pa.array(f_sub, pa.bool_()), pa.array(f_sup, pa.bool_()),
-                pa.array(f_drop, pa.bool_()),
+                pa.array([s.node_id for s in all_spans], pa.int32()),
+                pa.array([s.parent_id for s in all_spans], pa.int32()),
+                pa.array([s.level for s in all_spans], pa.string()),
+                pa.array([s.block_type for s in all_spans], pa.string()),
+                pa.array([s.start for s in all_spans], pa.int64()),
+                pa.array([s.end for s in all_spans], pa.int64()),
+                pa.array([s.confidence for s in all_spans], pa.float32()),
+                pa.array([s.text_density for s in all_spans], pa.float32()),
+                pa.array([s.link_density for s in all_spans], pa.float32()),
+                pa.array([s.is_subscript for s in all_spans], pa.bool_()),
+                pa.array([s.is_superscript for s in all_spans], pa.bool_()),
+                pa.array([s.is_dropcap for s in all_spans], pa.bool_()),
             ],
             fields=list(SPAN_STRUCT),
         )
