@@ -245,6 +245,34 @@ def _q_token_stats(sf_dir: str):
                                    ["doc_id", "text"]))
 
 
+def _q_url_normalize(sf_dir: str):
+    """URL canonicalization over a deterministically-messy url column
+    (mixed-case scheme/host, default ports, fragments, empty paths) —
+    the Common-Crawl url-key step that feeds url dedup."""
+    from org_dharts_dia_tesseract_ray.functions.urls import (
+        apply_normalize_urls)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def messy(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        ids = b["doc_id"].cast(pa.string())
+        three = pa.array(did % 3 == 0)
+        five = pa.array(did % 5 == 0)
+        base = pc.if_else(
+            five,
+            pa.scalar("HTTP://Corpus.Test:80"),
+            pc.binary_join_element_wise(
+                "HTTPS://Corpus.Test:443/doc/", ids, ""))
+        url = pc.if_else(
+            three,
+            pc.binary_join_element_wise(base, "#frag-", ids, ""),
+            base)
+        return pa.table({"doc_id": b["doc_id"], "url": url})
+
+    return apply_normalize_urls(
+        ds.map_batches(messy, batch_format="pyarrow", zero_copy_batch=True))
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition filters (duplicate-token / top-n-gram mass)
     — the quality axis length/stopword scoring doesn't cover."""
@@ -708,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
         "repetition_stats": _q_repetition_stats,
+        "url_normalize": _q_url_normalize,
         "langid": _q_langid,
         "fingerprint_md5": _q_fingerprint,
         "winnow_fingerprints": _q_winnow,
@@ -791,6 +820,19 @@ def _stats_sql() -> str:
     return grouped_quantiles_sql()
 
 
+def _url_normalize_sql() -> str:
+    from org_dharts_dia_tesseract_ray.functions.urls import (
+        normalize_urls_sql_expr)
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'HTTP://Corpus.Test:80'
+              ELSE 'HTTPS://Corpus.Test:443/doc/' || doc_id END ||
+         CASE WHEN doc_id % 3 = 0 THEN '#frag-' || doc_id ELSE '' END AS url
+  FROM documents)
+SELECT doc_id, url, {normalize_urls_sql_expr('url')} AS url_norm FROM m"""
+
+
 def _lineitem_quantiles_sql() -> str:
     from org_dharts_dia_tesseract_ray.functions.stats import (
         grouped_quantiles_sql)
@@ -850,6 +892,7 @@ FROM documents GROUP BY lang""",
         "token_stats": token_stats_sql(),
         "quality_score": quality_sql(),
         "repetition_stats": repetition_stats_sql(),
+        "url_normalize": _url_normalize_sql(),
         "langid": langid_sql(),
         "fingerprint_md5": md5_sql(),
         "dedup_exact": exact_dedup_sql(),

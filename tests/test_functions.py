@@ -578,3 +578,16 @@ def test_repetition_stats_batch_values():
     assert out["top_word_frac"] == [0.4, 1.0, 1.0]
     # "a b" occurs twice among 4 bigrams; single-word doc has none
     assert out["top_bigram_frac"] == [0.5, 0.0, 1.0]
+
+
+def test_normalize_urls_batch_cases():
+    from org_dharts_dia_tesseract_ray.functions.urls import (
+        normalize_urls_batch)
+    t = pa.table({"url": [
+        "HTTPS://Corpus.Test:443/doc/5#frag", "http://EXAMPLE.com:80",
+        "http://a.b:8080/x?q=1#z", "not a url", "ftp://X.Y/z",
+        "https://keep.port:444/p", None]})
+    out = normalize_urls_batch(t)["url_norm"].to_pylist()
+    assert out == ["https://corpus.test/doc/5", "http://example.com/",
+                   "http://a.b:8080/x?q=1", "not a url", "ftp://x.y/z",
+                   "https://keep.port:444/p", None]
