@@ -514,7 +514,11 @@ _TAG_RE = re.compile(
     r"|(/)\s*([a-zA-Z][a-zA-Z0-9:._-]*)\s*[^>]*>"   # end tag
     r"|/[^>]*>"                                  # bogus end tag → dropped
     r"|([a-zA-Z][a-zA-Z0-9:._-]*)"               # start tag name
-    rf"((?:{_ATTR_QPFX}\"[^\"]*\"|{_ATTR_QPFX}'[^']*'|[^>])*)>"
+    # quoted value | UNQUOTED value consumed atomically (stdlib consumes
+    # [^>\s]* whole, so a quote inside an unquoted value can never open a
+    # quoted span) | any other char
+    rf"((?:{_ATTR_QPFX}\"[^\"]*\"|{_ATTR_QPFX}'[^']*'"
+    rf"|{_ATTR_QPFX}[^>\s\"'][^>\s]*|[^>])*)>"
     r"|(!--|!\[CDATA\[)"                         # unterminated at EOF → data
     r"|[!?][^>]*>"                               # doctype / bogus / PI
     r")", re.S)

@@ -20,6 +20,14 @@ _PARTS = (r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"      # scheme
           r"([^/?#]*)"                          # authority (host[:port])
           r"([^#]*)")                           # path + query (no fragment)
 
+#: same grammar with named groups (pyarrow extract_regex requires them) —
+#: DERIVED from _PARTS so engine and SQL oracle cannot desynchronize
+_PARTS_NAMED = (_PARTS
+                .replace("(", "(?P<scheme>", 1)
+                .replace("://(", "://(?P<auth>", 1)
+                .replace(")(", ")(?P<rest>", 1))
+assert _PARTS_NAMED.count("?P<") == 3, _PARTS_NAMED
+
 
 def normalize_urls_batch(batch: pa.Table, *, url_col: str = "url",
                          out_col: str = "url_norm") -> pa.Table:
@@ -29,10 +37,7 @@ def normalize_urls_batch(batch: pa.Table, *, url_col: str = "url",
     if isinstance(url, pa.ChunkedArray):
         url = url.combine_chunks()
     nofrag = pc.replace_substring_regex(url, r"#.*$", "")
-    # extract_regex needs named groups
-    pat = (r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://"
-           r"(?P<auth>[^/?#]*)(?P<rest>[^#]*)")
-    parts = pc.extract_regex(nofrag, pat)
+    parts = pc.extract_regex(nofrag, _PARTS_NAMED)
     ok = pc.is_valid(parts)
     scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
     auth = pc.utf8_lower(pc.struct_field(parts, "auth"))

@@ -157,15 +157,18 @@ def g_cosine_bucketed() -> pa.Table:
         keep = sub_ids[ii] < sub_ids[jj]
         ii, jj = ii[keep], jj[keep]
         # same pairwise-dot kernel as the distributed verifier (einsum) —
-        # a BLAS matmul could differ by ulps right at the threshold
-        from org_dharts_dia_tesseract_ray.functions.similarity import _q4
+        # a BLAS matmul could differ by ulps right at the threshold; the
+        # QUANTIZATION is deliberately reimplemented inline (scalar
+        # half-away-from-zero) so a regression in the engine's _q4 cannot
+        # co-move into this golden
         C = np.einsum("ij,ij->i", sub[ii], sub[jj])
-        q = _q4(C)
-        for i_, j_, c, cq in zip(sub_ids[ii], sub_ids[jj], C, q):
+        for i_, j_, c in zip(sub_ids[ii], sub_ids[jj], C):
             if c >= 0.45:
+                sc = float(c) * 10000.0
                 a_out.append(int(i_))
                 b_out.append(int(j_))
-                cs.append(float(cq))
+                cs.append((math.floor(sc + 0.5) if sc >= 0
+                           else math.ceil(sc - 0.5)) / 10000.0)
     order = np.lexsort((b_out, a_out))
     return pa.table({
         "id_a": pa.array(np.asarray(a_out, np.int64)[order]),
@@ -264,11 +267,18 @@ def g_approx_distinct() -> pa.Table:
     final estimator formula)."""
     from org_dharts_dia_tesseract_ray.functions.sketch import (M, P,
                                                                hll_estimate)
+    import re as _re
+
+    # engine tokenization = unicode trim + RE2 (ASCII) \s+ split; Python
+    # str.split() splits on unicode whitespace and would diverge on NBSP
+    _ws = _re.compile(r"\s+", _re.ASCII)
     t = _docs()
     regs: dict[str, np.ndarray] = {}
     for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
         reg = regs.setdefault(lang, np.zeros(M, dtype=np.int8))
-        for tok in (text or "").split():
+        for tok in _ws.split((text or "").strip()):
+            if not tok:
+                continue
             h = _py_poly_hash(tok)
             idx = h >> (64 - P)
             rest = (h << P) & ((1 << 64) - 1)
