@@ -133,7 +133,7 @@ def read_bench_pages(corpus_dir: str):
                                           "text", "lang"])
 
 
-def run_headline(sf_dir: str, replicate: int) -> dict:
+def run_headline(sf_dir: str, replicate: int, *, passes: int = 2) -> dict:
     """The flagship: sniff → skew-routed actor-pool extract → rollup."""
     from ray.data.aggregate import Count, Sum
 
@@ -153,7 +153,7 @@ def run_headline(sf_dir: str, replicate: int) -> dict:
     # halve a single sample (see BASELINE.md); the fastest clean pass is
     # the honest steady-state measure
     wall = float("inf")
-    for _ in range(2):
+    for _ in range(passes):
         pages = read_bench_pages(corpus_dir)
         t0 = time.time()
         combined = extract_pages(pages)
@@ -303,7 +303,10 @@ def main() -> None:
     eff_cores = None if child else probe_effective_cores()
     ray = _init_ray()
     try:
-        headline = run_headline(SF_DIR, REPLICATE)
+        # scaling children: one timed pass (their wall time is already
+        # ~2 min at 4 cpus; both children see identical input and warmup)
+        headline = run_headline(SF_DIR, REPLICATE,
+                                passes=1 if child else 2)
         queries = {"headline_extract": headline}
         if not child:
             queries["realistic_extract"] = run_realistic()
