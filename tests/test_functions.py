@@ -591,3 +591,22 @@ def test_normalize_urls_batch_cases():
     assert out == ["https://corpus.test/doc/5", "http://example.com/",
                    "http://a.b:8080/x?q=1", "not a url", "ftp://x.y/z",
                    "https://keep.port:444/p", None]
+
+
+def test_partition_ids_invariant_under_chunking_and_slicing():
+    import pyarrow as _pa
+
+    from org_dharts_dia_tesseract_ray.util import partition_ids
+    vals = [f"url-{i}" * (1 + i % 4) for i in range(257)] + ["", None, "x"]
+    whole = _pa.array(vals)
+    chunked = _pa.chunked_array([_pa.array(vals[:100]),
+                                 _pa.array(vals[100:]),
+                                 ])
+    sliced = _pa.array(["pad", "pad2"] + vals).slice(2)
+    a = partition_ids(whole, 64).to_pylist()
+    assert partition_ids(chunked, 64).to_pylist() == a
+    assert partition_ids(sliced, 64).to_pylist() == a
+    ints = _pa.array(list(range(100)), _pa.int64())
+    assert (partition_ids(ints.slice(10, 20), 16).to_pylist()
+            == partition_ids(_pa.array(list(range(10, 30)), _pa.int64()),
+                             16).to_pylist())
