@@ -238,6 +238,15 @@ def _q_pages_dedup_extract(sf_dir: str):
                                     "payload_kind"])
 
 
+def _q_extract_hocr(sf_dir: str):
+    """hOCR string rendering (M7, TessBaseAPIGetHOCRText analogue): the
+    structured spans view rendered per document to the hOCR HTML form."""
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        roundtrip_extract)
+    from org_dharts_dia_tesseract_ray.stages.extractor import apply_hocr
+    return apply_hocr(roundtrip_extract(sf_dir))
+
+
 def _q_token_stats(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.text_stats import (
         apply_token_stats)
@@ -715,8 +724,20 @@ def _q_lineitem_pricing(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Checked by the driver in dict (insertion) order; a budget-limited run
+    may not reach the tail, so the queries with the LEAST prior driver
+    evidence run FIRST (round-2 lesson: the run stopped at query 50 and the
+    two never-verified as-of variants were in the tail)."""
     _register_by_value()
     return {
+        # never-driver-verified / dropped-in-r2 entries first
+        "lineitem_asof_lastship": _q_lineitem_asof_lastship,
+        "events_asof_next_order": _q_events_asof_next_order,
+        "events_enrich_customer": _q_events_enrich_customer,
+        "order_shipments_90d": _q_order_shipments_90d,
+        "lineitem_pricing": _q_lineitem_pricing,
+        # the round-2 red row (schema-pinned join fix) next
+        "tfidf_top_term": _q_tfidf_top_term,
         # flagship extraction engine (SURVEY.md §2.2-2.4)
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_spans": _q_extract_spans,
@@ -732,6 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user-extension surface (BlockRule) + I13 word predicates
         "extract_custom_rule": _q_extract_custom_rule,
         "extract_subsup": _q_extract_subsup,
+        # hOCR string rendering (M7)
+        "extract_hocr": _q_extract_hocr,
         # text analysis suite
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
@@ -747,7 +770,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles_by_lang": _q_length_quantiles,
         "lineitem_price_quantiles": _q_lineitem_price_quantiles,
         "doc_frequency": _q_doc_frequency,
-        "tfidf_top_term": _q_tfidf_top_term,
         "bigrams_top100": _q_bigrams_top100,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -775,11 +797,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "lineitem_sessions": _q_lineitem_sessions,
         "events_asof_order": _q_events_asof_order,
-        "lineitem_asof_lastship": _q_lineitem_asof_lastship,
-        "events_asof_next_order": _q_events_asof_next_order,
-        "events_enrich_customer": _q_events_enrich_customer,
-        "order_shipments_90d": _q_order_shipments_90d,
-        "lineitem_pricing": _q_lineitem_pricing,
     }
 
 
@@ -860,8 +877,9 @@ def oracle_sql() -> dict[str, str]:
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
         roundtrip_spans_sql, roundtrip_sql)
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
-        boxes_sql, mixed_pdf_sql, mode_sql, subsup_words_sql)
+        boxes_sql, hocr_sql, mixed_pdf_sql, mode_sql, subsup_words_sql)
     return {
+        "extract_hocr": hocr_sql(),
         "extract_roundtrip": roundtrip_sql(),
         "extract_spans": roundtrip_spans_sql(),
         "extract_mixed_pdf": mixed_pdf_sql(),

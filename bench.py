@@ -243,17 +243,20 @@ def run_query_suite(sf_dir: str) -> dict:
     out = {}
     for name in names:
         t0 = time.time()
-        res = qs[name](sf_dir)
-        # consume the stream without collecting payloads to the driver
+        # a query that CRASHES must report ok:false, never a plausible
+        # seconds value — a bench that times failures as successes masks
+        # regressions (round-2 lesson: broken tfidf "reported" 4.76 s)
         try:
             import ray.data
+            res = qs[name](sf_dir)
             if isinstance(res, ray.data.Dataset):
                 res.count()
             else:
                 len(res)
-        except Exception:
-            pass
-        out[name] = round(time.time() - t0, 3)
+            out[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            out[name] = {"sec": round(time.time() - t0, 3), "ok": False,
+                         "err": f"{type(e).__name__}: {e}"[:300]}
     return out
 
 

@@ -28,7 +28,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .fingerprint import kgram_hashes, md5_batch
+from ..util import ds_arrow_schema, ragged_arange, schema_pinned_join
+from .fingerprint import kgram_hashes, kgram_hashes_batch, md5_batch
 
 # MinHash permutation family: h_p(x) = (a_p·x + b_p) mod PRIME (Mersenne 61)
 _PRIME = np.uint64((1 << 61) - 1)
@@ -75,10 +76,23 @@ def shingle_set(text: str, k: int = 8) -> np.ndarray:
     return np.unique(kgram_hashes(text or "", k))
 
 
+#: docs-per-chunk bound for the (num_perm × windows) permutation temp —
+#: keeps the batched kernel's peak scratch ≈ num_perm × 8 B × this
+_MAX_CHUNK_WINDOWS = 250_000
+
+
 class MinHasher:
     """Stateful signature stage (actor pool): permutation table built once
     per actor in ``__init__`` — the TessBaseAPI-handle analogue
-    (/root/reference/src/.../TesseractHandle.java:82-102)."""
+    (/root/reference/src/.../TesseractHandle.java:82-102).
+
+    The per-batch kernel is batched ACROSS documents: one vectorized k-gram
+    pass over the batch's concatenated text (``kgram_hashes_batch``), one
+    (num_perm × windows) permutation product per bounded chunk, and
+    ``np.minimum.reduceat`` at document boundaries — no Python loop per
+    document.  Duplicate shingles don't change a min, so the per-doc
+    ``np.unique`` of the old row-loop kernel is skipped; signatures are
+    bit-identical to it."""
 
     def __init__(self, num_perm: int = 128, k: int = 8, seed: int = 42,
                  text_col: str = "text", id_col: str = "doc_id"):
@@ -89,23 +103,34 @@ class MinHasher:
         self.id_col = id_col
 
     def signature(self, text: str) -> np.ndarray:
+        """Single-document signature (tests / reference-grade oracle)."""
         x = shingle_set(text, self.k) % _PRIME
         with np.errstate(over="ignore"):
-            # (P, n) permuted values; mod-mersenne on the wrapped product is
-            # fine for MinHash (any fixed hash family works, it just must be
-            # deterministic and well-mixed)
             vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _PRIME
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col]
-        flat = np.empty((batch.num_rows, self.num_perm), dtype=np.uint64)
-        for i, s in enumerate(batch[self.text_col].to_pylist()):
-            flat[i] = self.signature(s)
+        n = batch.num_rows
+        flat = np.empty((n, self.num_perm), dtype=np.uint64)
+        if n:
+            H, counts = kgram_hashes_batch(batch[self.text_col], self.k)
+            offs = np.r_[0, np.cumsum(counts)].astype(np.int64)
+            i = 0
+            while i < n:
+                j = i + 1
+                while j < n and offs[j + 1] - offs[i] <= _MAX_CHUNK_WINDOWS:
+                    j += 1
+                x = H[offs[i]:offs[j]] % _PRIME
+                with np.errstate(over="ignore"):
+                    vals = (self.a[:, None] * x[None, :]
+                            + self.b[:, None]) % _PRIME
+                flat[i:j] = np.minimum.reduceat(
+                    vals, offs[i:j] - offs[i], axis=1).T
+                i = j
         offsets = pa.array(
-            np.arange(batch.num_rows + 1, dtype=np.int32) * self.num_perm)
+            np.arange(n + 1, dtype=np.int32) * self.num_perm)
         return pa.table({
-            self.id_col: ids,
+            self.id_col: batch[self.id_col],
             "sig": pa.ListArray.from_arrays(
                 offsets, pa.array(flat.reshape(-1), pa.uint64())),
         })
@@ -172,10 +197,17 @@ def _distinct_pairs(pairs_ds, keep: dict | None = None):
 
 
 def _self_join_pairs(band_ds, keys: list[str], carry: list[str],
-                     id_col: str, num_partitions: int):
+                     id_col: str, num_partitions: int,
+                     types: dict[str, pa.DataType]):
     """Bucket → candidate pairs via a hash SELF-JOIN on the bucket key
     (vectorized), not per-bucket map_groups: most buckets are singletons and
-    one Python call per singleton dominates wall time at corpus scale."""
+    one Python call per singleton dominates wall time at corpus scale.
+
+    Runs on :func:`~..util.schema_pinned_join` (union + per-partition local
+    Acero), so empty shuffle partitions can never poison the join, and no
+    join-aggregator actor pool competes for scheduling slots.  ``types``
+    maps every key/carry column and ``id_col`` to its Arrow type (needed to
+    pin both sides' schemas without executing them)."""
     def rn(suffix):
         def f(b: pa.Table) -> pa.Table:
             cols = {k: b[k] for k in keys}
@@ -185,12 +217,20 @@ def _self_join_pairs(band_ds, keys: list[str], carry: list[str],
             return pa.table(cols)
         return f
 
+    def side_schema(suffix):
+        return pa.schema(
+            [(k, types[k]) for k in keys]
+            + [("id_" + suffix, types[id_col])]
+            + [(c + "_" + suffix, types[c]) for c in carry])
+
     left = band_ds.map_batches(rn("a"), batch_format="pyarrow",
                                zero_copy_batch=True)
     right = band_ds.map_batches(rn("b"), batch_format="pyarrow",
                                 zero_copy_batch=True)
-    joined = left.join(right, join_type="inner",
-                       num_partitions=num_partitions, on=tuple(keys))
+    joined = schema_pinned_join(left, right, on=tuple(keys),
+                                num_partitions=num_partitions,
+                                left_schema=side_schema("a"),
+                                right_schema=side_schema("b"))
     return joined.map_batches(
         lambda b: b.filter(pc.less(b["id_a"], b["id_b"])),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -217,15 +257,30 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
     rows = num_perm // bands
     if num_partitions is None:
         num_partitions = default_join_partitions()
+    id_type = None
+    try:
+        s = ds_arrow_schema(ds)
+        id_type = s.field(id_col).type
+    except Exception:
+        id_type = pa.int64()
     sigs = apply_minhash(ds, num_perm=num_perm, k=k, seed=seed,
                          text_col=text_col, id_col=id_col)
-    # shingle sets again for verification, carried as sorted list<uint64>;
-    # at 100 TB this column stays in the object store and flows through the
-    # two hash joins below — never through the driver.
+
+    # shingle sets again for verification, carried as raw little-endian
+    # uint64 bytes (binary flows through shuffles; list columns don't).
+    # Deliberately NOT carried through the band self-join: bands× blob
+    # replication through that exchange would dominate shuffle volume at
+    # corpus scale — the blobs ride the two slim pair joins below instead,
+    # shipped once per verified candidate.  At 100 TB this column stays in
+    # the object store, never on the driver.
     def shingles_batch(b: pa.Table) -> pa.Table:
-        # carried as raw little-endian uint64 bytes: Ray's hash join does not
-        # support list-typed non-key columns, binary flows through fine
-        blobs = [shingle_set(s, k).tobytes() for s in b[text_col].to_pylist()]
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             "shingles": pa.array([], pa.binary())})
+        H, counts = kgram_hashes_batch(b[text_col], k)
+        offs = np.r_[0, np.cumsum(counts)].astype(np.int64)
+        blobs = [np.unique(H[offs[i]:offs[i + 1]]).tobytes()
+                 for i in range(b.num_rows)]
         return pa.table({
             id_col: b[id_col],
             "shingles": pa.array(blobs, pa.binary()),
@@ -237,9 +292,13 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
     band_ds = sigs.map_batches(
         lambda b: _band_rows(b, bands, rows, id_col),
         batch_format="pyarrow", zero_copy_batch=True)
-    cand = _self_join_pairs(band_ds, ["band", "band_hash"], [], id_col,
-                            num_partitions)
+    cand = _self_join_pairs(
+        band_ds, ["band", "band_hash"], [], id_col, num_partitions,
+        types={"band": pa.int32(), "band_hash": pa.uint64(),
+               id_col: id_type})
     # a pair can surface from several bands → dedupe on (id_a, id_b)
+    # BEFORE shipping blobs (a many-band collision would otherwise be
+    # verified once per colliding band)
     cand = _distinct_pairs(cand)
 
     sh_a = shing.map_batches(
@@ -248,10 +307,17 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
     sh_b = shing.map_batches(
         lambda b: b.rename_columns(["id_b", "sh_b"]),
         batch_format="pyarrow", zero_copy_batch=True)
-    joined = cand.join(sh_a, join_type="inner",
-                       num_partitions=num_partitions, on=("id_a",))
-    joined = joined.join(sh_b, join_type="inner",
-                         num_partitions=num_partitions, on=("id_b",))
+    pair_schema = pa.schema([("id_a", id_type), ("id_b", id_type)])
+    joined = schema_pinned_join(
+        cand, sh_a, on=("id_a",), num_partitions=num_partitions,
+        left_schema=pair_schema,
+        right_schema=pa.schema([("id_a", id_type),
+                                ("sh_a", pa.binary())]))
+    joined = schema_pinned_join(
+        joined, sh_b, on=("id_b",), num_partitions=num_partitions,
+        left_schema=pair_schema.append(pa.field("sh_a", pa.binary())),
+        right_schema=pa.schema([("id_b", id_type),
+                                ("sh_b", pa.binary())]))
 
     def verify(b: pa.Table) -> pa.Table:
         a_blobs = b["sh_a"].to_pylist()
@@ -349,16 +415,8 @@ def jaccard_pairs_brute(ds, *, threshold: float = 0.5, k: int = 8,
                           concurrency=(1, 4))
 
 
-def _ragged_arange(lens: np.ndarray) -> np.ndarray:
-    """[0..l0), [0..l1), … concatenated — vectorized ragged arange."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.array([], dtype=np.int64)
-    out = np.ones(total, dtype=np.int64)
-    out[0] = 0
-    cuts = np.cumsum(lens)[:-1]
-    out[cuts] = 1 - lens[:-1]
-    return np.cumsum(out)
+#: shared vectorized ragged-arange (moved to util; alias kept for callers)
+_ragged_arange = ragged_arange
 
 
 # ---------------------------------------------------------------------------
@@ -367,15 +425,30 @@ def _ragged_arange(lens: np.ndarray) -> np.ndarray:
 
 def simhash_batch(batch: pa.Table, *, k: int = 4, text_col: str = "text",
                   id_col: str = "doc_id") -> pa.Table:
-    """64-bit SimHash per document (Charikar) over byte k-gram hashes,
-    fully vectorized bit accumulation."""
+    """64-bit SimHash per document (Charikar) over byte k-gram hashes.
+
+    Batched ACROSS documents: one vectorized k-gram pass over the batch's
+    concatenated text, one (windows × 64) bit expansion per bounded chunk,
+    and ``np.add.reduceat`` at document boundaries — no Python loop per
+    document; bit-identical to the per-doc kernel it replaces."""
+    n = batch.num_rows
     shifts = np.arange(64, dtype=np.uint64)
-    out = np.empty(batch.num_rows, dtype=np.uint64)
-    for i, s in enumerate(batch[text_col].to_pylist()):
-        h = kgram_hashes(s or "", k)
-        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
-        acc = (2 * bits - 1).sum(axis=0)
-        out[i] = ((acc >= 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+    out = np.empty(n, dtype=np.uint64)
+    if n:
+        H, counts = kgram_hashes_batch(batch[text_col], k)
+        offs = np.r_[0, np.cumsum(counts)].astype(np.int64)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and offs[j + 1] - offs[i] <= _MAX_CHUNK_WINDOWS:
+                j += 1
+            h = H[offs[i]:offs[j]]
+            bits = ((h[:, None] >> shifts[None, :])
+                    & np.uint64(1)).astype(np.int32)
+            acc = np.add.reduceat(2 * bits - 1, offs[i:j] - offs[i], axis=0)
+            out[i:j] = ((acc >= 0).astype(np.uint64)
+                        << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            i = j
     return pa.table({id_col: batch[id_col],
                      "simhash": pa.array(out, pa.uint64())})
 
@@ -422,8 +495,10 @@ def simhash_pairs(ds, *, max_hamming: int = 3, k: int = 4,
 
     band_ds = sh.map_batches(band_rows, batch_format="pyarrow",
                              zero_copy_batch=True)
-    cand = _self_join_pairs(band_ds, ["band", "band_val"], ["simhash"],
-                            id_col, num_partitions)
+    cand = _self_join_pairs(
+        band_ds, ["band", "band_val"], ["simhash"], id_col, num_partitions,
+        types={"band": pa.int32(), "band_val": pa.uint32(),
+               "simhash": pa.uint64(), id_col: pa.int64()})
 
     def ham_filter(b: pa.Table) -> pa.Table:
         d = hamming64(np.asarray(b["simhash_a"]), np.asarray(b["simhash_b"]))
@@ -484,12 +559,16 @@ def neardup_clusters(ids_ds, pairs_ds, *, id_col: str = "doc_id",
     sym = sym.materialize()
     labels = labels.materialize()
     prev_sum = None
+    i64 = pa.int64()
     for _ in range(rounds):
-        prop = sym.join(
+        prop = schema_pinned_join(
+            sym,
             labels.map_batches(
                 lambda b: pa.table({"src": b["node"], "label": b["label"]}),
                 batch_format="pyarrow", zero_copy_batch=True),
-            join_type="inner", num_partitions=num_partitions, on=("src",))
+            on=("src",), num_partitions=num_partitions,
+            left_schema=pa.schema([("src", i64), ("dst", i64)]),
+            right_schema=pa.schema([("src", i64), ("label", i64)]))
         prop_labels = prop.map_batches(
             lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
             batch_format="pyarrow", zero_copy_batch=True)
@@ -615,8 +694,10 @@ def cosine_neardup_bucketed(ds, *, threshold: float = 0.4,
     assigned = ds.map_batches(Assign, fn_constructor_args=(ref,),
                               batch_format="pyarrow", zero_copy_batch=True,
                               concurrency=(1, 8))
-    cand = _self_join_pairs(assigned, ["bucket"], ["vec"], id_col,
-                            num_partitions)
+    cand = _self_join_pairs(
+        assigned, ["bucket"], ["vec"], id_col, num_partitions,
+        types={"bucket": pa.int32(), "vec": pa.binary(),
+               id_col: pa.int64()})
 
     def verify(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

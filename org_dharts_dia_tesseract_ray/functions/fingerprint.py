@@ -81,6 +81,72 @@ def kgram_hashes(s: str, k: int = 8) -> np.ndarray:
         return (win * pows).sum(axis=1, dtype=np.uint64)
 
 
+def kgram_hashes_batch(col, k: int = 8):
+    """k-gram hashes for EVERY string of an Arrow column in one vectorized
+    pass — the batched form of :func:`kgram_hashes` (bit-identical per doc).
+
+    One sliding-window polynomial over the column's CONCATENATED utf-8 value
+    buffer (windows that straddle a document boundary are simply never
+    gathered), then a vectorized ragged gather of each document's window
+    range — no Python loop over documents, the `_string_hash64` trick
+    applied to k-grams.  Documents shorter than ``k`` contribute their
+    whole-string hash (``rolling_hash64`` semantics), nulls hash as "".
+
+    Returns ``(hashes, counts)``: ``hashes`` is every document's k-gram
+    hashes concatenated in document order; ``counts[i]`` is document i's
+    k-gram count (≥ 1 — an empty/short document yields one hash).
+    """
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    if isinstance(col, _pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.type != _pa.large_binary():
+        col = col.cast(_pa.large_binary())
+    if col.null_count:
+        col = _pc.coalesce(col, _pa.scalar(b"", _pa.large_binary()))
+    n = len(col)
+    if n == 0:
+        return (np.array([], dtype=np.uint64), np.array([], dtype=np.int64))
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                            count=n + 1 + col.offset)[col.offset:]
+    base = int(offsets[0])
+    data = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)[
+        base:int(offsets[-1])]
+    starts = offsets[:-1] - base
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+
+    counts = np.maximum(lengths - k + 1, 1)
+    total_bytes = int(lengths.sum())
+    with np.errstate(over="ignore"):
+        pows = np.empty(k, dtype=np.uint64)
+        pows[0] = np.uint64(1)
+        if k > 1:
+            pows[1:] = ROLL_BASE
+            np.cumprod(pows, out=pows)
+        pows = pows[::-1].copy()
+        if total_bytes >= k:
+            win = np.lib.stride_tricks.sliding_window_view(
+                data.astype(np.uint64), k)
+            G = (win * pows).sum(axis=1, dtype=np.uint64)
+        else:
+            G = np.zeros(1, dtype=np.uint64)
+    # gather each doc's window range from the global hash array
+    from ..util import ragged_arange
+    gidx = np.repeat(np.minimum(starts, max(len(G) - 1, 0)), counts)
+    gidx = np.minimum(gidx + ragged_arange(counts), len(G) - 1)
+    hashes = G[gidx]
+    # patch documents shorter than k: whole-string polynomial hash
+    short = np.flatnonzero(lengths < k)
+    if len(short):
+        out_offs = np.r_[0, np.cumsum(counts)]
+        for i in short:
+            s = bytes(data[starts[i]:starts[i] + lengths[i]])
+            hashes[out_offs[i]] = rolling_hash64(
+                s.decode("utf-8", "surrogateescape"))
+    return hashes, counts
+
+
 def winnow(hashes: np.ndarray, window: int = 16) -> np.ndarray:
     """Winnowing (Schleimer/Wilkerson/Aiken, MOSS): per sliding window keep
     the minimum hash; dedupe; sorted uint64 fingerprint set."""

@@ -126,22 +126,27 @@ def range_join_count(left_ds, right_ds, *, key: str, left_ts: str,
                              "range_start": pa.array([], part["__rs"].type),
                              "range_end": pa.array([], part["__re"].type),
                              out_col: pa.array([], pa.int64())})
-        # dense key codes consistent across both sides: encode ONE array
+        # dense key codes consistent across both sides: encode ONE array.
+        # A null key's dictionary index is null (numpy would read garbage) —
+        # sanitize to 0 and mask below: a null-key left row counts nowhere,
+        # a null-key right interval counts 0 (SQL null-comparison semantics)
         keys_all = part[key]
         if isinstance(keys_all, pa.ChunkedArray):
             keys_all = keys_all.combine_chunks()
-        codes_all = np.asarray(keys_all.dictionary_encode().indices,
+        idx = keys_all.dictionary_encode().indices
+        key_ok = np.asarray(pc.is_valid(idx))
+        codes_all = np.asarray(pc.coalesce(idx, pa.scalar(0, idx.type)),
                                dtype=np.int64)
         codes_l = codes_all[side == 0]
         codes_r = codes_all[side == 1]
         # null left timestamps can never fall in a range; null right bounds
         # never match (SQL comparison-with-null semantics) — computed on
         # zero-filled values, masked back to 0 below
-        l_ok = np.asarray(pc.is_valid(lt["__lts"]))
+        l_ok = np.asarray(pc.is_valid(lt["__lts"])) & key_ok[side == 0]
         codes_l = codes_l[l_ok]
         lts = _np_i64(lt.filter(pa.array(l_ok))["__lts"])
         r_ok = np.asarray(pc.and_(pc.is_valid(rt["__rs"]),
-                                  pc.is_valid(rt["__re"])))
+                                  pc.is_valid(rt["__re"]))) & key_ok[side == 1]
         rs = _np_i64(pc.coalesce(rt["__rs"], pa.scalar(0, rt["__rs"].type)))
         re_ = _np_i64(pc.coalesce(rt["__re"], pa.scalar(0, rt["__re"].type)))
         # shared dense rank space over every timestamp in the partition
@@ -193,12 +198,22 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
     rts_type = rtypes[right_ts]
     rval_type = rtypes[value_col]
 
-    right_slim = right_ds.map_batches(
-        lambda b: pa.table({
+    def slim(b: pa.Table) -> pa.Table:
+        # ASOF null semantics (SQL comparison-with-null): a right row with a
+        # null timestamp, null value or null key can never be the match —
+        # drop here so (a) nulls don't coalesce to epoch-0 phantom matches
+        # and (b) a null __rval can't hijack the max-value tie-break sort
+        m = pc.and_(pc.and_(pc.is_valid(b[right_ts]),
+                            pc.is_valid(b[value_col])),
+                    pc.is_valid(b[key]))
+        b = b.filter(m)
+        return pa.table({
             key: b[key],
             right_ts: b[right_ts],
-            value_col: b[value_col]}),
-        batch_format="pyarrow", zero_copy_batch=True)
+            value_col: b[value_col]})
+
+    right_slim = right_ds.map_batches(slim, batch_format="pyarrow",
+                                      zero_copy_batch=True)
 
     def tag_left(b: pa.Table) -> pa.Table:
         cols = {n: b[n] for n in left_names}
@@ -272,6 +287,15 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
             rvals = rvals.combine_chunks()
         fill = np.clip(fill_idx[left_mask], 0, n - 1)
         ok = valid[left_mask]
+        # a left row with a null timestamp or null key matches NOTHING
+        # (its __uts was coalesced to 0 only so the sort is well-defined;
+        # SQL null-comparison semantics say no right row qualifies)
+        lts_col = t[left_ts]
+        if lts_col.null_count:
+            ok &= np.asarray(pc.is_valid(lts_col))[left_mask]
+        key_col = t[key]
+        if key_col.null_count:
+            ok &= np.asarray(pc.is_valid(key_col))[left_mask]
         vals = rvals.take(pa.array(fill, pa.int64()))
         vals = pc.if_else(pa.array(ok), vals, pa.nulls(lt.num_rows,
                                                        rval_type))

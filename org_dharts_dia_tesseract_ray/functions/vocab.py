@@ -133,10 +133,16 @@ def tfidf_top_term(ds, n_corpus: int, *, text_col: str = "text",
 
     from ray.data.aggregate import Max
 
-    from ..util import cluster_cpus
+    from ..util import cluster_cpus, schema_pinned_join
 
     if num_partitions is None:
         num_partitions = max(2, min(32, cluster_cpus()))
+
+    in_schema = ds.schema()
+    id_type = in_schema.types[in_schema.names.index(id_col)]
+    text_type = in_schema.types[in_schema.names.index(text_col)]
+    tok_type = (pa.large_string()
+                if pa.types.is_large_string(text_type) else pa.string())
 
     def tf_pairs(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
@@ -152,11 +158,22 @@ def tfidf_top_term(ds, n_corpus: int, *, text_col: str = "text",
                            zero_copy_batch=True)
     df = (doc_frequency(ds, text_col=text_col, id_col=id_col)
           .select_columns(["token", "n_docs"]))
-    joined = pairs.join(df, join_type="inner",
-                        num_partitions=num_partitions, on=("token",))
+    # the df side is a groupby-aggregate output: its empty hash partitions
+    # materialize as schema-LESS blocks when distinct tokens < partitions,
+    # which kills Ray's join operator (the round-2 red row at num_cpus=32)
+    # — schema_pinned_join's union plan is immune by construction
+    joined = schema_pinned_join(
+        pairs, df, on=("token",), num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, id_type), ("token", tok_type),
+                               ("tf", pa.int64())]),
+        right_schema=pa.schema([("token", tok_type),
+                                ("n_docs", pa.int64())]))
 
     def pack_rank(b: pa.Table) -> pa.Table:
         import numpy as np
+        if b.num_rows == 0:
+            return pa.schema([(id_col, id_type),
+                              ("__rank", pa.string())]).empty_table()
         tf = np.asarray(pc.cast(b["tf"], pa.int64()))
         dfv = np.asarray(pc.cast(b["n_docs"], pa.int64()))
         # idf via math.log once per DISTINCT df value: bit-identical to the
@@ -178,6 +195,9 @@ def tfidf_top_term(ds, n_corpus: int, *, text_col: str = "text",
 
     def unpack(b: pa.Table) -> pa.Table:
         import numpy as np
+        if b.num_rows == 0:
+            return pa.schema([(id_col, id_type), ("top_token", tok_type),
+                              ("tfidf", pa.float64())]).empty_table()
         bits = np.asarray(
             pc.cast(pc.utf8_slice_codeunits(b["__best"], 0, 20),
                     pa.uint64()))

@@ -241,6 +241,36 @@ SELECT 'https://corpus.test/doc/' || doc_id AS url,
 FROM {table}"""
 
 
+def hocr_sql(table: str = "documents") -> str:
+    """Oracle for the hOCR string rendering (M7, TessAPI.java:494 analogue)
+    over the wrapped corpus: the fixed heading/body span structure rendered
+    to the exact line-level hOCR string ``render_hocr_doc`` emits."""
+    url = "'https://corpus.test/doc/' || doc_id"
+    hlen = "(4 + length(CAST(doc_id AS VARCHAR)))"      # heading span end
+    hs = f"({hlen} + 2)"                                # body span start
+    he = f"({hs} + length(text))"                       # body span end
+    esc = ("replace(replace(replace(text, '&', '&amp;'), "
+           "'<', '&lt;'), '>', '&gt;')")
+    nl = "chr(10)"
+    return f"""
+SELECT {url} AS url,
+  '<div class=''ocr_page'' id=''page_0'' title=''bbox 0 0 ' || {he}
+    || ' 1''>' || {nl} ||
+  '<div class=''ocr_carea'' id=''block_0'' title=''bbox 0 0 ' || {hlen}
+    || ' 1''>' || {nl} ||
+  '<p class=''ocr_par'' id=''par_1''>' || {nl} ||
+  '<span class=''ocr_line'' id=''line_2'' title=''bbox 0 0 ' || {hlen}
+    || ' 1''>Doc ' || doc_id || '</span>' || {nl} ||
+  '</p>' || {nl} || '</div>' || {nl} ||
+  '<div class=''ocr_carea'' id=''block_5'' title=''bbox ' || {hs} || ' 0 '
+    || {he} || ' 1''>' || {nl} ||
+  '<p class=''ocr_par'' id=''par_6''>' || {nl} ||
+  '<span class=''ocr_line'' id=''line_7'' title=''bbox ' || {hs} || ' 0 '
+    || {he} || ' 1''>' || {esc} || '</span>' || {nl} ||
+  '</p>' || {nl} || '</div>' || {nl} || '</div>' AS hocr
+FROM {table}"""
+
+
 def subsup_words_sql(table: str = "documents") -> str:
     """Oracle for the I13 word-flag fixture: the wrapped body is
     ``text || ' H2O and mc2'`` — exactly one subscript-flagged word (H2O)

@@ -45,7 +45,11 @@ def _ts_keys(batch: pa.Table) -> tuple[pa.Array, pa.Array]:
 
 
 def _row_digests(t: pa.Table) -> pa.Array:
-    """Whole-row md5 over the non-key columns (missing columns skipped)."""
+    """Whole-row md5 over the non-key columns (missing columns skipped).
+    A per-column validity marker precedes each value so a null and an empty
+    value rank DISTINCTLY — without it rows identical in (url, ts, length)
+    differing only by null-vs-empty text/lang would digest equal and leave
+    the survivor to sort stability."""
     cols = [t[c].to_pylist() for c in _DIGEST_COLS if c in t.column_names]
     digs = []
     for vals in zip(*cols) if cols else [()] * t.num_rows:
@@ -53,6 +57,7 @@ def _row_digests(t: pa.Table) -> pa.Array:
         for v in vals:
             if isinstance(v, str):
                 v = v.encode("utf-8")
+            h.update(b"\x01" if v is not None else b"\x00")
             h.update(v or b"")
             h.update(b"\x00")
         digs.append(h.hexdigest())
@@ -184,10 +189,16 @@ def dedup_pages(ds, *, combine: bool = True, strategy: str = "partition",
 
     from ray.data.aggregate import Max
 
+    from ..util import ds_arrow_schema, schema_pinned_join
+
     if num_partitions is None:
-        # join aggregators occupy scheduling slots — more partitions than
-        # CPUs deadlocks a small cluster and just adds overhead on a big one
         num_partitions = max(2, min(32, cluster_cpus()))
+
+    # pages schema is cheap here (read_parquet metadata / first block);
+    # needed to pin the join against the groupby output's schema-less
+    # empty partitions (see util.schema_pinned_join)
+    pages_schema = ds_arrow_schema(ds)
+    ranked_schema = pages_schema.append(pa.field("__rank", pa.string()))
 
     ranked = ds.map_batches(
         lambda b: b.append_column(
@@ -198,8 +209,11 @@ def dedup_pages(ds, *, combine: bool = True, strategy: str = "partition",
                          batch_format="pyarrow", zero_copy_batch=True)
             .groupby("url")
             .aggregate(Max("__rank", alias_name="__best")))
-    joined = ranked.join(best, join_type="inner",
-                         num_partitions=num_partitions, on=("url",))
+    joined = schema_pinned_join(
+        ranked, best, on=("url",), num_partitions=num_partitions,
+        left_schema=ranked_schema,
+        right_schema=pa.schema([("url", pages_schema.field("url").type),
+                                ("__best", pa.string())]))
 
     def keep_best(b: pa.Table) -> pa.Table:
         t = b.filter(pc.equal(b["__rank"], b["__best"]))

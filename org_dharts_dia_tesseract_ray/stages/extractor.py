@@ -256,6 +256,89 @@ def apply_boxes(ds, *, level: str = "line", **kwargs):
                           **kwargs)
 
 
+HOCR_SCHEMA = pa.schema([("url", pa.string()), ("hocr", pa.string())])
+
+_HOCR_DEPTH = {"block": 1, "para": 2, "line": 3, "word": 4}
+
+
+def _hocr_esc(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def render_hocr_doc(text: str, spans: list[dict],
+                    include_words: bool = False) -> str:
+    """One document's hOCR string — the ``TessBaseAPIGetHOCRText`` analogue
+    (reference TessAPI.java:494, hOCR spec class names).  The reference's
+    2-D ``bbox x0 y0 x1 y1`` becomes the 1-D offset form ``bbox start 0
+    end 1`` (I5's BoundingBox→offset mapping); the spans table remains the
+    structured source of truth, this is its rendering.
+
+    Spans arrive in depth-first reading order (the order ``next(level)``
+    visits nodes, BasePageHandle.java:128-134), so a close-to-depth stack
+    rebuilds the nesting without consulting ``parent_id``."""
+    text = text or ""
+    out = [f"<div class='ocr_page' id='page_0' "
+           f"title='bbox 0 0 {len(text)} 1'>"]
+    close: list[str] = []
+
+    def close_to(depth: int) -> None:
+        while len(close) >= depth:
+            out.append(close.pop())
+
+    for s in spans:
+        lvl = s["level"]
+        close_to(_HOCR_DEPTH[lvl])
+        nid, st, en = s["node_id"], s["start"], s["end"]
+        if lvl == "block":
+            out.append(f"<div class='ocr_carea' id='block_{nid}' "
+                       f"title='bbox {st} 0 {en} 1'>")
+            close.append("</div>")
+        elif lvl == "para":
+            out.append(f"<p class='ocr_par' id='par_{nid}'>")
+            close.append("</p>")
+        elif lvl == "line":
+            head = (f"<span class='ocr_line' id='line_{nid}' "
+                    f"title='bbox {st} 0 {en} 1'>")
+            if include_words:
+                out.append(head)
+                close.append("</span>")
+            else:
+                out.append(head + _hocr_esc(text[st:en]) + "</span>")
+        elif lvl == "word" and include_words:
+            conf = int(round(float(s["confidence"]) * 100))
+            out.append(f"<span class='ocrx_word' id='word_{nid}' "
+                       f"title='bbox {st} 0 {en} 1; x_wconf {conf}'>"
+                       + _hocr_esc(text[st:en]) + "</span>")
+    close_to(1)
+    out.append("</div>")
+    return "\n".join(out)
+
+
+def hocr_batch(batch: pa.Table, *, include_words: bool = False) -> pa.Table:
+    """(url, hocr) — hOCR rendering of each document (M7's string form).
+    String assembly is inherently per-document; the heavy work (parsing,
+    span extraction) already happened once in the extract stage — this is a
+    pure formatting pass over its output."""
+    spans_col = batch["spans"]
+    if isinstance(spans_col, pa.ChunkedArray):
+        spans_col = spans_col.combine_chunks()
+    texts = batch["extracted_text"].to_pylist()
+    all_spans = spans_col.to_pylist()
+    docs = [render_hocr_doc(t, sp or [], include_words)
+            for t, sp in zip(texts, all_spans)]
+    return pa.Table.from_arrays(
+        [batch["url"].combine_chunks()
+         if isinstance(batch["url"], pa.ChunkedArray) else batch["url"],
+         pa.array(docs, pa.string())],
+        schema=HOCR_SCHEMA)
+
+
+def apply_hocr(ds, *, include_words: bool = False, **kwargs):
+    return ds.map_batches(lambda b: hocr_batch(b, include_words=include_words),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          **kwargs)
+
+
 def default_concurrency(fraction: float = 1.0) -> tuple:
     """Autoscaling actor-pool bounds sized to the cluster CPU count.
 

@@ -125,8 +125,12 @@ def run_checkpointed(
 
             from ..stages.extractor import apply_explode_spans
             os.makedirs(spans_dir, exist_ok=True)
+            # sorted: listdir order is filesystem-dependent, and the spans
+            # view's row order (hence written bytes) must not vary between
+            # runs/machines — part of the byte-identity/resume guarantee
             written = ray.data.read_parquet(
-                [os.path.join(part_dir, fn) for fn in os.listdir(part_dir)
+                [os.path.join(part_dir, fn)
+                 for fn in sorted(os.listdir(part_dir))
                  if fn.endswith(".parquet")],
                 columns=["url", "spans"])
             apply_explode_spans(written).write_parquet(spans_dir)

@@ -42,13 +42,21 @@ def keep_first_per_key(t: pa.Table, key: str, order_by: list) -> pa.Table:
 def key_change_mask(keys, n: int):
     """Boolean numpy mask: row i starts a new run of equal key values in an
     already-sorted column (adjacent-compare; row 0 always True).  The
-    boundary-detection primitive of every partition-vectorized reducer."""
+    boundary-detection primitive of every partition-vectorized reducer.
+
+    Null-safe: ``pc.not_equal(null, x)`` yields null (which numpy would
+    silently read as False, merging a null-key run into its neighbour), so
+    the mask is computed on values AND validity — null-vs-non-null adjacency
+    is a change, null-vs-null is not (nulls form their own single run, the
+    same grouping a SQL GROUP BY / the per-key reducer this replaces used)."""
     import numpy as np
     keys = as_array(keys)
     change = np.ones(n, dtype=bool)
     if n > 1:
-        change[1:] = np.asarray(
-            pc.not_equal(keys.slice(1), keys.slice(0, n - 1)))
+        hi, lo = keys.slice(1), keys.slice(0, n - 1)
+        neq = pc.fill_null(pc.not_equal(hi, lo), False)
+        vdiff = pc.xor(pc.is_valid(hi), pc.is_valid(lo))
+        change[1:] = np.asarray(pc.or_(neq, vdiff))
     return change
 
 
@@ -122,26 +130,149 @@ def _string_hash64(col: pa.Array):
     return mix64(h)
 
 
-def partition_ids(col, num_partitions: int) -> pa.Array:
-    """Deterministic partition id (int32) for a key column — the building
-    block of the hash-partition → per-partition-vectorized-pass pattern that
-    replaces per-key ``map_groups`` reducers.  Integer/temporal keys hash via
-    splitmix64; string/binary keys via a vectorized byte-polynomial.  Pure
-    arithmetic: identical across processes, reruns and parallelism levels
-    (no PYTHONHASHSEED, no library-version hash dependence)."""
+def _col_hash64(col):
+    """Deterministic vectorized uint64 hash of one key column (numpy array).
+    Integer/temporal keys via splitmix64; string/binary via the
+    byte-polynomial.  Pure arithmetic — identical across processes, reruns
+    and parallelism levels."""
     import numpy as np
     arr = as_array(col)
+    if pa.types.is_unsigned_integer(arr.type):
+        # uint64 doesn't fit int64 — widen within the unsigned domain
+        u = pc.coalesce(arr.cast(pa.uint64()), pa.scalar(0, pa.uint64()))
+        return mix64(np.asarray(as_array(u)))
     if pa.types.is_integer(arr.type) or pa.types.is_temporal(arr.type):
         ints = pc.coalesce(arr.cast(pa.int64()), pa.scalar(0, pa.int64()))
-        h = mix64(np.asarray(as_array(ints)).view(np.uint64))
-    elif (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
-          or pa.types.is_binary(arr.type)
-          or pa.types.is_large_binary(arr.type)):
-        h = _string_hash64(arr)
-    else:
-        raise TypeError(f"unsupported partition key type: {arr.type}")
+        return mix64(np.asarray(as_array(ints)).view(np.uint64))
+    if (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+            or pa.types.is_binary(arr.type)
+            or pa.types.is_large_binary(arr.type)):
+        return _string_hash64(arr)
+    raise TypeError(f"unsupported partition key type: {arr.type}")
+
+
+def partition_ids(col, num_partitions: int, *, extra_cols=()) -> pa.Array:
+    """Deterministic partition id (int32) for a key column (plus optional
+    further key columns for composite keys) — the building block of the
+    hash-partition → per-partition-vectorized-pass pattern that replaces
+    per-key ``map_groups`` reducers and powers :func:`schema_pinned_join`."""
+    import numpy as np
+    h = _col_hash64(col)
+    for c in extra_cols:
+        with np.errstate(over="ignore"):
+            h = mix64(h * np.uint64(1099511628211) + _col_hash64(c))
     return pa.array((h % np.uint64(num_partitions)).astype(np.int32),
                     pa.int32())
+
+
+def ragged_arange(lens):
+    """[0..l0), [0..l1), … concatenated — vectorized ragged arange.
+    Every length must be ≥ 1 (callers guarantee this)."""
+    import numpy as np
+    total = int(lens.sum())
+    if total == 0:
+        return np.array([], dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    cuts = np.cumsum(lens)[:-1]
+    out[cuts] = 1 - lens[:-1]
+    return np.cumsum(out)
+
+
+def ds_arrow_schema(ds) -> pa.Schema:
+    """A Dataset's schema as a ``pyarrow.Schema`` (Ray's wrapper unwrapped)."""
+    s = ds.schema()
+    return pa.schema(list(zip(s.names, s.types)))
+
+
+def schema_pinned_join(left, right, *, on, num_partitions: int,
+                       left_schema: pa.Schema, right_schema: pa.Schema,
+                       join_type: str = "inner"):
+    """Distributed inner join that is IMMUNE to schema-less empty blocks —
+    the replacement for ``Dataset.join`` wherever a side is (or may be) a
+    groupby/aggregate output.
+
+    Why not ``Dataset.join``: a hash-shuffled groupby output materializes
+    empty partitions as zero-COLUMN blocks (the executor's "new schema: ."
+    warning) whenever key cardinality < partition count; Ray's join
+    operator then feeds Acero a schema-less table and dies with "No match
+    ... for key field reference" (round-2 red row: ``tfidf_top_term`` at
+    ``num_cpus=32`` with a 31-token right side).  ``map_batches`` cannot
+    repair this — Ray never invokes the UDF on empty blocks (verified), so
+    there is no hook to re-type them.
+
+    Plan shape (the same union pattern as :func:`~.functions.joins.asof_join`):
+
+    1. both sides are schema-aligned (nulls for the other side's columns),
+       tagged ``__side`` and ``__part = hash(keys) % P``, and unioned — ONE
+       co-shuffle instead of the join operator's two-sided exchange with
+       per-partition aggregator actors;
+    2. each partition is joined LOCALLY by Acero (``pa.Table.join``,
+       single-threaded — parallelism comes from partitions) with both
+       schemas known statically, so empty/one-sided partitions produce a
+       correctly-typed empty table instead of a crash.
+
+    ``left_schema`` / ``right_schema`` are the statically-known schemas
+    (never derived by executing the inputs).  Non-key column names must be
+    disjoint; key columns are cast to the left side's types.
+    """
+    import numpy as np
+
+    if join_type != "inner":
+        raise NotImplementedError("only inner joins are needed/offered")
+    on = tuple(on)
+    lnames = list(left_schema.names)
+    ltypes = {n: left_schema.field(n).type for n in lnames}
+    r_only = [n for n in right_schema.names if n not in on]
+    rtypes = {n: right_schema.field(n).type for n in right_schema.names}
+    overlap = (set(lnames) - set(on)) & set(r_only)
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    out_schema = pa.schema(
+        [left_schema.field(n) for n in lnames]
+        + [right_schema.field(n) for n in r_only])
+    key0, keyrest = on[0], on[1:]
+    P = num_partitions
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {n: b[n] for n in lnames}
+        for n in r_only:
+            cols[n] = pa.nulls(b.num_rows, rtypes[n])
+        cols["__side"] = pa.array(np.zeros(b.num_rows, np.int8))
+        cols["__part"] = partition_ids(
+            b[key0], P, extra_cols=[b[k] for k in keyrest])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {}
+        for n in lnames:
+            cols[n] = (b[n].cast(ltypes[n]) if n in on
+                       else pa.nulls(b.num_rows, ltypes[n]))
+        for n in r_only:
+            cols[n] = b[n]
+        cols["__side"] = pa.array(np.ones(b.num_rows, np.int8))
+        cols["__part"] = partition_ids(
+            cols[key0], P, extra_cols=[cols[k] for k in keyrest])
+        return pa.table(cols)
+
+    unioned = (left.map_batches(tag_left, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .union(right.map_batches(tag_right, batch_format="pyarrow",
+                                        zero_copy_batch=True)))
+
+    def merge(part: pa.Table) -> pa.Table:
+        import numpy as _np
+        side = _np.asarray(part["__side"])
+        lt = part.filter(pa.array(side == 0)).select(lnames)
+        rt = part.filter(pa.array(side == 1)).select(list(on) + r_only)
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()
+        out = lt.join(rt, keys=list(on), join_type="inner",
+                      use_threads=False)
+        return out.select(out_schema.names)
+
+    return unioned.groupby("__part").map_groups(merge,
+                                                batch_format="pyarrow")
 
 
 def default_num_partitions(per_cpu: int = 2, lo: int = 8,

@@ -610,3 +610,156 @@ def test_partition_ids_invariant_under_chunking_and_slicing():
     assert (partition_ids(ints.slice(10, 20), 16).to_pylist()
             == partition_ids(_pa.array(list(range(10, 30)), _pa.int64()),
                              16).to_pylist())
+
+
+# ---------------------------------------------------------------------------
+# round-3: schema-pinned join, null-semantics, batched kernels, hOCR
+
+
+def test_schema_pinned_join_low_cardinality_wide_partitions(ray_session):
+    """The round-2 red-row scenario: a groupby output with FEWER distinct
+    keys (31) than join partitions (64) materializes schema-less empty
+    blocks; Dataset.join dies on them, schema_pinned_join must not."""
+    import ray.data as _rd
+    from ray.data.aggregate import Sum
+
+    from org_dharts_dia_tesseract_ray.util import schema_pinned_join
+
+    left = _rd.from_arrow(pa.table({
+        "token": pa.array([f"t{i % 31}" for i in range(500)]),
+        "x": pa.array(list(range(500)), pa.int64())}))
+    right = (_rd.from_arrow(pa.table({
+        "token": pa.array([f"t{i % 31}" for i in range(310)]),
+        "v": pa.array([1] * 310, pa.int64())}))
+        .groupby("token").aggregate(Sum("v", alias_name="n")))
+    out = schema_pinned_join(
+        left, right, on=("token",), num_partitions=64,
+        left_schema=pa.schema([("token", pa.string()), ("x", pa.int64())]),
+        right_schema=pa.schema([("token", pa.string()), ("n", pa.int64())]),
+    ).to_pandas()
+    assert len(out) == 500
+    assert sorted(out.columns) == ["n", "token", "x"]
+    assert (out["n"] == 10).all()
+
+
+def test_schema_pinned_join_empty_side(ray_session):
+    """A join whose right side aggregates to ZERO rows must return an empty
+    result with the full joined schema, not crash."""
+    import ray.data as _rd
+    from ray.data.aggregate import Sum
+
+    from org_dharts_dia_tesseract_ray.util import schema_pinned_join
+
+    left = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "x": pa.array([1, 2, 3], pa.int64())}))
+    right = (_rd.from_arrow(pa.table({
+        "k": pa.array([9], pa.int64()), "v": pa.array([1], pa.int64())}))
+        .filter(expr="v > 100")
+        .groupby("k").aggregate(Sum("v", alias_name="n")))
+    out = schema_pinned_join(
+        left, right, on=("k",), num_partitions=16,
+        left_schema=pa.schema([("k", pa.int64()), ("x", pa.int64())]),
+        right_schema=pa.schema([("k", pa.int64()), ("n", pa.int64())]),
+    )
+    # must not crash; zero rows; any non-empty block carries the full schema
+    assert out.count() == 0
+
+
+def test_asof_join_null_semantics(ray_session):
+    """ASOF null semantics: a null left timestamp matches NOTHING (it must
+    not coalesce to epoch 0); right rows with null ts or null value are
+    never candidates."""
+    import ray.data as _rd
+
+    from org_dharts_dia_tesseract_ray.functions.joins import asof_join
+    ts = pa.timestamp("us")
+    left = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "lts": pa.array([None, 5, 50], ts),
+        "lid": pa.array([0, 1, 2], pa.int64())}))
+    right = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 1], pa.int64()),
+        # the null-ts right row would "win" at epoch 0 if unmasked;
+        # the null-value row at ts=40 would hijack the tie-break sort
+        "rts": pa.array([None, 0, 3, 40], ts),
+        "v": pa.array([111, 100, 300, None], pa.int64())}))
+    out = (asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                     value_col="v").to_pandas().sort_values("lid"))
+    vals = [None if x != x else x for x in out["asof_v"].tolist()]
+    # lid 0: null lts -> null;  lid 1 (ts 5): v@3=300;  lid 2 (ts 50):
+    # null-value row at 40 excluded -> still v@3=300
+    assert vals == [None, 300.0, 300.0]
+
+
+def test_key_change_mask_null_keys():
+    from org_dharts_dia_tesseract_ray.util import key_change_mask
+    k = pa.array([None, None, "a", "a", None, "b"])
+    m = key_change_mask(k, 6).tolist()
+    # nulls form their own run; null->a, a->null, null->b are changes
+    assert m == [True, False, True, False, True, True]
+
+
+def test_kgram_hashes_batch_matches_per_doc():
+    from org_dharts_dia_tesseract_ray.functions.fingerprint import (
+        kgram_hashes, kgram_hashes_batch)
+    texts = ["", "a", "abcdefg", "abcdefgh", "abcdefghi",
+             "the quick brown fox", "é漢字 unicode", None, "x" * 1000]
+    col = pa.array([t.encode() if t is not None else None for t in texts],
+                   pa.binary())
+    for k in (4, 8):
+        H, counts = kgram_hashes_batch(col, k)
+        offs = np.r_[0, np.cumsum(counts)]
+        for i, t in enumerate(texts):
+            assert np.array_equal(kgram_hashes(t or "", k),
+                                  H[offs[i]:offs[i + 1]]), (k, i, t)
+
+
+def test_minhash_batched_equals_per_doc_signature():
+    """The batched __call__ must produce bit-identical signatures to the
+    per-document signature() oracle."""
+    from org_dharts_dia_tesseract_ray.functions.dedup import MinHasher
+    mh = MinHasher(num_perm=32, k=8)
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "", "short", "x" * 500]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+    out = mh(batch)
+    sigs = np.asarray(out["sig"].combine_chunks().flatten()).reshape(
+        len(texts), 32)
+    for i, t in enumerate(texts):
+        assert np.array_equal(sigs[i], mh.signature(t)), i
+
+
+def test_row_digest_null_vs_empty_rank_distinctly():
+    from org_dharts_dia_tesseract_ray.stages.dedup import _row_digests
+    t_null = pa.table({"html": pa.array([b"x"], pa.binary()),
+                       "text": pa.array([None], pa.string()),
+                       "lang": pa.array(["en"])})
+    t_empty = pa.table({"html": pa.array([b"x"], pa.binary()),
+                        "text": pa.array([""], pa.string()),
+                        "lang": pa.array(["en"])})
+    assert _row_digests(t_null)[0].as_py() != _row_digests(t_empty)[0].as_py()
+
+
+def test_hocr_rendering_structure():
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+    from org_dharts_dia_tesseract_ray.stages.extractor import render_hocr_doc
+    html = (b"<html><body><article><h1>Doc 7</h1>"
+            b"<p>alpha &amp; beta</p></article></body></html>")
+    res = extract_one(html, "en", None)
+    assert res.error is None and res.text
+    spans = [{k: getattr(s, k) for k in
+              ("node_id", "level", "start", "end", "confidence")}
+             for s in res.spans]
+    hocr = render_hocr_doc(res.text, spans)
+    assert hocr.startswith("<div class='ocr_page'")
+    assert hocr.count("<div class='ocr_carea'") == res.n_blocks
+    assert hocr.count("</div>") == res.n_blocks + 1
+    # line text is escaped and sliced from the extracted text
+    assert "alpha &amp; beta" in hocr
+    assert "ocrx_word" not in hocr
+    # word-level rendering nests words inside lines with confidences
+    hocr_w = render_hocr_doc(res.text, spans, include_words=True)
+    assert "x_wconf" in hocr_w and "ocrx_word" in hocr_w
