@@ -9,10 +9,11 @@ additions the north rule asks for, built Ray-Data-first:
   per group.  One all-to-all exchange keyed on the digest; digests are
   16 bytes/doc, so the shuffle moves digests, never documents.
 * **MinHash + LSH**: shingle → minhash signature (``map_batches``, numpy) →
-  band rows (vectorized explode) → ``groupby(band, band_hash)`` bucket →
-  candidate pairs → exact-Jaccard verification via two hash JOINS back to
-  the signatures (never a driver-side collect) — candidates ≪ corpus is the
-  partitioning assumption, standard for web dedup.
+  band rows (vectorized explode) → hash-partitioned LOCAL self-join on the
+  bucket key → candidate pairs → exact-Jaccard verification via two slim
+  co-shuffles against the shingle table (never a driver-side collect) —
+  candidates ≪ corpus is the partitioning assumption, standard for web
+  dedup.
 * **SimHash**: 64-bit signature per doc, near-dups via 16-bit band buckets +
   Hamming verification (Charikar / Manku-Jain-Sarma pattern).
 * **n-gram Jaccard / embedding cosine**: all-pairs within LSH-or-broadcast
@@ -136,15 +137,29 @@ class MinHasher:
         })
 
 
+#: per-worker-process MinHasher cache for task-mode execution — state still
+#: built once per worker, but scheduled as plain tasks: the permutation
+#: table is CHEAP state, and the actor-pool path costs ~2× with high
+#: startup variance on this workload (measured round 2/3; same finding as
+#: stages/extractor.apply_extract — actor pools are for EXPENSIVE state)
+_MINHASHERS: dict = {}
+
+
 def apply_minhash(ds, *, num_perm: int = 128, k: int = 8, seed: int = 42,
                   text_col: str = "text", id_col: str = "doc_id",
-                  concurrency=(1, 8), batch_size: int = 256):
-    return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, k=k, seed=seed,
-                                   text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=batch_size, concurrency=concurrency)
+                  batch_size: int = 256):
+    key = (num_perm, k, seed, text_col, id_col)
+
+    def fn(b: pa.Table) -> pa.Table:
+        mh = _MINHASHERS.get(key)
+        if mh is None:
+            mh = _MINHASHERS.setdefault(key, MinHasher(
+                num_perm=num_perm, k=k, seed=seed,
+                text_col=text_col, id_col=id_col))
+        return mh(b)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -199,41 +214,52 @@ def _distinct_pairs(pairs_ds, keep: dict | None = None):
 def _self_join_pairs(band_ds, keys: list[str], carry: list[str],
                      id_col: str, num_partitions: int,
                      types: dict[str, pa.DataType]):
-    """Bucket → candidate pairs via a hash SELF-JOIN on the bucket key
-    (vectorized), not per-bucket map_groups: most buckets are singletons and
-    one Python call per singleton dominates wall time at corpus scale.
+    """Bucket → candidate pairs (id_a < id_b) via a hash-partitioned LOCAL
+    self-join on the bucket key.
 
-    Runs on :func:`~..util.schema_pinned_join` (union + per-partition local
-    Acero), so empty shuffle partitions can never poison the join, and no
-    join-aggregator actor pool competes for scheduling slots.  ``types``
-    maps every key/carry column and ``id_col`` to its Arrow type (needed to
-    pin both sides' schemas without executing them)."""
-    def rn(suffix):
-        def f(b: pa.Table) -> pa.Table:
-            cols = {k: b[k] for k in keys}
-            cols["id_" + suffix] = b[id_col]
-            for c in carry:
-                cols[c + "_" + suffix] = b[c]
-            return pa.table(cols)
-        return f
+    A self-join needs no left/right branch of the input Dataset — Ray Data
+    re-executes a shared sub-DAG once PER CONSUMER, so the former
+    two-branch form recomputed the whole upstream (read + signatures)
+    twice.  Here the stream is consumed ONCE: ``__part = hash(keys) % P``
+    co-locates every bucket, and each partition self-joins locally with
+    Acero (vectorized, not per-bucket map_groups — most buckets are
+    singletons and one Python call per singleton dominates at corpus
+    scale).  Empty shuffle partitions are harmless by construction.
+    ``types`` maps key/carry columns and ``id_col`` to their Arrow types
+    (to build output schemas without executing the input)."""
+    from ..util import partition_ids
 
-    def side_schema(suffix):
-        return pa.schema(
-            [(k, types[k]) for k in keys]
-            + [("id_" + suffix, types[id_col])]
-            + [(c + "_" + suffix, types[c]) for c in carry])
+    out_schema = pa.schema(
+        [(k, types[k]) for k in keys]
+        + [("id_a", types[id_col])]
+        + [(c + "_a", types[c]) for c in carry]
+        + [("id_b", types[id_col])]
+        + [(c + "_b", types[c]) for c in carry])
+    out_names = out_schema.names
 
-    left = band_ds.map_batches(rn("a"), batch_format="pyarrow",
-                               zero_copy_batch=True)
-    right = band_ds.map_batches(rn("b"), batch_format="pyarrow",
-                                zero_copy_batch=True)
-    joined = schema_pinned_join(left, right, on=tuple(keys),
-                                num_partitions=num_partitions,
-                                left_schema=side_schema("a"),
-                                right_schema=side_schema("b"))
-    return joined.map_batches(
-        lambda b: b.filter(pc.less(b["id_a"], b["id_b"])),
-        batch_format="pyarrow", zero_copy_batch=True)
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__part", partition_ids(b[keys[0]], num_partitions,
+                                    extra_cols=[b[k] for k in keys[1:]]))
+
+    def merge(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["__part"])
+        if part.num_rows < 2:
+            return out_schema.empty_table()
+        sel = list(keys) + [id_col] + list(carry)
+        lt = part.select(sel).rename_columns(
+            list(keys) + ["id_a"] + [c + "_a" for c in carry])
+        rt = part.select(sel).rename_columns(
+            list(keys) + ["id_b"] + [c + "_b" for c in carry])
+        out = lt.join(rt, keys=list(keys), join_type="inner",
+                      use_threads=False)
+        out = out.filter(pc.less(out["id_a"], out["id_b"]))
+        return out.select(out_names)
+
+    parted = band_ds.map_batches(add_part, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return parted.groupby("__part").map_groups(merge,
+                                               batch_format="pyarrow")
 
 
 def jaccard(x: np.ndarray, y: np.ndarray) -> float:
@@ -270,9 +296,9 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
     # uint64 bytes (binary flows through shuffles; list columns don't).
     # Deliberately NOT carried through the band self-join: bands× blob
     # replication through that exchange would dominate shuffle volume at
-    # corpus scale — the blobs ride the two slim pair joins below instead,
-    # shipped once per verified candidate.  At 100 TB this column stays in
-    # the object store, never on the driver.
+    # corpus scale — the blobs ride the slim attach/verify exchanges of
+    # _verify_jaccard_pairs instead.  At 100 TB this column stays in the
+    # object store, never on the driver.
     def shingles_batch(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table({id_col: pa.array([], id_type),
@@ -296,45 +322,126 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
         band_ds, ["band", "band_hash"], [], id_col, num_partitions,
         types={"band": pa.int32(), "band_hash": pa.uint64(),
                id_col: id_type})
-    # a pair can surface from several bands → dedupe on (id_a, id_b)
-    # BEFORE shipping blobs (a many-band collision would otherwise be
-    # verified once per colliding band)
-    cand = _distinct_pairs(cand)
+    return _verify_jaccard_pairs(cand, shing, id_col=id_col,
+                                 id_type=id_type, threshold=threshold,
+                                 num_partitions=num_partitions)
 
-    sh_a = shing.map_batches(
-        lambda b: b.rename_columns(["id_a", "sh_a"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    sh_b = shing.map_batches(
-        lambda b: b.rename_columns(["id_b", "sh_b"]),
-        batch_format="pyarrow", zero_copy_batch=True)
-    pair_schema = pa.schema([("id_a", id_type), ("id_b", id_type)])
-    joined = schema_pinned_join(
-        cand, sh_a, on=("id_a",), num_partitions=num_partitions,
-        left_schema=pair_schema,
-        right_schema=pa.schema([("id_a", id_type),
-                                ("sh_a", pa.binary())]))
-    joined = schema_pinned_join(
-        joined, sh_b, on=("id_b",), num_partitions=num_partitions,
-        left_schema=pair_schema.append(pa.field("sh_a", pa.binary())),
-        right_schema=pa.schema([("id_b", id_type),
-                                ("sh_b", pa.binary())]))
 
-    def verify(b: pa.Table) -> pa.Table:
-        a_blobs = b["sh_a"].to_pylist()
-        b_blobs = b["sh_b"].to_pylist()
-        js = []
-        for i in range(b.num_rows):
-            x = np.frombuffer(a_blobs[i], dtype=np.uint64)
-            y = np.frombuffer(b_blobs[i], dtype=np.uint64)
-            js.append(math.floor(jaccard(x, y) * 10000.0 + 0.5) / 10000.0)
-        out = pa.table({
-            "id_a": b["id_a"], "id_b": b["id_b"],
-            "jaccard": pa.array(js, pa.float64()),
+def _as_chunk(col):
+    return (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col)
+
+
+def _verify_jaccard_pairs(cand, shing, *, id_col, id_type,
+                          threshold: float, num_partitions: int):
+    """Exact-Jaccard verification of candidate pairs — TWO co-shuffles, the
+    shingle table consumed ONCE (Ray re-executes a shared upstream per
+    consumer, so the former two-hash-joins form computed every shingle set
+    twice):
+
+    1. **attach**: candidate pairs exploded to one row per (pair, member
+       id), unioned with the shingle table, partitioned by id — each
+       partition attaches the member's blob with one sort + searchsorted;
+    2. **pair merge**: partitioned by (id_a, id_b) — band-duplicate
+       candidates collapse here (the same pair always co-locates), then
+       each distinct pair's two blobs meet and the exact Jaccard is
+       computed and thresholded.  A pair colliding in k bands ships its
+       blobs k times through this exchange; true near-dups are assumed
+       rare relative to the corpus (run exact dedup first — standard
+       web-dedup staging).
+    """
+    from ..util import partition_ids
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([_as_chunk(b["id_a"]), _as_chunk(b["id_b"])])
+        id_a = pa.concat_arrays([_as_chunk(b["id_a"]), _as_chunk(b["id_a"])])
+        id_b = pa.concat_arrays([_as_chunk(b["id_b"]), _as_chunk(b["id_b"])])
+        n2 = len(ids)
+        return pa.table({
+            "mkey": ids, "id_a": id_a, "id_b": id_b,
+            "blob": pa.nulls(n2, pa.binary()),
+            "__side": pa.array(np.zeros(n2, np.int8)),
+            "__part": partition_ids(ids, num_partitions),
         })
-        return out.filter(pc.greater_equal(out["jaccard"],
-                                           pa.scalar(threshold)))
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    def shing_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "mkey": b[id_col], "id_a": pa.nulls(n, id_type),
+            "id_b": pa.nulls(n, id_type), "blob": b["shingles"],
+            "__side": pa.array(np.ones(n, np.int8)),
+            "__part": partition_ids(b[id_col], num_partitions),
+        })
+
+    unioned = (cand.map_batches(explode, batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .union(shing.map_batches(shing_rows, batch_format="pyarrow",
+                                        zero_copy_batch=True)))
+
+    attach_schema = pa.schema([
+        ("id_a", id_type), ("id_b", id_type), ("slot", pa.int8()),
+        ("blob", pa.binary()), ("__part2", pa.int32())])
+
+    def attach(part: pa.Table) -> pa.Table:
+        side = np.asarray(part["__side"])
+        s0 = part.filter(pa.array(side == 0))
+        s1 = part.filter(pa.array(side == 1))
+        if s0.num_rows == 0 or s1.num_rows == 0:
+            return attach_schema.empty_table()
+        k1 = np.asarray(_as_chunk(s1["mkey"]))
+        order = np.argsort(k1, kind="stable")
+        k0 = np.asarray(_as_chunk(s0["mkey"]))
+        pos = np.searchsorted(k1[order], k0)
+        # every pair member has its shingle row in this partition by
+        # construction (same id -> same hash partition)
+        blobs = _as_chunk(s1["blob"]).take(pa.array(order[pos], pa.int64()))
+        slot = (k0 != np.asarray(_as_chunk(s0["id_a"]))).astype(np.int8)
+        t = pa.table({
+            "id_a": s0["id_a"], "id_b": s0["id_b"],
+            "slot": pa.array(slot), "blob": blobs})
+        return t.append_column(
+            "__part2", partition_ids(t["id_a"], num_partitions,
+                                     extra_cols=[t["id_b"]]))
+
+    attached = unioned.groupby("__part").map_groups(attach,
+                                                    batch_format="pyarrow")
+
+    out_schema = pa.schema([("id_a", id_type), ("id_b", id_type),
+                            ("jaccard", pa.float64())])
+
+    def pair_merge(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["__part2"]).sort_by(
+            [("id_a", "ascending"), ("id_b", "ascending"),
+             ("slot", "ascending")])
+        if part.num_rows == 0:
+            return out_schema.empty_table()
+        # collapse band-duplicate candidates: keep the first row of each
+        # (id_a, id_b, slot) run — vectorized adjacent-compare
+        a = np.asarray(_as_chunk(part["id_a"]))
+        b_ = np.asarray(_as_chunk(part["id_b"]))
+        s = np.asarray(_as_chunk(part["slot"]))
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b_[1:] != b_[:-1]) | (s[1:] != s[:-1])
+        part = part.filter(pa.array(keep))
+        blobs = part["blob"].to_pylist()
+        a = a[keep]
+        b_ = b_[keep]
+        # rows now alternate slot 0 / slot 1 per distinct pair
+        ids_a, ids_b, js = [], [], []
+        for i in range(0, len(blobs), 2):
+            x = np.frombuffer(blobs[i], dtype=np.uint64)
+            y = np.frombuffer(blobs[i + 1], dtype=np.uint64)
+            j = math.floor(jaccard(x, y) * 10000.0 + 0.5) / 10000.0
+            if j >= threshold:
+                ids_a.append(a[i])
+                ids_b.append(b_[i])
+                js.append(j)
+        return pa.table({"id_a": pa.array(ids_a, id_type),
+                         "id_b": pa.array(ids_b, id_type),
+                         "jaccard": pa.array(js, pa.float64())})
+
+    return attached.groupby("__part2").map_groups(pair_merge,
+                                                  batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
