@@ -763,3 +763,30 @@ def test_hocr_rendering_structure():
     # word-level rendering nests words inside lines with confidences
     hocr_w = render_hocr_doc(res.text, spans, include_words=True)
     assert "x_wconf" in hocr_w and "ocrx_word" in hocr_w
+
+
+def test_neardup_clusters_chain_convergence(ray_session):
+    """Chain-shaped component: min-label propagation moves one hop per
+    round, so a length-L path exercises the iteration + fixed-point exit
+    (the star/clique fixtures converge in one round and can't catch a
+    broken loop)."""
+    import ray.data as _rd
+
+    from org_dharts_dia_tesseract_ray.functions.dedup import neardup_clusters
+    ids = _rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(7)), pa.int64())}))
+    # path 0-1-2-...-5 plus isolated node 6
+    pairs = _rd.from_arrow(pa.table({
+        "id_a": pa.array(list(range(5)), pa.int64()),
+        "id_b": pa.array(list(range(1, 6)), pa.int64())}))
+    out = (neardup_clusters(ids, pairs, rounds=8)
+           .to_pandas().sort_values("doc_id"))
+    assert out["cluster"].tolist() == [0] * 6 + [6]
+    # insufficient rounds must still label every node (partial propagation,
+    # never a crash or dropped node)
+    out2 = (neardup_clusters(ids, pairs, rounds=2)
+            .to_pandas().sort_values("doc_id"))
+    assert len(out2) == 7
+    # label 0 propagates one hop per round: after 2 rounds nodes 0-2 are
+    # labelled 0, node 3 still carries its 1-hop minimum
+    assert out2["cluster"].tolist()[:4] == [0, 0, 0, 1]
