@@ -448,6 +448,10 @@ def _verify_jaccard_pairs(cand, shing, *, id_col, id_type,
 # brute-force n-gram Jaccard (oracle-grade baseline for small candidate sets)
 
 
+#: per-worker id->position cache for the brute-force pair finder
+_BRUTE_POS_CACHE: dict = {}
+
+
 def jaccard_pairs_brute(ds, *, threshold: float = 0.5, k: int = 8,
                         text_col: str = "text", id_col: str = "doc_id"):
     """All-pairs exact Jaccard via a broadcast INVERTED shingle index.
@@ -479,47 +483,45 @@ def jaccard_pairs_brute(ds, *, threshold: float = 0.5, k: int = 8,
     ends = np.r_[starts[1:], len(shingles)]
     index_ref = ray.put((ids, sets, sizes, uniq, starts, ends, doc_of))
 
-    class PairFinder:
-        """Actor: broadcast index fetched ONCE per actor in __init__ (the
-        ray.put-once / read-per-actor pattern, never re-shipped per batch)."""
+    def pair_finder(b: pa.Table) -> pa.Table:
+        # task-mode broadcast: the index tuple is a zero-copy plasma read;
+        # only the tiny id→position dict is rebuilt, cached per worker
+        # (the ray.put-once / read-per-worker pattern, never re-shipped)
+        ids_, sets, sizes, uniq, starts, ends, doc_of = ray.get(index_ref)
+        pos_of = _BRUTE_POS_CACHE.get(index_ref.hex())
+        if pos_of is None:
+            pos_of = _BRUTE_POS_CACHE.setdefault(
+                index_ref.hex(), {int(i): p for p, i in enumerate(ids_)})
+        a_out, b_out, js = [], [], []
+        n_docs = len(ids_)
+        for i_ in b[id_col].to_pylist():
+            pi = pos_of[int(i_)]
+            sh = sets[pi]
+            loc = np.searchsorted(uniq, sh)
+            loc = loc[(loc < len(uniq)) & (uniq[np.minimum(
+                loc, len(uniq) - 1)] == sh)]
+            if not len(loc):
+                continue
+            # gather postings of every shingle, count co-occurrences
+            lens = ends[loc] - starts[loc]
+            gidx = (np.repeat(starts[loc], lens)
+                    + _ragged_arange(lens))
+            inter = np.bincount(doc_of[gidx], minlength=n_docs)
+            union = sizes[pi] + sizes - inter
+            with np.errstate(invalid="ignore", divide="ignore"):
+                jac = np.where(union > 0, inter / union, 0.0)
+            cand = np.flatnonzero((jac >= threshold)
+                                  & (ids_ > i_))
+            for cj in cand:
+                a_out.append(i_)
+                b_out.append(int(ids_[cj]))
+                js.append(math.floor(jac[cj] * 10000.0 + 0.5) / 10000.0)
+        return pa.table({"id_a": pa.array(a_out, pa.int64()),
+                         "id_b": pa.array(b_out, pa.int64()),
+                         "jaccard": pa.array(js, pa.float64())})
 
-        def __init__(self, ref):
-            (self.ids, self.sets, self.sizes, self.uniq, self.starts,
-             self.ends, self.doc_of) = ray.get(ref)
-            self.pos_of = {int(i): p for p, i in enumerate(self.ids)}
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            a_out, b_out, js = [], [], []
-            n_docs = len(self.ids)
-            for i_ in b[id_col].to_pylist():
-                pi = self.pos_of[int(i_)]
-                sh = self.sets[pi]
-                loc = np.searchsorted(self.uniq, sh)
-                loc = loc[(loc < len(self.uniq)) & (self.uniq[np.minimum(
-                    loc, len(self.uniq) - 1)] == sh)]
-                if not len(loc):
-                    continue
-                # gather postings of every shingle, count co-occurrences
-                lens = self.ends[loc] - self.starts[loc]
-                gidx = (np.repeat(self.starts[loc], lens)
-                        + _ragged_arange(lens))
-                inter = np.bincount(self.doc_of[gidx], minlength=n_docs)
-                union = self.sizes[pi] + self.sizes - inter
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    jac = np.where(union > 0, inter / union, 0.0)
-                cand = np.flatnonzero((jac >= threshold)
-                                      & (self.ids > i_))
-                for cj in cand:
-                    a_out.append(i_)
-                    b_out.append(int(self.ids[cj]))
-                    js.append(math.floor(jac[cj] * 10000.0 + 0.5) / 10000.0)
-            return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                             "id_b": pa.array(b_out, pa.int64()),
-                             "jaccard": pa.array(js, pa.float64())})
-
-    return ds.map_batches(PairFinder, fn_constructor_args=(index_ref,),
-                          batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 4))
+    return ds.map_batches(pair_finder, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 #: shared vectorized ragged-arange (moved to util; alias kept for callers)
@@ -718,34 +720,33 @@ def cosine_neardup(ds, *, threshold: float = 0.4, vec_col: str = "embedding",
     M /= np.linalg.norm(M, axis=1, keepdims=True)
     ref = ray.put((ids, M))
 
-    class BatchPairs:
-        def __init__(self, r):
-            self.all_ids, self.Mn = ray.get(r)   # once per actor, zero-copy
+    def batch_pairs(b: pa.Table) -> pa.Table:
+        # task-mode broadcast: ray.get of a local plasma object is a
+        # zero-copy numpy view — cheap enough per batch, and tasks avoid
+        # the actor pool's startup variance on cheap-state stages
+        all_ids, Mn = ray.get(ref)
+        if b.num_rows == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        bid = np.asarray(b[id_col], dtype=np.int64)
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in b[vec_col].to_pylist()])
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        C = V @ Mn.T                                 # (nb, N)
+        keep = C >= threshold
+        # only emit (row_id < corpus_id) to halve output and kill dupes
+        keep &= bid[:, None] < all_ids[None, :]
+        ii, jj = np.nonzero(keep)
+        from .similarity import _q4
+        return pa.table({
+            "id_a": pa.array(bid[ii], pa.int64()),
+            "id_b": pa.array(all_ids[jj], pa.int64()),
+            "cos": pa.array(_q4(C[ii, jj]), pa.float64()),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return pa.table({"id_a": pa.array([], pa.int64()),
-                                 "id_b": pa.array([], pa.int64()),
-                                 "cos": pa.array([], pa.float64())})
-            bid = np.asarray(b[id_col], dtype=np.int64)
-            V = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in b[vec_col].to_pylist()])
-            V /= np.linalg.norm(V, axis=1, keepdims=True)
-            C = V @ self.Mn.T                            # (nb, N)
-            keep = C >= threshold
-            # only emit (row_id < corpus_id) to halve output and kill dupes
-            keep &= bid[:, None] < self.all_ids[None, :]
-            ii, jj = np.nonzero(keep)
-            from .similarity import _q4
-            return pa.table({
-                "id_a": pa.array(bid[ii], pa.int64()),
-                "id_b": pa.array(self.all_ids[jj], pa.int64()),
-                "cos": pa.array(_q4(C[ii, jj]), pa.float64()),
-            })
-
-    return ds.map_batches(BatchPairs, fn_constructor_args=(ref,),
-                          batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=(1, 8))
+    return ds.map_batches(batch_pairs, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def cosine_neardup_bucketed(ds, *, threshold: float = 0.4,
@@ -780,27 +781,23 @@ def cosine_neardup_bucketed(ds, *, threshold: float = 0.4,
     index = IvfIndex.train(S, n_centroids=n_centroids, iters=iters)
     ref = ray.put(index.centroids)
 
-    class Assign:
-        def __init__(self, r):
-            self.C = ray.get(r)
+    def assign(b: pa.Table) -> pa.Table:
+        C = ray.get(ref)        # zero-copy local plasma read per task
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32()),
+                             "vec": pa.array([], pa.binary())})
+        V = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in b[vec_col].to_pylist()]))
+        bucket = (V @ C.T).argmax(axis=1).astype(np.int32)
+        return pa.table({
+            id_col: b[id_col],
+            "bucket": pa.array(bucket, pa.int32()),
+            "vec": pa.array([row.tobytes() for row in V], pa.binary()),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:
-                return pa.table({id_col: pa.array([], pa.int64()),
-                                 "bucket": pa.array([], pa.int32()),
-                                 "vec": pa.array([], pa.binary())})
-            V = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                                     for v in b[vec_col].to_pylist()]))
-            bucket = (V @ self.C.T).argmax(axis=1).astype(np.int32)
-            return pa.table({
-                id_col: b[id_col],
-                "bucket": pa.array(bucket, pa.int32()),
-                "vec": pa.array([row.tobytes() for row in V], pa.binary()),
-            })
-
-    assigned = ds.map_batches(Assign, fn_constructor_args=(ref,),
-                              batch_format="pyarrow", zero_copy_batch=True,
-                              concurrency=(1, 8))
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
     cand = _self_join_pairs(
         assigned, ["bucket"], ["vec"], id_col, num_partitions,
         types={"bucket": pa.int32(), "vec": pa.binary(),

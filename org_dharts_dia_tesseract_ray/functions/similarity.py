@@ -58,45 +58,44 @@ def brute_topk(ds, query_ids: np.ndarray, Q: np.ndarray, k: int = 5,
     qids = np.asarray(query_ids, dtype=np.int64)
     qref = ray.put((qids, Qn))
 
-    class PartialTopK:
-        def __init__(self, ref):
-            self.qids, self.Qn = ray.get(ref)
+    def partial_topk(b: pa.Table) -> pa.Table:
+        # task-mode broadcast: ray.get of a local plasma object is a
+        # zero-copy numpy view (~µs) — no actor pool needed for cheap
+        # state (actor path measured ~2× slower with startup variance)
+        bqids, bQn = ray.get(qref)
+        if b.num_rows == 0:             # IVF pruning can empty a batch
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        V = _normalize(_stack(b[vec_col]))
+        C = bQn @ V.T                               # (nq, nb)
+        if exclude_self:
+            mask = bqids[:, None] == ids[None, :]
+            C = np.where(mask, -np.inf, C)
+        nb = C.shape[1]
+        kk = min(k, nb)
+        # per-query partial top-k inside the batch (argpartition then
+        # exact sort of the k candidates — deterministic tie-break on id)
+        part = np.argpartition(-C, kk - 1, axis=1)[:, :kk]
+        q_out, n_out, c_out = [], [], []
+        for qi in range(len(bqids)):
+            cand = part[qi]
+            cos = C[qi, cand]
+            order = np.lexsort((ids[cand], -cos))
+            for j in order:
+                if np.isfinite(cos[j]):
+                    q_out.append(int(bqids[qi]))
+                    n_out.append(int(ids[cand[j]]))
+                    c_out.append(float(cos[j]))
+        return pa.table({
+            "query_id": pa.array(q_out, pa.int64()),
+            "neighbor_id": pa.array(n_out, pa.int64()),
+            "cos": pa.array(c_out, pa.float64()),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            if b.num_rows == 0:         # IVF pruning can empty a batch
-                return pa.table({"query_id": pa.array([], pa.int64()),
-                                 "neighbor_id": pa.array([], pa.int64()),
-                                 "cos": pa.array([], pa.float64())})
-            ids = np.asarray(b[id_col], dtype=np.int64)
-            V = _normalize(_stack(b[vec_col]))
-            C = self.Qn @ V.T                       # (nq, nb)
-            if exclude_self:
-                mask = self.qids[:, None] == ids[None, :]
-                C = np.where(mask, -np.inf, C)
-            nb = C.shape[1]
-            kk = min(k, nb)
-            # per-query partial top-k inside the batch (argpartition then
-            # exact sort of the k candidates — deterministic tie-break on id)
-            part = np.argpartition(-C, kk - 1, axis=1)[:, :kk]
-            q_out, n_out, c_out = [], [], []
-            for qi in range(len(self.qids)):
-                cand = part[qi]
-                cos = C[qi, cand]
-                order = np.lexsort((ids[cand], -cos))
-                for j in order:
-                    if np.isfinite(cos[j]):
-                        q_out.append(int(self.qids[qi]))
-                        n_out.append(int(ids[cand[j]]))
-                        c_out.append(float(cos[j]))
-            return pa.table({
-                "query_id": pa.array(q_out, pa.int64()),
-                "neighbor_id": pa.array(n_out, pa.int64()),
-                "cos": pa.array(c_out, pa.float64()),
-            })
-
-    partial = ds.map_batches(PartialTopK, fn_constructor_args=(qref,),
-                             batch_format="pyarrow", zero_copy_batch=True,
-                             concurrency=(1, 8))
+    partial = ds.map_batches(partial_topk, batch_format="pyarrow",
+                             zero_copy_batch=True)
 
     def merge(group: pa.Table) -> pa.Table:
         cos = np.asarray(group["cos"])

@@ -114,26 +114,33 @@ def tfidf_top_term(ds, n_corpus: int, *, text_col: str = "text",
     """Per document: the term with the highest tf·idf (idf = ln(N/df)).
 
     Web-scale composition — every stage is a Dataset op, nothing touches
-    the driver:
+    the driver, TWO all-to-alls total:
 
-    1. (doc, token, tf) explode with per-batch Arrow ``group_by``;
-    2. the document-frequency table (which at web scale is itself huge —
-       hundreds of GB of distinct tokens) stays a DATASET and reaches the
-       tf pairs through a hash join on ``token``, not a driver-side dict;
-    3. vectorized scoring (idf computed once per distinct df value);
-    4. per-doc argmax as ONE packed-rank ``Max`` aggregate — the survivor-
-       index pattern: tfidf's raw float64 bits (order-preserving for
-       non-negative floats) zero-padded decimal, then ``|token`` — no
-       per-doc Python call, no join-back.
+    1. (doc, token, tf) explode with per-batch Arrow ``group_by`` (globally
+       distinct pairs by construction: a doc lives in one row), tagged
+       ``__part = hash(token) % P``;
+    2. ONE token-partition exchange: every token's pairs co-locate, so the
+       document frequency is just the token's RUN LENGTH after an in-
+       partition sort — no separate df aggregation, no join back (the
+       former df-table + hash-join plan tokenized the corpus twice and
+       paid a third shuffle; it also hit Ray's empty-block join hazard,
+       now centrally solved by ``util.schema_pinned_join`` for the joins
+       that remain elsewhere);
+    3. vectorized scoring in the same pass (idf via ``math.log`` once per
+       DISTINCT df value — bit-identical to the oracle's scalar ln), then
+       the per-doc argmax as ONE packed-rank ``Max`` aggregate — the
+       survivor-index pattern: tfidf's raw float64 bits (order-preserving
+       for non-negative floats) zero-padded decimal, then ``|token``.
 
     Tie-break is (tfidf desc, token desc) — deterministic, mirrored in the
     SQL oracle's row_number.
     """
     import math
 
+    import numpy as np
     from ray.data.aggregate import Max
 
-    from ..util import cluster_cpus, schema_pinned_join
+    from ..util import cluster_cpus, key_change_mask, partition_ids
 
     if num_partitions is None:
         num_partitions = max(2, min(32, cluster_cpus()))
@@ -151,45 +158,38 @@ def tfidf_top_term(ds, n_corpus: int, *, text_col: str = "text",
         doc = pc.take(b[id_col], pc.list_parent_indices(toks))
         t = pa.table({id_col: doc, "token": flat})
         g = t.group_by([id_col, "token"]).aggregate([("token", "count")])
-        return pa.table({id_col: g[id_col], "token": g["token"],
-                         "tf": g["token_count"].cast(pa.int64())})
+        out = pa.table({id_col: g[id_col], "token": g["token"],
+                        "tf": g["token_count"].cast(pa.int64())})
+        return out.append_column(
+            "__part", partition_ids(out["token"], num_partitions))
 
     pairs = ds.map_batches(tf_pairs, batch_format="pyarrow",
                            zero_copy_batch=True)
-    df = (doc_frequency(ds, text_col=text_col, id_col=id_col)
-          .select_columns(["token", "n_docs"]))
-    # the df side is a groupby-aggregate output: its empty hash partitions
-    # materialize as schema-LESS blocks when distinct tokens < partitions,
-    # which kills Ray's join operator (the round-2 red row at num_cpus=32)
-    # — schema_pinned_join's union plan is immune by construction
-    joined = schema_pinned_join(
-        pairs, df, on=("token",), num_partitions=num_partitions,
-        left_schema=pa.schema([(id_col, id_type), ("token", tok_type),
-                               ("tf", pa.int64())]),
-        right_schema=pa.schema([("token", tok_type),
-                                ("n_docs", pa.int64())]))
 
-    def pack_rank(b: pa.Table) -> pa.Table:
-        import numpy as np
-        if b.num_rows == 0:
-            return pa.schema([(id_col, id_type),
-                              ("__rank", pa.string())]).empty_table()
-        tf = np.asarray(pc.cast(b["tf"], pa.int64()))
-        dfv = np.asarray(pc.cast(b["n_docs"], pa.int64()))
-        # idf via math.log once per DISTINCT df value: bit-identical to the
-        # oracle's scalar ln() (numpy's SIMD log may differ by 1 ulp, which
-        # would flip near-tied rankings)
+    rank_schema = pa.schema([(id_col, id_type), ("__rank", pa.string())])
+
+    def score_part(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["__part"]).sort_by([("token", "ascending")])
+        n = part.num_rows
+        if n == 0:
+            return rank_schema.empty_table()
+        # df = run length per token ((doc, token) pairs are globally
+        # distinct, and ALL of a token's pairs live in this partition)
+        change = key_change_mask(part["token"], n)
+        run_id = np.cumsum(change) - 1
+        dfv = np.bincount(run_id)[run_id]
+        tf = np.asarray(pc.cast(part["tf"], pa.int64()))
         uniq, inv = np.unique(dfv, return_inverse=True)
         idf = np.array([math.log(n_corpus / d) for d in uniq],
                        dtype=np.float64)
         tfidf = tf.astype(np.float64) * idf[inv]
         bits = pa.array(tfidf.view(np.uint64))
         bits_str = pc.utf8_lpad(pc.cast(bits, pa.string()), 20, "0")
-        rank = pc.binary_join_element_wise(bits_str, b["token"], "|")
-        return pa.table({id_col: b[id_col], "__rank": rank})
+        rank = pc.binary_join_element_wise(bits_str, part["token"], "|")
+        return pa.table({id_col: part[id_col], "__rank": rank})
 
-    best = (joined.map_batches(pack_rank, batch_format="pyarrow",
-                               zero_copy_batch=True)
+    best = (pairs.groupby("__part").map_groups(score_part,
+                                               batch_format="pyarrow")
             .groupby(id_col)
             .aggregate(Max("__rank", alias_name="__best")))
 
