@@ -230,7 +230,8 @@ def run_realistic(n_rows: int = 30_000) -> dict:
 def run_query_suite(sf_dir: str) -> dict:
     """Time the operator-suite pipelines (each consumed to completion)."""
     import __ray_entry__ as entry_mod
-    names = ["extract_roundtrip", "extract_spans", "pages_dedup_extract",
+    names = ["extract_roundtrip", "extract_spans", "extract_hocr",
+             "pages_dedup_extract",
              "token_stats", "quality_score", "langid", "fingerprint_md5",
              "dedup_exact", "neardup_minhash_lsh", "neardup_simhash",
              "neardup_cosine", "ann_brute_topk", "ann_ivf_topk",

@@ -36,6 +36,16 @@ from .fingerprint import kgram_hashes, kgram_hashes_batch, md5_batch
 _PRIME = np.uint64((1 << 61) - 1)
 
 
+def _mod_mersenne(x: np.ndarray) -> np.ndarray:
+    """Exact ``x % _PRIME`` for any uint64 input via the Mersenne fold
+    ((x & p) + (x >> 61), one conditional subtract) — bit-identical to
+    ``%`` but shifts/adds instead of a 64-bit integer division, the
+    hottest op of the signature kernel."""
+    p = _PRIME
+    x = (x & p) + (x >> np.uint64(61))
+    return np.where(x >= p, x - p, x)
+
+
 def _perm_params(num_perm: int, seed: int = 42):
     rng = np.random.Generator(np.random.PCG64(seed))
     a = rng.integers(1, _PRIME, size=num_perm, dtype=np.uint64)
@@ -121,10 +131,10 @@ class MinHasher:
                 j = i + 1
                 while j < n and offs[j + 1] - offs[i] <= _MAX_CHUNK_WINDOWS:
                     j += 1
-                x = H[offs[i]:offs[j]] % _PRIME
+                x = _mod_mersenne(H[offs[i]:offs[j]])
                 with np.errstate(over="ignore"):
-                    vals = (self.a[:, None] * x[None, :]
-                            + self.b[:, None]) % _PRIME
+                    vals = _mod_mersenne(self.a[:, None] * x[None, :]
+                                         + self.b[:, None])
                 flat[i:j] = np.minimum.reduceat(
                     vals, offs[i:j] - offs[i], axis=1).T
                 i = j
