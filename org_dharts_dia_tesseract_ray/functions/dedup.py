@@ -658,18 +658,18 @@ def neardup_clusters(ids_ds, pairs_ds, *, id_col: str = "doc_id",
     labels = ids_ds.map_batches(to_nodes, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    def fwd(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b["id_a"].cast(pa.int64()),
-                         "dst": b["id_b"].cast(pa.int64())})
+    def both_directions(b: pa.Table) -> pa.Table:
+        """Emit src→dst AND dst→src in ONE pass — a two-branch
+        ``pairs.map(fwd).union(pairs.map(rev))`` would execute the entire
+        upstream pair pipeline (e.g. minhash LSH) twice, since Ray Data
+        re-runs a shared sub-DAG once per consumer."""
+        a = _as_chunk(b["id_a"].cast(pa.int64()))
+        c = _as_chunk(b["id_b"].cast(pa.int64()))
+        return pa.table({"src": pa.concat_arrays([a, c]),
+                         "dst": pa.concat_arrays([c, a])})
 
-    def rev(b: pa.Table) -> pa.Table:
-        return pa.table({"src": b["id_b"].cast(pa.int64()),
-                         "dst": b["id_a"].cast(pa.int64())})
-
-    sym = (pairs_ds.map_batches(fwd, batch_format="pyarrow",
-                                zero_copy_batch=True)
-           .union(pairs_ds.map_batches(rev, batch_format="pyarrow",
-                                       zero_copy_batch=True)))
+    sym = pairs_ds.map_batches(both_directions, batch_format="pyarrow",
+                               zero_copy_batch=True)
 
     # iterative algorithm: materialize per round — labels are consumed
     # TWICE per round (join probe + union), so a lazy plan re-executes all
