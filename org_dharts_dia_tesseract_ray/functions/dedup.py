@@ -29,7 +29,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import ds_arrow_schema, ragged_arange, schema_pinned_join
+from ..util import (as_array, ds_arrow_schema, ragged_arange,
+                    schema_pinned_join)
 from .fingerprint import kgram_hashes, kgram_hashes_batch, md5_batch
 
 # MinHash permutation family: h_p(x) = (a_p·x + b_p) mod PRIME (Mersenne 61)
@@ -44,6 +45,18 @@ def _mod_mersenne(x: np.ndarray) -> np.ndarray:
     p = _PRIME
     x = (x & p) + (x >> np.uint64(61))
     return np.where(x >= p, x - p, x)
+
+
+def _mod_mersenne_inplace(x: np.ndarray) -> np.ndarray:
+    """In-place Mersenne fold for large scratch arrays: one extra
+    full-size temporary (the high bits) instead of three — keeps the
+    signature kernel's peak scratch ≈ 2× the chunk, not 4×."""
+    p = _PRIME
+    hi = x >> np.uint64(61)
+    x &= p
+    x += hi
+    np.subtract(x, p, out=x, where=x >= p)
+    return x
 
 
 def _perm_params(num_perm: int, seed: int = 42):
@@ -87,9 +100,11 @@ def shingle_set(text: str, k: int = 8) -> np.ndarray:
     return np.unique(kgram_hashes(text or "", k))
 
 
-#: docs-per-chunk bound for the (num_perm × windows) permutation temp —
-#: keeps the batched kernel's peak scratch ≈ num_perm × 8 B × this
-_MAX_CHUNK_WINDOWS = 250_000
+#: windows-per-chunk bound for the (num_perm × windows) permutation temp —
+#: peak scratch ≈ 2 × num_perm × 8 B × this (the in-place fold keeps one
+#: extra full-size temporary), ~250 MB per task at num_perm=128; sized so a
+#: full-width task pool stays well inside a worker heap
+_MAX_CHUNK_WINDOWS = 120_000
 
 
 class MinHasher:
@@ -133,8 +148,9 @@ class MinHasher:
                     j += 1
                 x = _mod_mersenne(H[offs[i]:offs[j]])
                 with np.errstate(over="ignore"):
-                    vals = _mod_mersenne(self.a[:, None] * x[None, :]
-                                         + self.b[:, None])
+                    vals = self.a[:, None] * x[None, :]
+                    vals += self.b[:, None]
+                    _mod_mersenne_inplace(vals)
                 flat[i:j] = np.minimum.reduceat(
                     vals, offs[i:j] - offs[i], axis=1).T
                 i = j
@@ -293,12 +309,7 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
     rows = num_perm // bands
     if num_partitions is None:
         num_partitions = default_join_partitions()
-    id_type = None
-    try:
-        s = ds_arrow_schema(ds)
-        id_type = s.field(id_col).type
-    except Exception:
-        id_type = pa.int64()
+    id_type = ds_arrow_schema(ds).field(id_col).type
     sigs = apply_minhash(ds, num_perm=num_perm, k=k, seed=seed,
                          text_col=text_col, id_col=id_col)
 
@@ -337,11 +348,6 @@ def minhash_lsh_pairs(ds, *, num_perm: int = 128, bands: int = 32,
                                  num_partitions=num_partitions)
 
 
-def _as_chunk(col):
-    return (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-            else col)
-
-
 def _verify_jaccard_pairs(cand, shing, *, id_col, id_type,
                           threshold: float, num_partitions: int):
     """Exact-Jaccard verification of candidate pairs — TWO co-shuffles, the
@@ -363,9 +369,9 @@ def _verify_jaccard_pairs(cand, shing, *, id_col, id_type,
     from ..util import partition_ids
 
     def explode(b: pa.Table) -> pa.Table:
-        ids = pa.concat_arrays([_as_chunk(b["id_a"]), _as_chunk(b["id_b"])])
-        id_a = pa.concat_arrays([_as_chunk(b["id_a"]), _as_chunk(b["id_a"])])
-        id_b = pa.concat_arrays([_as_chunk(b["id_b"]), _as_chunk(b["id_b"])])
+        ids = pa.concat_arrays([as_array(b["id_a"]), as_array(b["id_b"])])
+        id_a = pa.concat_arrays([as_array(b["id_a"]), as_array(b["id_a"])])
+        id_b = pa.concat_arrays([as_array(b["id_b"]), as_array(b["id_b"])])
         n2 = len(ids)
         return pa.table({
             "mkey": ids, "id_a": id_a, "id_b": id_b,
@@ -398,14 +404,14 @@ def _verify_jaccard_pairs(cand, shing, *, id_col, id_type,
         s1 = part.filter(pa.array(side == 1))
         if s0.num_rows == 0 or s1.num_rows == 0:
             return attach_schema.empty_table()
-        k1 = np.asarray(_as_chunk(s1["mkey"]))
+        k1 = np.asarray(as_array(s1["mkey"]))
         order = np.argsort(k1, kind="stable")
-        k0 = np.asarray(_as_chunk(s0["mkey"]))
+        k0 = np.asarray(as_array(s0["mkey"]))
         pos = np.searchsorted(k1[order], k0)
         # every pair member has its shingle row in this partition by
         # construction (same id -> same hash partition)
-        blobs = _as_chunk(s1["blob"]).take(pa.array(order[pos], pa.int64()))
-        slot = (k0 != np.asarray(_as_chunk(s0["id_a"]))).astype(np.int8)
+        blobs = as_array(s1["blob"]).take(pa.array(order[pos], pa.int64()))
+        slot = (k0 != np.asarray(as_array(s0["id_a"]))).astype(np.int8)
         t = pa.table({
             "id_a": s0["id_a"], "id_b": s0["id_b"],
             "slot": pa.array(slot), "blob": blobs})
@@ -427,9 +433,9 @@ def _verify_jaccard_pairs(cand, shing, *, id_col, id_type,
             return out_schema.empty_table()
         # collapse band-duplicate candidates: keep the first row of each
         # (id_a, id_b, slot) run — vectorized adjacent-compare
-        a = np.asarray(_as_chunk(part["id_a"]))
-        b_ = np.asarray(_as_chunk(part["id_b"]))
-        s = np.asarray(_as_chunk(part["slot"]))
+        a = np.asarray(as_array(part["id_a"]))
+        b_ = np.asarray(as_array(part["id_b"]))
+        s = np.asarray(as_array(part["slot"]))
         keep = np.ones(len(a), dtype=bool)
         keep[1:] = (a[1:] != a[:-1]) | (b_[1:] != b_[:-1]) | (s[1:] != s[:-1])
         part = part.filter(pa.array(keep))
@@ -663,8 +669,8 @@ def neardup_clusters(ids_ds, pairs_ds, *, id_col: str = "doc_id",
         ``pairs.map(fwd).union(pairs.map(rev))`` would execute the entire
         upstream pair pipeline (e.g. minhash LSH) twice, since Ray Data
         re-runs a shared sub-DAG once per consumer."""
-        a = _as_chunk(b["id_a"].cast(pa.int64()))
-        c = _as_chunk(b["id_b"].cast(pa.int64()))
+        a = as_array(b["id_a"].cast(pa.int64()))
+        c = as_array(b["id_b"].cast(pa.int64()))
         return pa.table({"src": pa.concat_arrays([a, c]),
                          "dst": pa.concat_arrays([c, a])})
 
@@ -786,6 +792,7 @@ def cosine_neardup_bucketed(ds, *, threshold: float = 0.4,
 
     if num_partitions is None:
         num_partitions = default_join_partitions()
+    id_type = ds_arrow_schema(ds).field(id_col).type
     sample = ds.select_columns([vec_col]).limit(train_rows).take_all()
     S = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     index = IvfIndex.train(S, n_centroids=n_centroids, iters=iters)
@@ -811,7 +818,7 @@ def cosine_neardup_bucketed(ds, *, threshold: float = 0.4,
     cand = _self_join_pairs(
         assigned, ["bucket"], ["vec"], id_col, num_partitions,
         types={"bucket": pa.int32(), "vec": pa.binary(),
-               id_col: pa.int64()})
+               id_col: id_type})
 
     def verify(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

@@ -96,25 +96,12 @@ def kgram_hashes_batch(col, k: int = 8):
     hashes concatenated in document order; ``counts[i]`` is document i's
     k-gram count (≥ 1 — an empty/short document yields one hash).
     """
-    import pyarrow as _pa
-    import pyarrow.compute as _pc
+    from ..util import flat_binary_view
 
-    if isinstance(col, _pa.ChunkedArray):
-        col = col.combine_chunks()
-    if col.type != _pa.large_binary():
-        col = col.cast(_pa.large_binary())
-    if col.null_count:
-        col = _pc.coalesce(col, _pa.scalar(b"", _pa.large_binary()))
-    n = len(col)
+    data, starts, lengths = flat_binary_view(col)
+    n = len(starts)
     if n == 0:
         return (np.array([], dtype=np.uint64), np.array([], dtype=np.int64))
-    offsets = np.frombuffer(col.buffers()[1], dtype=np.int64,
-                            count=n + 1 + col.offset)[col.offset:]
-    base = int(offsets[0])
-    data = np.frombuffer(col.buffers()[2] or b"", dtype=np.uint8)[
-        base:int(offsets[-1])]
-    starts = offsets[:-1] - base
-    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
 
     counts = np.maximum(lengths - k + 1, 1)
     total_bytes = int(lengths.sum())

