@@ -301,6 +301,31 @@ def _q_langid(sf_dir: str):
     return apply_langid(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+#: deterministic RTL payload for the text_direction query (the corpus has
+#: no RTL language, so every 7th doc is swapped for Arabic — the same
+#: injected-fixture trick url_normalize uses for messy urls)
+_RTL_SAMPLE = "مرحبا بالعالم هذا نص عربي "
+
+
+def _q_text_direction(sf_dir: str):
+    """Writing-direction getter (getOrientation/M13 analogue): strong-RTL
+    vs strong-LTR codepoint majority per document."""
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        apply_direction)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        seven = pa.array(did % 7 == 0)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pc.if_else(seven, pa.scalar(_RTL_SAMPLE * 3), b["text"]),
+        })
+
+    return apply_direction(
+        ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True))
+
+
 def _q_fingerprint(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.fingerprint import apply_md5
     return apply_md5(_read(sf_dir, "documents", ["doc_id", "text"]))
@@ -761,6 +786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "url_normalize": _q_url_normalize,
         "langid": _q_langid,
+        "text_direction": _q_text_direction,
         "fingerprint_md5": _q_fingerprint,
         "winnow_fingerprints": _q_winnow,
         "vocab_top100": _q_vocab_top100,
@@ -873,7 +899,8 @@ def oracle_sql() -> dict[str, str]:
     from org_dharts_dia_tesseract_ray.functions.similarity import (
         brute_topk_sql)
     from org_dharts_dia_tesseract_ray.functions.text_stats import (
-        langid_sql, quality_sql, repetition_stats_sql, token_stats_sql)
+        direction_sql, langid_sql, quality_sql, repetition_stats_sql,
+        token_stats_sql)
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
         roundtrip_spans_sql, roundtrip_sql)
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
@@ -912,6 +939,13 @@ FROM documents GROUP BY lang""",
         "repetition_stats": repetition_stats_sql(),
         "url_normalize": _url_normalize_sql(),
         "langid": langid_sql(),
+        "text_direction": f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN repeat('{_RTL_SAMPLE}', 3)
+              ELSE text END AS text
+  FROM documents)
+""" + direction_sql(table="m"),
         "fingerprint_md5": md5_sql(),
         "dedup_exact": exact_dedup_sql(),
         "vocab_top100": _vocab_sql(100, 1),

@@ -201,8 +201,58 @@ def apply_langid(ds, **kw):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+#: strong right-to-left codepoints: Hebrew, Arabic (+ extended ranges and
+#: presentation forms)
+RTL_PATTERN = r"[\x{0590}-\x{08FF}\x{FB1D}-\x{FDFD}\x{FE70}-\x{FEFC}]"
+#: strong left-to-right codepoints: Latin (+ extensions), CJK, Kana, Hangul
+LTR_PATTERN = (r"[A-Za-z\x{00C0}-\x{024F}\x{3040}-\x{30FF}"
+               r"\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]")
+
+
+def direction_batch(batch: pa.Table, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> pa.Table:
+    """Per-document writing direction — the ``getOrientation`` /
+    text-direction analogue (reference LayoutIterator.java:318-354,
+    PublicTypes ORIENTATION_/DIR_*): 2-D page orientation is meaningless
+    for extracted text, but writing DIRECTION is real and detectable.
+
+    Majority vote over strong-directional codepoints (RTL blocks vs LTR
+    scripts), neutral characters ignored — ``rtl`` when strict-majority
+    RTL, else ``ltr`` (the reference's default orientation).  Exact integer
+    counts + a CASE, so the SQL oracle is bit-exact."""
+    text = batch[text_col]
+    n_rtl = _count_re(text, RTL_PATTERN)
+    n_ltr = _count_re(text, LTR_PATTERN)
+    direction = pc.if_else(pc.greater(n_rtl, n_ltr),
+                           pa.scalar("rtl"), pa.scalar("ltr"))
+    return pa.table({
+        id_col: batch[id_col],
+        "n_rtl": n_rtl,
+        "n_ltr": n_ltr,
+        "direction": direction,
+    })
+
+
+def apply_direction(ds, **kw):
+    return ds.map_batches(lambda b: direction_batch(b, **kw),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL generators (same regex constants ⇒ stays in sync)
+
+
+def direction_sql(table: str = "documents", text_col: str = "text",
+                  id_col: str = "doc_id") -> str:
+    c = text_col
+    return f"""
+SELECT {id_col},
+  len(regexp_extract_all({c}, '{RTL_PATTERN}')) AS n_rtl,
+  len(regexp_extract_all({c}, '{LTR_PATTERN}')) AS n_ltr,
+  CASE WHEN len(regexp_extract_all({c}, '{RTL_PATTERN}')) >
+            len(regexp_extract_all({c}, '{LTR_PATTERN}'))
+       THEN 'rtl' ELSE 'ltr' END AS direction
+FROM {table}"""
 
 
 def token_stats_sql(table: str = "documents", text_col: str = "text",

@@ -790,3 +790,22 @@ def test_neardup_clusters_chain_convergence(ray_session):
     # label 0 propagates one hop per round: after 2 rounds nodes 0-2 are
     # labelled 0, node 3 still carries its 1-hop minimum
     assert out2["cluster"].tolist()[:4] == [0, 0, 0, 1]
+
+
+def test_text_direction_detection():
+    """Writing-direction getter (getOrientation/M13 analogue): strong-RTL
+    majority → rtl; LTR scripts (incl. CJK) and neutral-only text → ltr."""
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        direction_batch)
+    t = pa.table({
+        "doc_id": list(range(5)),
+        "text": ["hello world",                 # pure latin
+                 "مرحبا بالعالم",                # pure arabic
+                 "שלום עולם",                    # hebrew
+                 "مرحبا hello world wide web",  # latin majority
+                 "123 456 !!!"],                # neutral only -> ltr default
+    })
+    out = direction_batch(t)
+    assert out["direction"].to_pylist() == ["ltr", "rtl", "rtl", "ltr", "ltr"]
+    assert out["n_rtl"].to_pylist()[1] > 0
+    assert out["n_ltr"].to_pylist()[1] == 0
