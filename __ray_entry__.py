@@ -282,6 +282,29 @@ def _q_url_normalize(sf_dir: str):
         ds.map_batches(messy, batch_format="pyarrow", zero_copy_batch=True))
 
 
+def _q_domain_cap(sf_dir: str):
+    """Per-domain frequency capping (the C4/Gopher at-most-K-docs-per-host
+    selection) over a deterministic multi-domain url column: keep the K
+    lowest-doc_id documents of each of 17 synthetic hosts — partial-cap
+    combiner, ONE hash-partition shuffle, vectorized rank-per-run reduce."""
+    from org_dharts_dia_tesseract_ray.functions.capping import domain_cap
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def with_url(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        ids = b["doc_id"].cast(pa.string())
+        site = pa.array(did % 17).cast(pa.string())
+        url = pc.binary_join_element_wise(
+            "https://site", site, ".test/doc/", ids, "")
+        return pa.table({"url": url, "doc_id": b["doc_id"],
+                         "lang": b["lang"]})
+
+    return domain_cap(
+        ds.map_batches(with_url, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        order_by=[("doc_id", "ascending")], k=10)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition filters (duplicate-token / top-n-gram mass)
     — the quality axis length/stopword scoring doesn't cover."""
@@ -785,6 +808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "repetition_stats": _q_repetition_stats,
         "url_normalize": _q_url_normalize,
+        "domain_cap": _q_domain_cap,
         "langid": _q_langid,
         "text_direction": _q_text_direction,
         "fingerprint_md5": _q_fingerprint,
@@ -876,6 +900,20 @@ WITH m AS (
 SELECT doc_id, url, {normalize_urls_sql_expr('url')} AS url_norm FROM m"""
 
 
+def _domain_cap_sql(k: int = 10) -> str:
+    from org_dharts_dia_tesseract_ray.functions.capping import (
+        domain_sql_expr)
+    return f"""
+WITH pages AS (
+  SELECT 'https://site' || (doc_id % 17) || '.test/doc/' || doc_id AS url,
+         doc_id, lang FROM documents)
+SELECT url, doc_id, lang, domain FROM (
+  SELECT url, doc_id, lang, {domain_sql_expr('url')} AS domain,
+         row_number() OVER (PARTITION BY {domain_sql_expr('url')}
+                            ORDER BY doc_id) AS rn
+  FROM pages) WHERE rn <= {k}"""
+
+
 def _lineitem_quantiles_sql() -> str:
     from org_dharts_dia_tesseract_ray.functions.stats import (
         grouped_quantiles_sql)
@@ -938,6 +976,7 @@ FROM documents GROUP BY lang""",
         "quality_score": quality_sql(),
         "repetition_stats": repetition_stats_sql(),
         "url_normalize": _url_normalize_sql(),
+        "domain_cap": _domain_cap_sql(),
         "langid": langid_sql(),
         "text_direction": f"""
 WITH m AS (

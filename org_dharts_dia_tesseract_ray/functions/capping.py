@@ -1,0 +1,105 @@
+"""Per-key frequency capping — the C4/Gopher "at most K documents per
+registered domain" selection step of a web-crawl training pipeline.
+
+Keeping every page of a mega-domain skews a training corpus toward its
+boilerplate; production pipelines cap each domain at K documents chosen by
+a DETERMINISTIC order (here: the caller's ``order_by``, e.g. crawl
+timestamp then url) so reruns and repartitions pick the same survivors.
+
+Shape (the repo's standard high-cardinality reduction, cf.
+``__ray_entry__._q_events_latest`` / ``stages/dedup.py``):
+
+1. per-batch partial cap (vectorized sort + run-rank): global first-K per
+   key is contained in the union of per-batch first-K per key, so each
+   block forwards ≤ K rows per key it has seen — the combiner that keeps
+   the shuffle proportional to ``K × distinct_keys``, not corpus size;
+2. ONE hash-partition shuffle on ``hash(key) % P``;
+3. one vectorized pass per partition handling all of its keys (Python call
+   count stays P regardless of key cardinality).
+
+Reference analogue: the wrapper caps work per document handle one page at
+a time (TessBaseAPI.java handle lifecycle); at corpus scale the cap is per
+key over the whole crawl and must be a dataflow reduction.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import (as_array, default_num_partitions, key_change_mask,
+                    partition_ids)
+
+#: scheme://host — host stops at port, path, query or fragment.  Same
+#: grammar family as urls._PARTS; DuckDB shares RE2 so the SQL oracle is
+#: bit-compatible.
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+_HOST_RE_NAMED = _HOST_RE.replace("(", "(?P<host>", 1)
+
+
+def first_k_per_key(t: pa.Table, key: str, order_by: list,
+                    k: int) -> pa.Table:
+    """Keep the first ``k`` rows of each key by ``[key asc] + order_by`` —
+    the vectorized kernel shared by the combiner and the reducer.
+
+    Sort once, then rank-within-run via the run-boundary mask (no Python
+    per key): rank[i] = i - start_of_run(i)."""
+    import numpy as np
+    if t.num_rows == 0:
+        return t
+    t = t.sort_by([(key, "ascending")] + order_by)
+    n = t.num_rows
+    change = key_change_mask(t[key], n)
+    idx = np.arange(n, dtype=np.int64)
+    run_id = np.cumsum(change) - 1
+    rank = idx - idx[change][run_id]
+    return t.filter(pa.array(rank < k))
+
+
+def top_k_per_key(ds, *, key_col: str, order_by: list, k: int,
+                  num_partitions: int | None = None):
+    """Distributed first-K-rows-per-key selection (deterministic order)."""
+    P = num_partitions or default_num_partitions()
+
+    def combine(b: pa.Table) -> pa.Table:
+        return first_k_per_key(b, key_col, order_by, k)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column("__part", partition_ids(b[key_col], P))
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        return first_k_per_key(g.drop_columns(["__part"]),
+                               key_col, order_by, k)
+
+    return (ds.map_batches(combine, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("__part").map_groups(reduce_part,
+                                          batch_format="pyarrow"))
+
+
+def add_domain_batch(batch: pa.Table, *, url_col: str = "url",
+                     out_col: str = "domain") -> pa.Table:
+    """Append the lowercased host extracted from ``url_col`` (null when the
+    value does not parse as an absolute URL)."""
+    url = as_array(batch[url_col])
+    parts = pc.extract_regex(url, _HOST_RE_NAMED)
+    host = pc.utf8_lower(pc.struct_field(parts, "host"))
+    return batch.append_column(out_col, host)
+
+
+def domain_cap(ds, *, url_col: str = "url", order_by: list, k: int,
+               num_partitions: int | None = None):
+    """Cap the dataset at ``k`` rows per url host, survivors chosen by
+    ``order_by`` — appends a ``domain`` column the caller may drop."""
+    with_domain = ds.map_batches(
+        lambda b: add_domain_batch(b, url_col=url_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return top_k_per_key(with_domain, key_col="domain", order_by=order_by,
+                         k=k, num_partitions=num_partitions)
+
+
+def domain_sql_expr(col: str) -> str:
+    """DuckDB expression computing the same lowercased host."""
+    return f"lower(regexp_extract({col}, '{_HOST_RE}', 1))"

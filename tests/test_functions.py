@@ -809,3 +809,65 @@ def test_text_direction_detection():
     assert out["direction"].to_pylist() == ["ltr", "rtl", "rtl", "ltr", "ltr"]
     assert out["n_rtl"].to_pylist()[1] > 0
     assert out["n_ltr"].to_pylist()[1] == 0
+
+
+# ---------------------------------------------------------------------------
+# per-domain frequency capping
+
+
+def test_first_k_per_key_matches_pandas_head():
+    """Vectorized rank-per-run kernel == pandas groupby-sort-head."""
+    from org_dharts_dia_tesseract_ray.functions.capping import first_k_per_key
+    rng = np.random.RandomState(7)
+    t = pa.table({
+        "k": rng.randint(0, 9, 200).astype("int64").astype(str),
+        "ts": rng.randint(0, 50, 200).astype("int64"),
+        "v": np.arange(200, dtype="int64"),
+    })
+    out = (first_k_per_key(t, "k", [("ts", "ascending"), ("v", "ascending")], 3)
+           .to_pandas().sort_values(["k", "ts", "v"]).reset_index(drop=True))
+    want = (t.to_pandas().sort_values(["k", "ts", "v"], kind="mergesort")
+            .groupby("k", sort=True).head(3).reset_index(drop=True))
+    assert out.equals(want)
+
+
+def test_top_k_per_key_parallelism_invariant(ray_session):
+    """Distributed cap: same survivors at 1 and 7 input blocks, and the
+    per-batch partial cap (combiner) cannot evict a global survivor."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.capping import (
+        first_k_per_key, top_k_per_key)
+    rng = np.random.RandomState(11)
+    t = pa.table({
+        "k": rng.randint(0, 5, 300).astype("int64").astype(str),
+        "ts": rng.permutation(300).astype("int64"),
+    })
+    want = (first_k_per_key(t, "k", [("ts", "ascending")], 4)
+            .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True))
+    for nparts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        got = (top_k_per_key(ds, key_col="k", order_by=[("ts", "ascending")],
+                             k=4, num_partitions=3)
+               .to_pandas()[["k", "ts"]]
+               .sort_values(["k", "ts"]).reset_index(drop=True))
+        assert got.equals(want), nparts
+
+
+def test_domain_extraction_cases():
+    """Host grammar: lowercased, stops at port/path/query/fragment; null for
+    relative or schemeless values; DuckDB regexp_extract agrees (shared RE2)."""
+    from org_dharts_dia_tesseract_ray.functions.capping import (
+        add_domain_batch, domain_sql_expr)
+    urls = ["https://Example.COM/path", "http://a.b.c:8080/x?q=1",
+            "https://host.test#frag", "ftp://files.test/",
+            "not a url", "/relative/only", ""]
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    got = add_domain_batch(t)["domain"].to_pylist()
+    assert got == ["example.com", "a.b.c", "host.test", "files.test",
+                   None, None, None]
+    con = duckdb.connect()
+    con.register("u", t)
+    sql = con.sql(
+        f"SELECT nullif({domain_sql_expr('url')}, '') AS d FROM u"
+    )["d"].to_df()["d"].tolist()
+    assert [x if isinstance(x, str) else None for x in sql] == got
