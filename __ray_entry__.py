@@ -507,6 +507,85 @@ def _q_stratified(sf_dir: str):
     return ds.select_columns(["doc_id", "lang"])
 
 
+#: corpus-mixing weights for the harness query (percent kept per lang)
+_MIX_WEIGHTS = {"en": 60, "de": 40, "fr": 25, "zh": 10, "ar": 10}
+
+#: per-lang token budget for the quota-selection harness query
+_TOKEN_BUDGET = 5000
+
+#: benchmark-membership rule for the decontamination harness query
+_BENCH_MOD = 101
+_DECONTAM_N = 5
+
+
+def _q_weighted_mix(sf_dir: str):
+    """Corpus mixing by per-source weights: assemble a deterministic
+    mixture keeping weights[lang]% of each language by content bucket."""
+    from org_dharts_dia_tesseract_ray.functions.sampling import weighted_mix
+    ds = weighted_mix(_read(sf_dir, "documents", ["doc_id", "lang", "text"]),
+                      _MIX_WEIGHTS)
+    return ds.select_columns(["doc_id", "lang"])
+
+
+def _q_token_budget(sf_dir: str):
+    """Per-source token-budget selection: each lang keeps its doc_id-orderd
+    prefix until the cumulative whitespace-token count reaches the budget
+    — partial-cap combiner, one hash shuffle, vectorized quota pass."""
+    from org_dharts_dia_tesseract_ray.functions.capping import (
+        budget_cap_per_key)
+    from org_dharts_dia_tesseract_ray.functions.text_stats import WS_PATTERN
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b["text"]), WS_PATTERN)
+        return pa.table({"doc_id": b["doc_id"], "lang": b["lang"],
+                         "n_tokens": pc.list_value_length(toks).cast(
+                             pa.int64())})
+
+    return budget_cap_per_key(
+        ds.map_batches(with_tokens, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col="lang", order_by=[("doc_id", "ascending")],
+        weight_col="n_tokens", budget=_TOKEN_BUDGET)
+
+
+#: leaked eval snippet — appended to benchmark docs AND to the synthetic
+#: "leaky" corpus docs (doc_id % _LEAK_MOD == 1) so the query proves
+#: cross-document n-gram detection, not just benchmark self-membership
+_LEAK_PHRASE = "the quick brown fox jumps over the lazy dog"
+_LEAK_MOD = 37
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: documents sharing any word n-gram with
+    the synthetic benchmark subset (doc_id % _BENCH_MOD == 0) — blocklist
+    built once, broadcast via ray.put, vectorized membership per batch."""
+    from org_dharts_dia_tesseract_ray.functions.decontam import (
+        build_ngram_blocklist, decontaminate)
+
+    def with_leak(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        leak = (did % _BENCH_MOD == 0) | (did % _LEAK_MOD == 1)
+        text = pc.if_else(
+            pa.array(leak),
+            pc.binary_join_element_wise(b["text"], _LEAK_PHRASE, " "),
+            b["text"])
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        with_leak, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bench_only(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        return b.filter(pa.array(did % _BENCH_MOD == 0))
+
+    bench = ds.map_batches(bench_only, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    bl = build_ngram_blocklist(bench, n=_DECONTAM_N)
+    return decontaminate(ds, bl, n=_DECONTAM_N)
+
+
 def _q_length_quantiles(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.stats import grouped_quantiles
     return grouped_quantiles(_read(sf_dir, "documents", ["lang", "n_chars"]),
@@ -817,6 +896,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_10pct": _q_sample_10pct,
         "train_val_test_split": _q_split,
         "stratified_sample": _q_stratified,
+        "weighted_mix": _q_weighted_mix,
+        "token_budget": _q_token_budget,
+        "decontaminate": _q_decontaminate,
         "length_quantiles_by_lang": _q_length_quantiles,
         "lineitem_price_quantiles": _q_lineitem_price_quantiles,
         "doc_frequency": _q_doc_frequency,
@@ -898,6 +980,41 @@ WITH m AS (
          CASE WHEN doc_id % 3 = 0 THEN '#frag-' || doc_id ELSE '' END AS url
   FROM documents)
 SELECT doc_id, url, {normalize_urls_sql_expr('url')} AS url_norm FROM m"""
+
+
+def _weighted_mix_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        weighted_mix_sql)
+    return weighted_mix_sql(_MIX_WEIGHTS)
+
+
+def _token_budget_sql() -> str:
+    from org_dharts_dia_tesseract_ray.functions.text_stats import WS_PATTERN
+    nt = f"len(regexp_split_to_array(trim(text), '{WS_PATTERN}'))"
+    return f"""
+WITH m AS (
+  SELECT doc_id, lang, CAST({nt} AS BIGINT) AS n_tokens FROM documents)
+SELECT doc_id, lang, n_tokens FROM (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM m) WHERE cum <= {_TOKEN_BUDGET}"""
+
+
+def _decontaminate_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.decontam import (
+        decontaminate_sql)
+    body = decontaminate_sql(f"doc_id % {_BENCH_MOD} = 0", n=_DECONTAM_N,
+                             table="m").lstrip()
+    assert body.startswith("WITH ")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_BENCH_MOD} = 0 OR doc_id % {_LEAK_MOD} = 1
+              THEN text || ' {_LEAK_PHRASE}' ELSE text END AS text
+  FROM documents),
+{body[len("WITH "):]}"""
 
 
 def _domain_cap_sql(k: int = 10) -> str:
@@ -991,6 +1108,9 @@ WITH m AS (
         "sample_10pct": _sampling_sql("sample"),
         "train_val_test_split": _sampling_sql("split"),
         "stratified_sample": _sampling_sql("stratified"),
+        "weighted_mix": _weighted_mix_sql_q(),
+        "token_budget": _token_budget_sql(),
+        "decontaminate": _decontaminate_sql_q(),
         "length_quantiles_by_lang": _stats_sql(),
         "lineitem_price_quantiles": _lineitem_quantiles_sql(),
         "doc_frequency": _vocab_sql(0, 0),

@@ -79,6 +79,100 @@ def top_k_per_key(ds, *, key_col: str, order_by: list, k: int,
                                           batch_format="pyarrow"))
 
 
+def first_budget_per_key(t: pa.Table, key: str, order_by: list,
+                         weight_col: str, budget: int, *,
+                         with_summaries: bool = False) -> pa.Table:
+    """Keep each key's prefix (in ``[key asc] + order_by`` order) whose
+    INCLUSIVE cumulative ``weight_col`` stays ≤ ``budget`` — the
+    token-quota variant of :func:`first_k_per_key`.
+
+    Same vectorized shape: one sort, run-boundary mask, cumulative sum
+    rebased at each run start.
+
+    ``with_summaries=True`` is the COMBINER mode: unlike the count cap,
+    the plain quota kernel is NOT its own combiner.  A batch-local prefix
+    sum only underestimates the global one, so a per-batch pass never
+    evicts a global survivor — but it may evict a global LOSER early
+    (its local cum already exceeds the budget), and that loser's weight
+    then vanishes from the reduce-stage cumulative sum, letting a LATER
+    loser from another batch sneak back under the budget.  The fix:
+    whenever a key's batch suffix is dropped, emit ONE summary row in its
+    place — the first dropped row with its weight replaced by the whole
+    dropped suffix's total (weight column widened to int64).  Dropped
+    rows all lie beyond the key's global cutoff (their global cum exceeds
+    the budget too), so a summary can never depress a true survivor's
+    rank; it only inflates post-cutoff cumulative sums, which the reduce
+    pass then correctly pushes over the budget (the summary row itself
+    included).  Survivor weights are untouched.
+    """
+    import numpy as np
+    if t.num_rows == 0:
+        return t
+    t = t.sort_by([(key, "ascending")] + order_by)
+    n = t.num_rows
+    change = key_change_mask(t[key], n)
+    w = np.asarray(pc.cast(t[weight_col], pa.int64()))
+    cum = np.cumsum(w)
+    idx = np.arange(n, dtype=np.int64)
+    run_start = idx[change][np.cumsum(change) - 1]
+    base = cum[run_start] - w[run_start]     # exclusive sum before the run
+    loc = cum - base                         # inclusive sum within the run
+    keep = loc <= budget
+    if not with_summaries or keep.all():
+        return t.filter(pa.array(keep))
+    # weights are non-negative -> loc is non-decreasing within a run, so
+    # each run's dropped rows form a suffix; summarize it into its first row
+    drop = ~keep
+    first_drop = drop & (change | np.concatenate(([False], keep[:-1])))
+    run_last = np.flatnonzero(np.concatenate((change[1:], [True])))
+    run_total = loc[run_last]                # total weight per run
+    run_id = np.cumsum(change) - 1
+    f = np.flatnonzero(first_drop)
+    w2 = w.copy()
+    w2[f] = run_total[run_id[f]] - (loc[f] - w[f])   # dropped-suffix total
+    i = t.column_names.index(weight_col)
+    t = t.set_column(i, pa.field(weight_col, pa.int64()),
+                     pa.array(w2, pa.int64()))
+    return t.filter(pa.array(keep | first_drop))
+
+
+def budget_cap_per_key(ds, *, key_col: str, order_by: list,
+                       weight_col: str, budget: int,
+                       num_partitions: int | None = None):
+    """Distributed per-key quota selection: keep rows of each key, in
+    deterministic order, until the key's cumulative weight (e.g. token
+    count) reaches ``budget`` — the per-source token-budget step of
+    corpus assembly.  Summary-row combiner (see
+    :func:`first_budget_per_key` ``with_summaries``) → ONE hash-partition
+    shuffle → one vectorized pass per partition (same plan as
+    :func:`top_k_per_key`).  Weights must be non-negative (token/byte
+    counts are) — a negative weight would break the prefix-monotonicity
+    both the combiner and its summary argument rely on.  ``order_by``
+    must be a TOTAL order within each key (e.g. a unique id) or tied rows
+    at the cutoff are kept nondeterministically.  The weight column is
+    widened to int64 in the output.
+    """
+    P = num_partitions or default_num_partitions()
+
+    def combine(b: pa.Table) -> pa.Table:
+        return first_budget_per_key(b, key_col, order_by, weight_col,
+                                    budget, with_summaries=True)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column("__part", partition_ids(b[key_col], P))
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        return first_budget_per_key(g.drop_columns(["__part"]), key_col,
+                                    order_by, weight_col, budget)
+
+    return (ds.map_batches(combine, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(add_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("__part").map_groups(reduce_part,
+                                          batch_format="pyarrow"))
+
+
 def add_domain_batch(batch: pa.Table, *, url_col: str = "url",
                      out_col: str = "domain") -> pa.Table:
     """Append the lowercased host extracted from ``url_col`` (null when the

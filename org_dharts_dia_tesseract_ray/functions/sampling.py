@@ -112,6 +112,44 @@ SELECT {id_col}, {group_col} FROM (
   FROM {table}) WHERE rk <= {n_per_group}"""
 
 
+def weighted_mix(ds, weights: dict[str, int], *, group_col: str = "lang",
+                 text_col: str = "text", default_percent: int = 0,
+                 n_buckets: int = 100):
+    """Corpus mixing: keep ``weights[group]`` percent of each group's rows,
+    chosen by content-hash bucket — the "sample each source at its mixture
+    weight" step of corpus assembly (C4/Pile/Dolma recipes).
+
+    Same stability property as :func:`deterministic_sample`: membership is
+    a pure function of the row's content, invariant under partitioning and
+    rerun, so two pipeline runs assemble the SAME mixture.  No shuffle —
+    one stateless vectorized filter; the weights dict rides the closure
+    (driver-broadcast once, tiny).
+    """
+    def f(b: pa.Table) -> pa.Table:
+        t = hash_bucket_batch(b, text_col=text_col, n_buckets=n_buckets)
+        thr = pa.scalar(default_percent, pa.int64())
+        g = t[group_col]
+        # small-dict CASE chain, vectorized per branch
+        expr = thr
+        for k, v in sorted(weights.items()):
+            expr = pc.if_else(pc.equal(g, k), pa.scalar(v, pa.int64()), expr)
+        return (t.filter(pc.less(t["bucket"], expr))
+                .drop_columns(["bucket"]))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_mix_sql(weights: dict[str, int], *, group_col: str = "lang",
+                     table: str = "documents", id_col: str = "doc_id",
+                     text_col: str = "text", default_percent: int = 0,
+                     n_buckets: int = 100) -> str:
+    cases = " ".join(f"WHEN '{k}' THEN {v}"
+                     for k, v in sorted(weights.items()))
+    return (f"SELECT {id_col}, {group_col} FROM {table} "
+            f"WHERE {bucket_sql_expr(text_col, n_buckets)} < "
+            f"(CASE {group_col} {cases} ELSE {default_percent} END)")
+
+
 def bucket_sql_expr(text_col: str = "text", n_buckets: int = 100) -> str:
     return (f"(('0x' || substr(md5({text_col}), 1, 8))::UBIGINT "
             f"% {n_buckets})")

@@ -871,3 +871,110 @@ def test_domain_extraction_cases():
         f"SELECT nullif({domain_sql_expr('url')}, '') AS d FROM u"
     )["d"].to_df()["d"].tolist()
     assert [x if isinstance(x, str) else None for x in sql] == got
+
+
+def test_budget_cap_combiner_summary_rows():
+    """The adversarial split that broke the summary-less combiner: batch A
+    holds a key's prefix plus its FIRST over-budget row, batch B a later
+    over-budget row.  Without the summary row, A's early drop deflates the
+    reduce cumsum and B's loser sneaks back under the budget."""
+    from org_dharts_dia_tesseract_ray.functions.capping import (
+        first_budget_per_key)
+    ob = [("id", "ascending")]
+    a = pa.table({"k": ["0"] * 3, "id": [1, 2, 3],
+                  "w": pa.array([60, 30, 20], pa.int64())})
+    b = pa.table({"k": ["0"], "id": [4], "w": pa.array([10], pa.int64())})
+    ca = first_budget_per_key(a, "k", ob, "w", 100, with_summaries=True)
+    cb = first_budget_per_key(b, "k", ob, "w", 100, with_summaries=True)
+    # A keeps its 90-weight prefix and a 20-weight summary AT id 3
+    assert ca.to_pydict() == {"k": ["0"] * 3, "id": [1, 2, 3],
+                              "w": [60, 30, 20]}
+    out = first_budget_per_key(pa.concat_tables([ca, cb]), "k", ob, "w", 100)
+    # id 4's true cum is 120 -> it must NOT survive
+    assert out["id"].to_pylist() == [1, 2]
+    # multi-row dropped suffix collapses into one summary carrying its total
+    c = pa.table({"k": ["x"] * 4, "id": [1, 2, 3, 4],
+                  "w": pa.array([99, 5, 6, 7], pa.int64())})
+    cc = first_budget_per_key(c, "k", ob, "w", 100, with_summaries=True)
+    assert cc.to_pydict() == {"k": ["x", "x"], "id": [1, 2], "w": [99, 18]}
+
+
+def test_budget_cap_kernel_and_combiner_safety(ray_session):
+    """Inclusive-cumsum quota kernel == window-SQL semantics; distributed
+    result invariant under input partitioning (the summary-row combiner
+    neither evicts a global survivor nor admits a global loser)."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.capping import (
+        budget_cap_per_key, first_budget_per_key)
+    rng = np.random.RandomState(3)
+    t = pa.table({
+        "k": rng.randint(0, 4, 120).astype("int64").astype(str),
+        "id": np.arange(120, dtype="int64"),
+        "w": rng.randint(0, 30, 120).astype("int64"),  # zeros included
+    })
+    want = first_budget_per_key(t, "k", [("id", "ascending")], "w", 100)
+    # oracle: pandas window cumsum
+    df = t.to_pandas().sort_values(["k", "id"])
+    df["cum"] = df.groupby("k")["w"].cumsum()
+    ref = df[df["cum"] <= 100].drop(columns="cum").reset_index(drop=True)
+    got = want.to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+    assert got.equals(ref)
+    for nparts in (1, 4, 6, 13):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        out = (budget_cap_per_key(ds, key_col="k",
+                                  order_by=[("id", "ascending")],
+                                  weight_col="w", budget=100,
+                                  num_partitions=3)
+               .to_pandas().sort_values(["k", "id"]).reset_index(drop=True))
+        assert out[["k", "id", "w"]].equals(ref), nparts
+
+
+def test_weighted_mix_respects_weights(ray_session):
+    """Mixture membership is per-group bucket < weight and is a SUBSET
+    relation across weights (bucket sampling is nested)."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.sampling import weighted_mix
+    t = pa.table({
+        "doc_id": np.arange(400, dtype="int64"),
+        "lang": (["en", "de", "fr", "xx"] * 100),
+        "text": [f"document number {i} body" for i in range(400)],
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = weighted_mix(ds, {"en": 50, "de": 20, "fr": 0},
+                       default_percent=100).to_pandas()
+    by = out.groupby("lang")["doc_id"].count().to_dict()
+    assert by.get("fr", 0) == 0           # weight 0 -> nothing survives
+    assert by["xx"] == 100                # default 100 -> everything
+    assert 0 < by["de"] < by["en"] < 100  # weights order respected
+    # nested property: the 20% en-sample is a subset of the 50% one
+    out20 = weighted_mix(ray.data.from_arrow(t), {"en": 20},
+                         default_percent=0).to_pandas()
+    assert set(out20["doc_id"]) <= set(out[out["lang"] == "en"]["doc_id"])
+
+
+def test_decontaminate_flags_exact_ngram_overlap(ray_session):
+    """Docs sharing an n-token phrase with the benchmark set are flagged;
+    shorter overlaps and clean docs are not; counts are per-position."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.decontam import (
+        build_ngram_blocklist, decontaminate)
+    bench = pa.table({
+        "doc_id": [100],
+        "text": ["alpha beta gamma delta epsilon zeta"],
+    })
+    corpus = pa.table({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": [
+            "alpha beta gamma delta epsilon",        # full 5-gram leak
+            "x alpha beta gamma delta y",            # only 4-token overlap
+            "clean document with no overlap at all",
+            "alpha beta gamma delta epsilon zeta",   # 2 leaked 5-grams
+            None,                                    # null text
+        ],
+    })
+    bl = build_ngram_blocklist(ray.data.from_arrow(bench), n=5)
+    out = (decontaminate(ray.data.from_arrow(corpus).repartition(2), bl, n=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["contaminated"].tolist() == [True, False, False, True, False]
+    assert out["n_contaminated"].tolist() == [1, 0, 0, 2, 0]
+    assert out["n_grams"].tolist() == [1, 2, 3, 2, 0]
