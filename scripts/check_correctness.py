@@ -47,8 +47,9 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("CHECK_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
 
