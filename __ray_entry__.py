@@ -996,7 +996,7 @@ WITH m AS (
   SELECT doc_id, lang, CAST({nt} AS BIGINT) AS n_tokens FROM documents)
 SELECT doc_id, lang, n_tokens FROM (
   SELECT doc_id, lang, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         SUM(COALESCE(n_tokens, 0)) OVER (PARTITION BY lang ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS cum
   FROM m) WHERE cum <= {_TOKEN_BUDGET}"""

@@ -87,7 +87,9 @@ def first_budget_per_key(t: pa.Table, key: str, order_by: list,
     token-quota variant of :func:`first_k_per_key`.
 
     Same vectorized shape: one sort, run-boundary mask, cumulative sum
-    rebased at each run start.
+    rebased at each run start.  A null weight costs 0 against the budget
+    (its row survives while the run is under budget, value preserved) —
+    the SQL analogue is ``SUM(COALESCE(w, 0)) OVER ...``.
 
     ``with_summaries=True`` is the COMBINER mode: unlike the count cap,
     the plain quota kernel is NOT its own combiner.  A batch-local prefix
@@ -106,12 +108,21 @@ def first_budget_per_key(t: pa.Table, key: str, order_by: list,
     included).  Survivor weights are untouched.
     """
     import numpy as np
+    i = t.column_names.index(weight_col)
+    wcol = pc.cast(t[weight_col], pa.int64())
+    # widen unconditionally so every output block (combiner fast path
+    # included) carries the same int64 schema
+    t = t.set_column(i, pa.field(weight_col, pa.int64()),
+                     pa.chunked_array([wcol]) if isinstance(wcol, pa.Array)
+                     else wcol)
     if t.num_rows == 0:
         return t
     t = t.sort_by([(key, "ascending")] + order_by)
     n = t.num_rows
     change = key_change_mask(t[key], n)
-    w = np.asarray(pc.cast(t[weight_col], pa.int64()))
+    # null weight contributes 0 to the cumulative sum — the window-SUM
+    # oracle skips NULLs — while the output column keeps its nulls
+    w = np.asarray(pc.fill_null(t[weight_col], 0))
     cum = np.cumsum(w)
     idx = np.arange(n, dtype=np.int64)
     run_start = idx[change][np.cumsum(change) - 1]
@@ -130,9 +141,14 @@ def first_budget_per_key(t: pa.Table, key: str, order_by: list,
     f = np.flatnonzero(first_drop)
     w2 = w.copy()
     w2[f] = run_total[run_id[f]] - (loc[f] - w[f])   # dropped-suffix total
-    i = t.column_names.index(weight_col)
-    t = t.set_column(i, pa.field(weight_col, pa.int64()),
-                     pa.array(w2, pa.int64()))
+    # replace ONLY the summary rows' weights; kept rows preserve their
+    # original values (nulls included)
+    is_summary = np.zeros(n, dtype=bool)
+    is_summary[f] = True
+    new_w = pc.if_else(pa.array(is_summary), pa.array(w2, pa.int64()),
+                       t[weight_col])
+    t = t.set_column(t.column_names.index(weight_col),
+                     pa.field(weight_col, pa.int64()), new_w)
     return t.filter(pa.array(keep | first_drop))
 
 
@@ -195,5 +211,7 @@ def domain_cap(ds, *, url_col: str = "url", order_by: list, k: int,
 
 
 def domain_sql_expr(col: str) -> str:
-    """DuckDB expression computing the same lowercased host."""
-    return f"lower(regexp_extract({col}, '{_HOST_RE}', 1))"
+    """DuckDB expression computing the same lowercased host.  regexp_extract
+    returns '' on no match where the Arrow kernel yields null; nullif
+    restores parity for unparseable URLs."""
+    return f"nullif(lower(regexp_extract({col}, '{_HOST_RE}', 1)), '')"

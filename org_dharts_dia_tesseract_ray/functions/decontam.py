@@ -30,41 +30,21 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..util import _string_hash64
 
 #: whitespace tokenizer shared with vocab/text_stats — DuckDB's
 #: regexp_split_to_array uses the same RE2 so the oracle is bit-compatible.
 from .text_stats import WS_PATTERN
-
-
-def _doc_ngrams(text_col, n: int):
-    """All word ``n``-grams of a batch, vectorized.
-
-    Returns ``(grams, parents, n_docs)``: a flat string array of
-    space-joined n-grams and the row index each gram belongs to.  Null
-    text contributes no grams (its row still exists for bincount).
-    """
-    toks = pc.split_pattern_regex(
-        pc.utf8_trim_whitespace(text_col), WS_PATTERN)
-    n_docs = len(toks)
-    flat = pc.list_flatten(toks)
-    parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
-    n_flat = len(flat)
-    if n_flat < n:
-        return pa.array([], pa.string()), np.empty(0, np.int64), n_docs
-    width = n_flat - n + 1
-    parts = [flat.slice(i, width) for i in range(n)]
-    grams = pc.binary_join_element_wise(*parts, " ")
-    same_doc = parents[:width] == parents[n - 1:n - 1 + width]
-    sel = np.flatnonzero(same_doc)
-    return (grams.take(pa.array(sel, pa.int64())), parents[sel], n_docs)
+from .vocab import doc_ngrams_batch
 
 
 def ngram_hashes_batch(text_col, n: int):
-    """(uint64 gram hashes, parent row index, n_docs) for one batch."""
-    grams, parents, n_docs = _doc_ngrams(text_col, n)
+    """(uint64 gram hashes, parent row index, n_docs) for one batch —
+    the shared aligned-slice kernel (:func:`vocab.doc_ngrams_batch`)
+    hashed through the repo's 64-bit content hash."""
+    grams, parents, n_docs = doc_ngrams_batch(text_col, n)
+    parents = np.asarray(parents, dtype=np.int64)
     if len(grams) == 0:
         return np.empty(0, np.uint64), parents, n_docs
     return _string_hash64(grams), parents, n_docs

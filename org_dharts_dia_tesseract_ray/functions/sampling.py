@@ -129,10 +129,13 @@ def weighted_mix(ds, weights: dict[str, int], *, group_col: str = "lang",
         t = hash_bucket_batch(b, text_col=text_col, n_buckets=n_buckets)
         thr = pa.scalar(default_percent, pa.int64())
         g = t[group_col]
-        # small-dict CASE chain, vectorized per branch
+        # small-dict CASE chain, vectorized per branch; a null group
+        # matches no WHEN arm and falls through to default_percent, like
+        # the SQL CASE (fill_null stops the null poisoning the chain)
         expr = thr
         for k, v in sorted(weights.items()):
-            expr = pc.if_else(pc.equal(g, k), pa.scalar(v, pa.int64()), expr)
+            cond = pc.fill_null(pc.equal(g, k), False)
+            expr = pc.if_else(cond, pa.scalar(v, pa.int64()), expr)
         return (t.filter(pc.less(t["bucket"], expr))
                 .drop_columns(["bucket"]))
 

@@ -219,7 +219,9 @@ def direction_batch(batch: pa.Table, *, text_col: str = "text",
     Majority vote over strong-directional codepoints (RTL blocks vs LTR
     scripts), neutral characters ignored — ``rtl`` when strict-majority
     RTL, else ``ltr`` (the reference's default orientation).  Exact integer
-    counts + a CASE, so the SQL oracle is bit-exact."""
+    counts + a CASE, so the SQL oracle is bit-exact.  Null text yields
+    null counts and a null direction (Arrow null propagation; the oracle
+    CASE mirrors it explicitly)."""
     text = batch[text_col]
     n_rtl = _count_re(text, RTL_PATTERN)
     n_ltr = _count_re(text, LTR_PATTERN)
@@ -249,7 +251,8 @@ def direction_sql(table: str = "documents", text_col: str = "text",
 SELECT {id_col},
   len(regexp_extract_all({c}, '{RTL_PATTERN}')) AS n_rtl,
   len(regexp_extract_all({c}, '{LTR_PATTERN}')) AS n_ltr,
-  CASE WHEN len(regexp_extract_all({c}, '{RTL_PATTERN}')) >
+  CASE WHEN {c} IS NULL THEN NULL
+       WHEN len(regexp_extract_all({c}, '{RTL_PATTERN}')) >
             len(regexp_extract_all({c}, '{LTR_PATTERN}'))
        THEN 'rtl' ELSE 'ltr' END AS direction
 FROM {table}"""

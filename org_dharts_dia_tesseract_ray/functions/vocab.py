@@ -22,27 +22,40 @@ import pyarrow.compute as pc
 WS_PATTERN = r"\s+"
 
 
+def doc_ngrams_batch(text_col, n: int):
+    """All word ``n``-grams of a batch plus the row each one belongs to —
+    the shared aligned-slice kernel: join n aligned slices of the
+    flattened token stream element-wise, keep positions whose first and
+    last token share a document (``list_parent_indices``) — no Python
+    token loop.  Null text contributes no grams (its row still counts
+    toward ``n_docs``).
+
+    Returns ``(grams, parents, n_docs)``; used by vocabulary counting
+    (grams only) and decontamination (grams + parent rows).
+    """
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(text_col), WS_PATTERN)
+    n_docs = len(toks)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    if n <= 1:
+        return flat, parents, n_docs
+    n_flat = len(flat)
+    if n_flat < n:
+        return pa.array([], pa.string()), pa.array([], pa.int64()), n_docs
+    width = n_flat - n + 1
+    parts = [flat.slice(i, width) for i in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    same_doc = pc.equal(parents.slice(0, width),
+                        parents.slice(n - 1, width))
+    return (grams.filter(same_doc), parents.slice(0, width).filter(same_doc),
+            n_docs)
+
+
 def token_counts_batch(batch: pa.Table, *, text_col: str = "text",
                       ngram: int = 1) -> pa.Table:
     """(token, partial_count) — per-batch combiner, fully vectorized."""
-    toks = pc.split_pattern_regex(
-        pc.utf8_trim_whitespace(batch[text_col]), WS_PATTERN)
-    flat = pc.list_flatten(toks)
-    if ngram > 1:
-        # n-grams within documents, fully vectorized: join n aligned slices
-        # element-wise, keep positions whose first and last token share a
-        # document (list_parent_indices) — no Python token loop
-        parents = pc.list_parent_indices(toks)
-        n_flat = len(flat)
-        if n_flat < ngram:
-            flat = pa.array([], pa.string())
-        else:
-            width = n_flat - ngram + 1
-            parts = [flat.slice(i, width) for i in range(ngram)]
-            grams = pc.binary_join_element_wise(*parts, " ")
-            same_doc = pc.equal(parents.slice(0, width),
-                                parents.slice(ngram - 1, width))
-            flat = grams.filter(same_doc)
+    flat, _, _ = doc_ngrams_batch(batch[text_col], ngram)
     t = pa.table({"token": flat})
     counted = t.group_by("token").aggregate([("token", "count")])
     return pa.table({

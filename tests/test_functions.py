@@ -868,7 +868,7 @@ def test_domain_extraction_cases():
     con = duckdb.connect()
     con.register("u", t)
     sql = con.sql(
-        f"SELECT nullif({domain_sql_expr('url')}, '') AS d FROM u"
+        f"SELECT {domain_sql_expr('url')} AS d FROM u"
     )["d"].to_df()["d"].tolist()
     assert [x if isinstance(x, str) else None for x in sql] == got
 
@@ -978,3 +978,74 @@ def test_decontaminate_flags_exact_ngram_overlap(ray_session):
     assert out["contaminated"].tolist() == [True, False, False, True, False]
     assert out["n_contaminated"].tolist() == [1, 0, 0, 2, 0]
     assert out["n_grams"].tolist() == [1, 2, 3, 2, 0]
+
+
+def test_budget_cap_null_weights_and_schema(ray_session):
+    """Null weights cost 0 against the budget (SUM(COALESCE(w,0)) OVER
+    semantics), survive with value preserved, and never poison the cumsum;
+    the weight column is int64 on EVERY output block, dropped-suffix or
+    not (int32 input, mixed batches)."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.capping import (
+        budget_cap_per_key, first_budget_per_key)
+    ob = [("id", "ascending")]
+    t = pa.table({"k": ["a"] * 4, "id": [1, 2, 3, 4],
+                  "w": pa.array([5, None, 90, 10], pa.int32())})
+    out = first_budget_per_key(t, "k", ob, "w", 100)
+    assert out["id"].to_pylist() == [1, 2, 3]     # cum: 5, 5, 95, 105
+    assert out["w"].to_pylist() == [5, None, 90]  # null preserved
+    assert out.schema.field("w").type == pa.int64()
+    # combiner mode on an all-fits batch must ALSO widen (fast path)
+    small = first_budget_per_key(
+        pa.table({"k": ["a"], "id": [1], "w": pa.array([1], pa.int32())}),
+        "k", ob, "w", 100, with_summaries=True)
+    assert small.schema.field("w").type == pa.int64()
+    # leading null: survives at cost 0 (combiner crash regression)
+    lead = pa.table({"k": ["z", "z"], "id": [1, 2],
+                     "w": pa.array([None, 7], pa.int64())})
+    c = first_budget_per_key(lead, "k", ob, "w", 5, with_summaries=True)
+    assert c["id"].to_pylist() == [1, 2] and c["w"].to_pylist() == [None, 7]
+    # end-to-end with nulls scattered across partitions
+    big = pa.table({"k": ["a"] * 6, "id": [1, 2, 3, 4, 5, 6],
+                    "w": pa.array([40, None, 40, 40, None, 1], pa.int32())})
+    got = (budget_cap_per_key(ray.data.from_arrow(big).repartition(3),
+                              key_col="k", order_by=ob, weight_col="w",
+                              budget=100, num_partitions=2)
+           .to_pandas().sort_values("id"))
+    assert got["id"].tolist() == [1, 2, 3]        # cum 40,40,80,120 stops
+
+
+def test_weighted_mix_null_group_gets_default(ray_session):
+    """A null group value falls through the CASE chain to default_percent
+    (SQL CASE parity) instead of being dropped by a null filter mask."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.sampling import weighted_mix
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "lang": pa.array(["en", None, None], pa.string()),
+        "text": ["doc zero body", "doc one body", "doc two body"],
+    })
+    keep_all = weighted_mix(ray.data.from_arrow(t), {"en": 100},
+                            default_percent=100).to_pandas()
+    assert sorted(keep_all["doc_id"]) == [0, 1, 2]
+    drop_null = weighted_mix(ray.data.from_arrow(t), {"en": 100},
+                             default_percent=0).to_pandas()
+    assert sorted(drop_null["doc_id"]) == [0]
+
+
+def test_direction_null_text_matches_sql():
+    """Null text → null counts and null direction on BOTH sides (the SQL
+    CASE mirrors Arrow null propagation explicitly)."""
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        direction_batch, direction_sql)
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["hello", None], pa.string())})
+    got = direction_batch(t).to_pandas()
+    assert got["direction"].tolist()[0] == "ltr"
+    assert got["direction"].isna().tolist() == [False, True]
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = con.sql(direction_sql()).df().sort_values("doc_id")
+    assert sql["direction"].tolist()[0] == "ltr"
+    assert sql["direction"].isna().tolist() == [False, True]
+    assert sql["n_rtl"].isna().tolist() == [False, True]
