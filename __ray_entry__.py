@@ -282,6 +282,64 @@ def _q_url_normalize(sf_dir: str):
         ds.map_batches(messy, batch_format="pyarrow", zero_copy_batch=True))
 
 
+def _q_pii_redact(sf_dir: str):
+    """PII scrub over documents with deterministically-injected emails,
+    phone numbers and IPv4 addresses (doc_id rules; the corpus itself is
+    synthetic prose with none) — stateless vectorized RE2, no shuffle."""
+    from org_dharts_dia_tesseract_ray.functions.pii import apply_redact_pii
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_pii(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        ids = b["doc_id"].cast(pa.string())
+        text = b["text"]
+        text = pc.if_else(
+            pa.array(did % 7 == 0),
+            pc.binary_join_element_wise(
+                text, " contact user", ids, "@corpus-test.example now", ""),
+            text)
+        text = pc.if_else(
+            pa.array(did % 11 == 0),
+            pc.binary_join_element_wise(
+                text, " call +1 (555) 010-", ids, " today", ""),
+            text)
+        text = pc.if_else(
+            pa.array(did % 13 == 0),
+            pc.binary_join_element_wise(text, " host 10.0.0.", ids, "", ""),
+            text)
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    return apply_redact_pii(
+        ds.map_batches(with_pii, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+
+def _q_line_filter(sf_dir: str):
+    """C4 line-level cleanup over documents given deterministic line
+    structure (periods+newlines injected at ' table ' occurrences, plus a
+    javascript/short-line tail on every 4th doc) — stateless vectorized
+    explode-filter-reassemble, no shuffle."""
+    from org_dharts_dia_tesseract_ray.functions.linefilter import (
+        apply_line_filter)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_lines(b: pa.Table) -> pa.Table:
+        text = pc.replace_substring_regex(b["text"], " table ", ".\n")
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        text = pc.if_else(
+            pa.array(did % 4 == 0),
+            pc.binary_join_element_wise(
+                text,
+                ".\nenable javascript to continue.\nShort.\n"
+                "A proper closing sentence appears right here.", ""),
+            pc.binary_join_element_wise(text, " ends here.", ""))
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    return apply_line_filter(
+        ds.map_batches(with_lines, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+
 def _q_domain_cap(sf_dir: str):
     """Per-domain frequency capping (the C4/Gopher at-most-K-docs-per-host
     selection) over a deterministic multi-domain url column: keep the K
@@ -887,6 +945,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "repetition_stats": _q_repetition_stats,
         "url_normalize": _q_url_normalize,
+        "pii_redact": _q_pii_redact,
+        "line_filter": _q_line_filter,
         "domain_cap": _q_domain_cap,
         "langid": _q_langid,
         "text_direction": _q_text_direction,
@@ -1017,6 +1077,47 @@ WITH m AS (
 {body[len("WITH "):]}"""
 
 
+def _pii_sql() -> str:
+    from org_dharts_dia_tesseract_ray.functions.pii import pii_sql
+    body = pii_sql(table="m")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN t2 || ' host 10.0.0.' || doc_id
+         ELSE t2 END AS text
+  FROM (
+    SELECT doc_id,
+      CASE WHEN doc_id % 11 = 0
+           THEN t1 || ' call +1 (555) 010-' || doc_id || ' today'
+           ELSE t1 END AS t2
+    FROM (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0
+             THEN text || ' contact user' || doc_id
+                       || '@corpus-test.example now'
+             ELSE text END AS t1
+      FROM documents)))
+{body.lstrip()}"""
+
+
+def _line_filter_sql() -> str:
+    from org_dharts_dia_tesseract_ray.functions.linefilter import (
+        line_filter_sql)
+    body = line_filter_sql(table="m")
+    tail = ("'.' || chr(10) || 'enable javascript to continue.' || chr(10)"
+            " || 'Short.' || chr(10)"
+            " || 'A proper closing sentence appears right here.'")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN t1 || {tail}
+         ELSE t1 || ' ends here.' END AS text
+  FROM (SELECT doc_id,
+               regexp_replace(text, ' table ', '.' || chr(10), 'g') AS t1
+        FROM documents))
+{body.lstrip()}"""
+
+
 def _domain_cap_sql(k: int = 10) -> str:
     from org_dharts_dia_tesseract_ray.functions.capping import (
         domain_sql_expr)
@@ -1093,6 +1194,8 @@ FROM documents GROUP BY lang""",
         "quality_score": quality_sql(),
         "repetition_stats": repetition_stats_sql(),
         "url_normalize": _url_normalize_sql(),
+        "pii_redact": _pii_sql(),
+        "line_filter": _line_filter_sql(),
         "domain_cap": _domain_cap_sql(),
         "langid": langid_sql(),
         "text_direction": f"""

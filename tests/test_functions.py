@@ -1049,3 +1049,77 @@ def test_direction_null_text_matches_sql():
     assert sql["direction"].tolist()[0] == "ltr"
     assert sql["direction"].isna().tolist() == [False, True]
     assert sql["n_rtl"].isna().tolist() == [False, True]
+
+
+def test_pii_redaction_cases(ray_session):
+    """Each PII category redacts with exact counts; sequential order means
+    a phone never re-matches inside a replaced email; nulls propagate;
+    distributed result equals the single-batch kernel."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.pii import (apply_redact_pii,
+                                                            pii_sql,
+                                                            redact_pii_batch)
+    t = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": [
+            "write a.b-c_d%e+f@sub.domain.example thanks",
+            "call +44 (0) 1632 960983 or +1-555-010-2222 now",
+            "ips 10.0.0.1 and 255.255.255.255, not 1234.5.6.7",
+            None,
+            "clean text with no personal data at all",
+        ],
+    })
+    out = redact_pii_batch(t)
+    assert out["n_emails"].to_pylist() == [1, 0, 0, None, 0]
+    assert out["n_phones"].to_pylist() == [0, 2, 0, None, 0]
+    # 1234.5.6.7 must NOT match (\b + 1-3 digit octets)
+    assert out["n_ips"].to_pylist() == [0, 0, 2, None, 0]
+    assert out["redacted"].to_pylist()[0] == "write <EMAIL> thanks"
+    assert out["redacted"].to_pylist()[1] == "call <PHONE> or <PHONE> now"
+    assert out["has_pii"].to_pylist() == [True, True, True, None, False]
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = con.sql(pii_sql()).arrow()
+    for c in out.column_names:
+        assert out[c].to_pylist() == sql[c].to_pylist(), c
+    dist = (apply_redact_pii(ray.data.from_arrow(t).repartition(3))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert dist["redacted"].tolist()[:3] == out["redacted"].to_pylist()[:3]
+
+
+def test_line_filter_c4_rules(ray_session):
+    """Terminal-punctuation, min-words and blacklist rules per line; doc
+    reassembled in order; keep_doc threshold; null propagation; DuckDB
+    parity on the exact same RE2 rules."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.linefilter import (
+        apply_line_filter, line_filter_batch, line_filter_sql)
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": [
+            "A good long sentence here.\nshort.\n"
+            "this has javascript in it.\nAnother fine sentence stands!\n"
+            "no terminal punct here",
+            "Only one good line survives this one.",
+            None,
+            'He said "stop right there."\nends with quote marks."\n{ code }',
+        ],
+    })
+    out = line_filter_batch(t)
+    assert out["text_kept"].to_pylist() == [
+        "A good long sentence here.\nAnother fine sentence stands!",
+        "Only one good line survives this one.",
+        None,
+        'He said "stop right there."\nends with quote marks."',
+    ]
+    assert out["n_lines"].to_pylist() == [5, 1, None, 3]
+    assert out["n_kept"].to_pylist() == [2, 1, None, 2]
+    assert out["keep_doc"].to_pylist() == [True, False, None, True]
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = con.sql(line_filter_sql()).arrow()
+    for c in out.column_names:
+        assert out[c].to_pylist() == sql[c].to_pylist(), c
+    dist = (apply_line_filter(ray.data.from_arrow(t).repartition(2))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert dist["n_kept"].tolist()[0] == 2
