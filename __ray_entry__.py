@@ -615,6 +615,49 @@ _LEAK_PHRASE = "the quick brown fox jumps over the lazy dog"
 _LEAK_MOD = 37
 
 
+#: training-sequence length for the packing harness query
+_SEQ_LEN = 512
+
+#: top-V vocabulary for the unigram-scoring harness query — smaller than
+#: the corpus vocabulary so the OOV path is exercised
+_UNIGRAM_V = 20
+
+
+def _q_unigram_score(sf_dir: str):
+    """CCNet-style unigram corpus-frequency scoring: top-V model built by
+    the vocab pipeline (bounded driver materialization), broadcast via
+    ray.put, integer-exact vectorized per-doc sums — no shuffle in the
+    scoring pass."""
+    from org_dharts_dia_tesseract_ray.functions.lm_score import (
+        build_unigram_model, score_unigram)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = build_unigram_model(ds, vocab_size=_UNIGRAM_V)
+    return score_unigram(_read(sf_dir, "documents", ["doc_id", "text"]),
+                         model)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: every document's token offset in the
+    concatenated corpus stream and the fixed-length sequences it spans —
+    the distributed-prefix-sum operator (bounds pass → per-bucket totals
+    → range shuffle + vectorized offsets)."""
+    from org_dharts_dia_tesseract_ray.functions.packing import pack_sequences
+    from org_dharts_dia_tesseract_ray.functions.text_stats import WS_PATTERN
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_tokens(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b["text"]), WS_PATTERN)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pc.list_value_length(toks).cast(
+                             pa.int64())})
+
+    return pack_sequences(
+        ds.map_batches(with_tokens, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        seq_len=_SEQ_LEN)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: documents sharing any word n-gram with
     the synthetic benchmark subset (doc_id % _BENCH_MOD == 0) — blocklist
@@ -958,6 +1001,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified,
         "weighted_mix": _q_weighted_mix,
         "token_budget": _q_token_budget,
+        "pack_sequences": _q_pack_sequences,
+        "unigram_score": _q_unigram_score,
         "decontaminate": _q_decontaminate,
         "length_quantiles_by_lang": _q_length_quantiles,
         "lineitem_price_quantiles": _q_lineitem_price_quantiles,
@@ -1060,6 +1105,24 @@ SELECT doc_id, lang, n_tokens FROM (
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS cum
   FROM m) WHERE cum <= {_TOKEN_BUDGET}"""
+
+
+def _pack_sequences_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.packing import (
+        pack_sequences_sql)
+    from org_dharts_dia_tesseract_ray.functions.text_stats import WS_PATTERN
+    nt = f"len(regexp_split_to_array(trim(text), '{WS_PATTERN}'))"
+    body = pack_sequences_sql(_SEQ_LEN, table="m")
+    return f"""
+WITH m AS (
+  SELECT doc_id, CAST({nt} AS BIGINT) AS n_tokens FROM documents)
+{body.lstrip()}"""
+
+
+def _unigram_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.lm_score import (
+        unigram_score_sql)
+    return unigram_score_sql(_UNIGRAM_V)
 
 
 def _decontaminate_sql_q() -> str:
@@ -1213,6 +1276,8 @@ WITH m AS (
         "stratified_sample": _sampling_sql("stratified"),
         "weighted_mix": _weighted_mix_sql_q(),
         "token_budget": _token_budget_sql(),
+        "pack_sequences": _pack_sequences_sql_q(),
+        "unigram_score": _unigram_sql_q(),
         "decontaminate": _decontaminate_sql_q(),
         "length_quantiles_by_lang": _stats_sql(),
         "lineitem_price_quantiles": _lineitem_quantiles_sql(),

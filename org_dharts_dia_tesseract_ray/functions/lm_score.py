@@ -1,0 +1,135 @@
+"""Unigram language-model document scoring — rate each document by how
+common its tokens are in the corpus, against a bounded top-V vocabulary.
+
+The CCNet / Gopher quality axis the length/stopword heuristics
+(:mod:`text_stats`) don't cover: documents dominated by tokens that are
+rare corpus-wide (gibberish, boilerplate IDs, foreign scripts) score low;
+fluent common-vocabulary prose scores high.  CCNet ranks by KenLM
+perplexity; the corpus-frequency score here is the same signal computed
+integer-exactly so the DuckDB oracle matches bit-for-bit (a float
+``log p`` variant would hash-diverge on engine libm differences — the
+integer sum is order-independent and exact).
+
+Two-phase, both bounded:
+
+1. **model build** — the :func:`vocab.vocab_topk` pipeline (per-batch
+   pre-count combiner → Sum groupby → sort+limit) collected to the driver:
+   V rows, a documented bounded materialization exactly like the IVF
+   coarse-quantizer build (similarity.py).  Ties break (count desc, token
+   asc) so the model is deterministic.
+2. **scoring** — the model rides ``ray.put`` once; every task reads it
+   zero-copy and scores its batch in one vectorized pass:
+   ``pc.index_in`` (exact string lookup — no hash collisions), count
+   gather, int64 per-doc sums via ``np.add.at``.  No shuffle.
+
+Reference analogue: the dictionary-word predicate
+(TessAPI.java:566 TessBaseAPIIsValidWord) — a per-token membership test
+against an engine-held wordlist, here generalized to a frequency lookup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text_stats import WS_PATTERN
+
+
+def build_unigram_model(ds, *, vocab_size: int = 65536,
+                        text_col: str = "text") -> pa.Table:
+    """Top-``vocab_size`` (token, n) corpus-frequency table, deterministic
+    tie-break — a bounded driver-side model like the IVF centroids."""
+    from .vocab import vocab_topk
+
+    rows = vocab_topk(ds, k=vocab_size, text_col=text_col).take_all()
+    if not rows:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    return pa.table({
+        "token": pa.array([r["token"] for r in rows], pa.string()),
+        "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+    })
+
+
+def score_unigram(ds, model: pa.Table, *, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """(id, n_tokens, n_oov, sum_freq, mean_freq) per document.
+
+    ``sum_freq`` sums the model counts of the document's in-vocab token
+    OCCURRENCES (int64-exact); ``mean_freq = sum_freq / n_tokens`` rounded
+    half-away at 4 dp (the repo's shared float-parity convention); null
+    when the document has no tokens.
+    """
+    import ray
+
+    ref = ray.put(model)
+
+    def score(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)          # zero-copy local plasma read
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b[text_col]), WS_PATTERN)
+        n_docs = len(toks)
+        flat = pc.list_flatten(toks)
+        parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        n_tokens = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_tokens, parents, 1)
+        idx = pc.index_in(flat, value_set=m["token"])
+        oov = np.asarray(pc.is_null(idx))
+        n_oov = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_oov, parents[oov], 1)
+        freqs = np.asarray(m["n"])
+        pos = np.asarray(pc.fill_null(idx, 0), dtype=np.int64)
+        tok_freq = np.where(oov, 0, freqs[pos] if len(freqs) else 0)
+        sum_freq = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(sum_freq, parents, tok_freq)
+        nz = pa.array(n_tokens > 0)
+        mean = pc.divide(
+            pc.round(pc.multiply(
+                pc.divide(pa.array(sum_freq, pa.float64()),
+                          pa.array(np.maximum(n_tokens, 1), pa.float64())),
+                pa.scalar(10000.0)), 0,
+                round_mode="half_towards_infinity"),
+            pa.scalar(10000.0))
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "sum_freq": pa.array(sum_freq, pa.int64()),
+            "mean_freq": pc.if_else(nz, mean, pa.scalar(None, pa.float64())),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def unigram_score_sql(vocab_size: int = 65536, *,
+                      table: str = "documents", text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """DuckDB oracle: same tokenizer, same top-V tie-break, same integer
+    sums, same 4 dp half-away rounding."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col},
+         unnest(regexp_split_to_array(trim({text_col}), '{WS_PATTERN}'))
+           AS token
+  FROM {table}),
+cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token),
+model AS (
+  SELECT token, n FROM cnt ORDER BY n DESC, token LIMIT {vocab_size}),
+scored AS (
+  SELECT t.{id_col},
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (m.token IS NULL) AS BIGINT) AS n_oov,
+         CAST(COALESCE(SUM(m.n), 0) AS BIGINT) AS sum_freq
+  FROM tok t LEFT JOIN model m USING (token)
+  GROUP BY t.{id_col})
+SELECT d.{id_col},
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.n_oov, 0) AS n_oov,
+       COALESCE(s.sum_freq, 0) AS sum_freq,
+       CASE WHEN COALESCE(s.n_tokens, 0) = 0 THEN NULL
+            ELSE round(s.sum_freq / s.n_tokens * 10000.0) / 10000.0
+       END AS mean_freq
+FROM {table} d LEFT JOIN scored s USING ({id_col})"""

@@ -1123,3 +1123,87 @@ def test_line_filter_c4_rules(ray_session):
     dist = (apply_line_filter(ray.data.from_arrow(t).repartition(2))
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert dist["n_kept"].tolist()[0] == 2
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    """Global token offsets are a true prefix sum in id order, invariant
+    under input partitioning/bucket count; zero/null-weight docs span no
+    sequence; a doc straddling a boundary spans both sequences."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.packing import pack_sequences
+    rng = np.random.RandomState(7)
+    n = 300
+    w = rng.randint(0, 40, n).astype("int64")
+    w[5] = 0
+    t = pa.table({"doc_id": np.arange(n, dtype="int64"),
+                  "n_tokens": pa.array(w, pa.int64())})
+    t = t.set_column(1, "n_tokens",
+                     pa.array([None if i == 7 else int(x)
+                               for i, x in enumerate(w)], pa.int64()))
+    w2 = w.copy()
+    w2[7] = 0
+    start = np.cumsum(w2) - w2
+    L = 64
+    ref_first = [None if x == 0 else int(s // L)
+                 for s, x in zip(start, w2)]
+    ref_last = [None if x == 0 else int((s + x - 1) // L)
+                for s, x in zip(start, w2)]
+    for nparts, nbuckets in ((1, 4), (5, 3), (13, 8)):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        out = (pack_sequences(ds, seq_len=L, num_buckets=nbuckets)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["tok_start"].tolist() == start.tolist(), (nparts, nbuckets)
+        got_first = [None if pd_isna(x) else int(x)
+                     for x in out["seq_first"]]
+        got_last = [None if pd_isna(x) else int(x) for x in out["seq_last"]]
+        assert got_first == ref_first
+        assert got_last == ref_last
+    # boundary straddle: doc with tok_start just under L and weight 3
+    t2 = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "n_tokens": pa.array([L - 1, 3], pa.int64())})
+    out2 = (pack_sequences(ray.data.from_arrow(t2), seq_len=L,
+                           num_buckets=2)
+            .to_pandas().sort_values("doc_id"))
+    assert out2["seq_first"].tolist() == [0, 0]
+    assert out2["seq_last"].tolist() == [0, 1]
+
+
+def pd_isna(x):
+    import pandas as pd
+    return pd.isna(x)
+
+
+def test_unigram_score_model_and_oov(ray_session):
+    """Deterministic top-V model; OOV counted; integer sums exact; DuckDB
+    oracle parity on a corpus with rare and common tokens."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.lm_score import (
+        build_unigram_model, score_unigram, unigram_score_sql)
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": [
+            "the the the cat",          # common-heavy
+            "zyzzyva qwerty the",       # rare-heavy (OOV under V=2)
+            None,
+            "cat cat the",
+        ],
+    })
+    ds = ray.data.from_arrow(t)
+    model = build_unigram_model(ds, vocab_size=2)
+    # counts: the=5, cat=3 -> model keeps exactly those two
+    assert model["token"].to_pylist() == ["the", "cat"]
+    assert model["n"].to_pylist() == [5, 3]
+    out = (score_unigram(ray.data.from_arrow(t).repartition(2), model)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_tokens"].tolist() == [4, 3, 0, 3]
+    assert out["n_oov"].tolist() == [0, 2, 0, 0]
+    # doc0: 3*5 + 3 = 18; doc1: 5; doc3: 3+3+5 = 11
+    assert out["sum_freq"].tolist() == [18, 5, 0, 11]
+    assert out["mean_freq"].tolist()[0] == 4.5
+    assert pd_isna(out["mean_freq"].tolist()[2])
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = (con.sql(unigram_score_sql(2)).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    for c in ["n_tokens", "n_oov", "sum_freq"]:
+        assert out[c].tolist() == sql[c].tolist(), c
