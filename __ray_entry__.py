@@ -340,6 +340,25 @@ def _q_line_filter(sf_dir: str):
                        zero_copy_batch=True))
 
 
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style global line dedup over documents given deterministic
+    line structure (same ' table ' → '.\\n' injection as line_filter; the
+    small synthetic vocabulary makes cross-document duplicate lines
+    common) — slim winners shuffle, one text shuffle for reassembly."""
+    from org_dharts_dia_tesseract_ray.functions.unitdedup import unit_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_lines(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "text": pc.replace_substring_regex(b["text"], " table ", ".\n"),
+        })
+
+    return unit_dedup(
+        ds.map_batches(with_lines, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+
 def _q_domain_cap(sf_dir: str):
     """Per-domain frequency capping (the C4/Gopher at-most-K-docs-per-host
     selection) over a deterministic multi-domain url column: keep the K
@@ -990,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize": _q_url_normalize,
         "pii_redact": _q_pii_redact,
         "line_filter": _q_line_filter,
+        "line_dedup": _q_line_dedup,
         "domain_cap": _q_domain_cap,
         "langid": _q_langid,
         "text_direction": _q_text_direction,
@@ -1181,6 +1201,19 @@ WITH m AS (
 {body.lstrip()}"""
 
 
+def _line_dedup_sql() -> str:
+    from org_dharts_dia_tesseract_ray.functions.unitdedup import (
+        unit_dedup_sql)
+    body = unit_dedup_sql(table="m").lstrip()
+    assert body.startswith("WITH ")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         regexp_replace(text, ' table ', '.' || chr(10), 'g') AS text
+  FROM documents),
+{body[len("WITH "):]}"""
+
+
 def _domain_cap_sql(k: int = 10) -> str:
     from org_dharts_dia_tesseract_ray.functions.capping import (
         domain_sql_expr)
@@ -1259,6 +1292,7 @@ FROM documents GROUP BY lang""",
         "url_normalize": _url_normalize_sql(),
         "pii_redact": _pii_sql(),
         "line_filter": _line_filter_sql(),
+        "line_dedup": _line_dedup_sql(),
         "domain_cap": _domain_cap_sql(),
         "langid": langid_sql(),
         "text_direction": f"""

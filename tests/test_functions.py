@@ -1207,3 +1207,35 @@ def test_unigram_score_model_and_oov(ray_session):
            .sort_values("doc_id").reset_index(drop=True))
     for c in ["n_tokens", "n_oov", "sum_freq"]:
         assert out[c].tolist() == sql[c].tolist(), c
+
+
+def test_unit_dedup_keep_first_global(ray_session):
+    """Each distinct line survives only at its min-(doc,pos) occurrence;
+    fully-duplicated docs drop entirely; within-doc repeats keep only the
+    first; result invariant under input partitioning; DuckDB parity."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.unitdedup import (
+        unit_dedup, unit_dedup_sql)
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": [
+            "boiler plate line\nunique alpha",
+            "boiler plate line\nunique beta\nboiler plate line",
+            "boiler plate line",                      # fully duplicated
+            None,
+            "unique gamma\nunique gamma",             # within-doc repeat
+        ],
+    })
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = (con.sql(unit_dedup_sql() + " ORDER BY doc_id").df()
+            .reset_index(drop=True))
+    assert want["doc_id"].tolist() == [0, 1, 4]
+    assert want["text_kept"].tolist() == [
+        "boiler plate line\nunique alpha", "unique beta", "unique gamma"]
+    for nparts in (1, 3):
+        out = (unit_dedup(ray.data.from_arrow(t).repartition(nparts),
+                          num_partitions=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        import pandas.testing as pdt
+        pdt.assert_frame_equal(out, want, check_dtype=False)
