@@ -237,6 +237,9 @@ def run_query_suite(sf_dir: str) -> dict:
              "neardup_cosine", "ann_brute_topk", "ann_ivf_topk",
              "media_decode", "events_latest_per_user", "events_rollup",
              "lineitem_pricing", "tfidf_top_term",
+             # corpus-assembly / cleanup additions (round 3)
+             "pii_redact", "line_filter", "line_dedup", "pack_sequences",
+             "unigram_score",
              # high-cardinality partition-vectorized operators (~147k keys)
              "lineitem_sessions", "lineitem_asof_lastship",
              "lineitem_price_quantiles"]

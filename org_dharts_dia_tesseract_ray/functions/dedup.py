@@ -102,9 +102,12 @@ def shingle_set(text: str, k: int = 8) -> np.ndarray:
 
 #: windows-per-chunk bound for the (num_perm × windows) permutation temp —
 #: peak scratch ≈ 2 × num_perm × 8 B × this (the in-place fold keeps one
-#: extra full-size temporary), ~250 MB per task at num_perm=128; sized so a
-#: full-width task pool stays well inside a worker heap
-_MAX_CHUNK_WINDOWS = 120_000
+#: extra full-size temporary), ~0.5 GB per task at num_perm=128 — a standard
+#: 0.5 GB/core heap budget at full task-pool width.  Smaller chunks trade
+#: real kernel speed for little: 120k windows measured ~25-30% slower than
+#: 250k (per-chunk reduceat/allocation overhead), with no further gain
+#: beyond 250k.
+_MAX_CHUNK_WINDOWS = 250_000
 
 
 class MinHasher:
