@@ -436,6 +436,44 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+_BLOOM_BITS = 1 << 24
+
+
+def _q_orders_bloom_new(sf_dir: str):
+    """Incremental dedup without a join: keep odd-orderkey orders whose
+    customer never appears among the even-orderkey (reference) orders.
+    The reference slice compiles into a Bloom bitmap distributed-built
+    and broadcast once; the new slice probes it shuffle-free
+    (functions/bloomdedup.py — the new-crawl-vs-seen-corpus step)."""
+    import pyarrow.compute as pc
+
+    from org_dharts_dia_tesseract_ray.functions.bloomdedup import (
+        bloom_build, bloom_filter_new)
+
+    def half(parity):
+        def f(b):
+            keep = pc.equal(pc.bit_wise_and(b["o_orderkey"], 1), parity)
+            return b.filter(keep)
+        return f
+
+    cols = ["o_orderkey", "o_custkey"]
+    ref = _read(sf_dir, "orders", cols).map_batches(
+        half(0), batch_format="pyarrow", zero_copy_batch=True)
+    bloom = bloom_build(ref, key_col="o_custkey", bits=_BLOOM_BITS)
+    new = _read(sf_dir, "orders", cols).map_batches(
+        half(1), batch_format="pyarrow", zero_copy_batch=True)
+    return bloom_filter_new(new, bloom, key_col="o_custkey")
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Top-20 tokens via capacity-bounded Misra-Gries summaries
+    (functions/heavyhitters.py); exact (err_bound 0) at oracle scale
+    because no batch exceeds the 4096-token capacity."""
+    from org_dharts_dia_tesseract_ray.functions.heavyhitters import (
+        heavy_hitters)
+    return heavy_hitters(_read(sf_dir, "documents", ["text"]), k=20)
+
+
 def _q_neardup_minhash(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
@@ -985,6 +1023,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         # the round-2 red row (schema-pinned join fix) next
         "tfidf_top_term": _q_tfidf_top_term,
+        # round-3 additions, never driver-checked — run early (VERDICT r2)
+        "orders_bloom_new": _q_orders_bloom_new,
+        "heavy_hitters": _q_heavy_hitters,
         # flagship extraction engine (SURVEY.md §2.2-2.4)
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_spans": _q_extract_spans,
@@ -1125,6 +1166,21 @@ SELECT doc_id, lang, n_tokens FROM (
                              ROWS BETWEEN UNBOUNDED PRECEDING
                              AND CURRENT ROW) AS cum
   FROM m) WHERE cum <= {_TOKEN_BUDGET}"""
+
+
+def _bloom_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.bloomdedup import (
+        bloom_new_keys_sql)
+    return bloom_new_keys_sql(
+        "r.o_orderkey % 2 = 0", "o.o_orderkey % 2 = 1",
+        table="orders", key_col="o_custkey",
+        out_cols="o.o_orderkey, o.o_custkey")
+
+
+def _heavy_hitters_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.heavyhitters import (
+        heavy_hitters_sql)
+    return heavy_hitters_sql(20)
 
 
 def _pack_sequences_sql_q() -> str:
@@ -1304,6 +1360,8 @@ WITH m AS (
 """ + direction_sql(table="m"),
         "fingerprint_md5": md5_sql(),
         "dedup_exact": exact_dedup_sql(),
+        "orders_bloom_new": _bloom_sql_q(),
+        "heavy_hitters": _heavy_hitters_sql_q(),
         "vocab_top100": _vocab_sql(100, 1),
         "sample_10pct": _sampling_sql("sample"),
         "train_val_test_split": _sampling_sql("split"),

@@ -239,7 +239,7 @@ def run_query_suite(sf_dir: str) -> dict:
              "lineitem_pricing", "tfidf_top_term",
              # corpus-assembly / cleanup additions (round 3)
              "pii_redact", "line_filter", "line_dedup", "pack_sequences",
-             "unigram_score",
+             "unigram_score", "orders_bloom_new", "heavy_hitters",
              # high-cardinality partition-vectorized operators (~147k keys)
              "lineitem_sessions", "lineitem_asof_lastship",
              "lineitem_price_quantiles"]

@@ -1239,3 +1239,107 @@ def test_unit_dedup_keep_first_global(ray_session):
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         import pandas.testing as pdt
         pdt.assert_frame_equal(out, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup
+
+
+def test_bloom_roundtrip_string_keys(ray_session):
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.bloomdedup import (
+        bloom_build, bloom_filter_new)
+
+    ref = ray.data.from_arrow(pa.table({
+        "url": [f"https://seen.example/{i}" for i in range(200)],
+    })).repartition(4)
+    bloom = bloom_build(ref, key_col="url", bits=1 << 18)
+    new = ray.data.from_arrow(pa.table({
+        "url": ([f"https://seen.example/{i}" for i in range(0, 200, 2)]
+                + [f"https://new.example/{i}" for i in range(50)]
+                + [None, None]),
+        "rank": list(range(152)),
+    })).repartition(3)
+    kept = bloom_filter_new(new, bloom, key_col="url").to_pandas()
+    # no false negatives: every seen url dropped
+    assert not kept["url"].str.startswith("https://seen.").any()
+    # null keys pass through; new urls survive (FP odds ~1e-20 at this m)
+    assert kept["url"].isna().sum() == 2
+    assert (kept["url"].dropna().str.startswith("https://new.")).all()
+    assert len(kept) == 52
+
+
+def test_bloom_integer_keys_deterministic(ray_session):
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.bloomdedup import (
+        bloom_build, bloom_filter_new)
+
+    ref = ray.data.from_arrow(pa.table({"k": list(range(0, 3000, 3))}))
+    b1 = bloom_build(ref, key_col="k", bits=1 << 18)
+    b2 = bloom_build(ref.repartition(7), key_col="k", bits=1 << 18)
+    # bitmap is a pure function of the key set, not the partitioning
+    assert np.array_equal(b1, b2)
+    new = ray.data.from_arrow(pa.table({"k": list(range(3000))}))
+    kept = bloom_filter_new(new, b1, key_col="k").to_pandas()
+    assert set(kept["k"]) == set(range(3000)) - set(range(0, 3000, 3))
+
+
+def test_bloom_rejects_bad_bits():
+    from org_dharts_dia_tesseract_ray.functions.bloomdedup import bloom_build
+    with pytest.raises(ValueError):
+        bloom_build(None, key_col="k", bits=3 << 20)   # not a power of two
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+
+
+def test_mg_compress_bound():
+    from org_dharts_dia_tesseract_ray.functions.heavyhitters import (
+        mg_compress)
+    counts = pa.table({
+        "token": [f"t{i}" for i in range(10)],
+        "partial": [100, 90, 80, 5, 4, 3, 3, 2, 2, 1],
+    })
+    out, t = mg_compress(counts, capacity=3)
+    assert t == 5                       # (capacity+1)-th largest
+    assert out.num_rows <= 3
+    got = dict(zip(out["token"].to_pylist(), out["partial"].to_pylist()))
+    assert got == {"t0": 95, "t1": 85, "t2": 75}
+    # under capacity: untouched
+    out2, t2 = mg_compress(counts, capacity=50)
+    assert t2 == 0 and out2 is counts
+
+
+def test_heavy_hitters_capacity_path(ray_session):
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.heavyhitters import (
+        heavy_hitters)
+
+    # zipf-ish corpus: 'alpha' dominates, long tail forces decrements
+    docs = pa.table({"text": (["alpha " * 30] * 20
+                              + [f"tail{i} tail{i + 1} beta beta beta"
+                                 for i in range(40)])})
+    out = heavy_hitters(ray.data.from_arrow(docs).repartition(4),
+                        k=3, capacity=4).to_pandas()
+    assert out.iloc[0]["token"] == "alpha"
+    err = int(out["err_bound"].iloc[0])
+    assert err > 0                      # the capacity path actually fired
+    # MG guarantee: estimate <= true count <= estimate + err_bound
+    assert int(out.iloc[0]["n"]) <= 600
+    assert 600 <= int(out.iloc[0]["n"]) + err
+
+
+def test_heavy_hitters_exact_when_under_capacity(ray_session):
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.heavyhitters import (
+        heavy_hitters)
+
+    docs = pa.table({"text": ["a a a b b c", "b a", None, "  "]})
+    out = heavy_hitters(ray.data.from_arrow(docs).repartition(2),
+                        k=10).to_pandas()
+    assert out["err_bound"].eq(0).all()
+    got = dict(zip(out["token"], out["n"]))
+    # the whitespace-only doc contributes one empty token — same convention
+    # as the vocab oracle (regexp_split_to_array of a trimmed empty string)
+    assert got == {"a": 4, "b": 3, "c": 1, "": 1}
