@@ -43,11 +43,21 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from typing import NamedTuple
+
 from ..util import _col_hash64, as_array, mix64
 
 #: bitmap slices assembled independently (power of two; each reducer sees
 #: only its slice's bit indices, the driver only finished slices)
 _NUM_SHARDS = 64
+
+
+class Bloom(NamedTuple):
+    """A built filter: the bitmap plus the probe count it was built with —
+    carrying ``k`` in the value makes a build/probe ``k`` mismatch (which
+    would silently void the no-false-negative guarantee) unrepresentable."""
+    bitmap: np.ndarray
+    k: int
 
 
 def _probe_positions(keys, bits: int, k: int) -> np.ndarray:
@@ -62,7 +72,7 @@ def _probe_positions(keys, bits: int, k: int) -> np.ndarray:
 
 
 def bloom_build(ref_ds, *, key_col: str, bits: int = 1 << 24,
-                k: int = 7) -> np.ndarray:
+                k: int = 7) -> "Bloom":
     """Compile the reference corpus' keys into one uint8 bitmap
     (``bits/8`` bytes) — see module docstring step 1."""
     if bits & (bits - 1) or bits < _NUM_SHARDS * 8:
@@ -93,25 +103,28 @@ def bloom_build(ref_ds, *, key_col: str, bits: int = 1 << 24,
               .groupby("shard").map_groups(build_slice,
                                            batch_format="pyarrow")
               .take_all())
-    bloom = np.zeros(bits // 8, dtype=np.uint8)
+    bitmap = np.zeros(bits // 8, dtype=np.uint8)
     for row in slices:        # empty shards simply stay zero
         s = int(row["shard"])
-        bloom[s * slice_bits // 8:(s + 1) * slice_bits // 8] = \
+        bitmap[s * slice_bits // 8:(s + 1) * slice_bits // 8] = \
             np.frombuffer(row["slice"], dtype=np.uint8)
-    return bloom
+    return Bloom(bitmap, k)
 
 
-def bloom_filter_new(ds, bloom: np.ndarray, *, key_col: str,
-                     bits: int | None = None, k: int = 7):
+def bloom_filter_new(ds, bloom: "Bloom", *, key_col: str):
     """Rows of ``ds`` whose key is NOT in the reference bitmap (plus all
     null-key rows) — see module docstring step 2."""
     import ray
 
-    bloom = np.ascontiguousarray(bloom, dtype=np.uint8)
-    m = bits if bits is not None else len(bloom) * 8
-    if m != len(bloom) * 8:
-        raise ValueError("bits does not match bitmap size")
-    ref = ray.put(bloom)
+    bitmap = np.ascontiguousarray(bloom.bitmap, dtype=np.uint8)
+    k = int(bloom.k)
+    m = len(bitmap) * 8
+    # _probe_positions masks with `pos & (m-1)` — a truncated/foreign
+    # bitmap with a non-power-of-two length would alias bit positions
+    # silently instead of failing
+    if m == 0 or m & (m - 1):
+        raise ValueError("bitmap length must be a power of two")
+    ref = ray.put(bitmap)
 
     def probe(b: pa.Table) -> pa.Table:
         bm = ray.get(ref)  # zero-copy local plasma read per task

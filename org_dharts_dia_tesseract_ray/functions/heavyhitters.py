@@ -76,9 +76,13 @@ def heavy_hitters(ds, k: int = 20, *, capacity: int = 4096,
         exact = token_counts_batch(b, text_col=text_col, ngram=ngram)
         out, t = mg_compress(exact, capacity)
         if t:
+            # match the batch's string width — token_counts_batch yields
+            # large_string on >2 GB-capable text columns
             out = pa.concat_tables(
-                [out, pa.table({"token": pa.array([_ERR_TOKEN]),
-                                "partial": pa.array([t], pa.int64())})])
+                [out,
+                 pa.table({"token": pa.array([_ERR_TOKEN],
+                                             out["token"].type),
+                           "partial": pa.array([t], pa.int64())})])
         return out
 
     totals = (ds.map_batches(summary, batch_format="pyarrow",
@@ -100,7 +104,7 @@ def heavy_hitters(ds, k: int = 20, *, capacity: int = 4096,
         return pa.table({
             "token": real["token"],
             "n": real["n"].cast(pa.int64()),
-            "err_bound": pa.array([err] * real.num_rows, pa.int64()),
+            "err_bound": pa.array(np.full(real.num_rows, err, np.int64)),
         })
 
     # the sentinel lands in one hash partition; its decrement total must

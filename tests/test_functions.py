@@ -1278,16 +1278,19 @@ def test_bloom_integer_keys_deterministic(ray_session):
     b1 = bloom_build(ref, key_col="k", bits=1 << 18)
     b2 = bloom_build(ref.repartition(7), key_col="k", bits=1 << 18)
     # bitmap is a pure function of the key set, not the partitioning
-    assert np.array_equal(b1, b2)
+    assert np.array_equal(b1.bitmap, b2.bitmap) and b1.k == b2.k
     new = ray.data.from_arrow(pa.table({"k": list(range(3000))}))
     kept = bloom_filter_new(new, b1, key_col="k").to_pandas()
     assert set(kept["k"]) == set(range(3000)) - set(range(0, 3000, 3))
 
 
 def test_bloom_rejects_bad_bits():
-    from org_dharts_dia_tesseract_ray.functions.bloomdedup import bloom_build
+    from org_dharts_dia_tesseract_ray.functions.bloomdedup import (
+        Bloom, bloom_build, bloom_filter_new)
     with pytest.raises(ValueError):
         bloom_build(None, key_col="k", bits=3 << 20)   # not a power of two
+    with pytest.raises(ValueError):                    # truncated bitmap
+        bloom_filter_new(None, Bloom(np.zeros(3, np.uint8), 7), key_col="k")
 
 
 # ---------------------------------------------------------------------------
