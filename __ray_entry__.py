@@ -340,6 +340,95 @@ def _q_line_filter(sf_dir: str):
                        zero_copy_batch=True))
 
 
+def _q_corpus_assembly(sf_dir: str):
+    """Flagship corpus-assembly composition — five operators in ONE
+    streaming pipeline with END-TO-END oracle parity: deterministic
+    line/PII corpus shaping → PII scrub (`functions/pii`) → C4 line
+    filter (`functions/linefilter`) → drop failing docs → exact
+    cleaned-text dedup keeping the min doc_id → whitespace token counts →
+    pack into `_SEQ_LEN`-token training sequences (`functions/packing`).
+    Only the dedup groupby and packing's range exchange shuffle; the
+    scrub/filter/count stages stream as stateless `map_batches`."""
+    from ray.data.aggregate import Min
+
+    from org_dharts_dia_tesseract_ray.functions.linefilter import (
+        apply_line_filter)
+    from org_dharts_dia_tesseract_ray.functions.packing import pack_sequences
+    from org_dharts_dia_tesseract_ray.functions.pii import apply_redact_pii
+    from org_dharts_dia_tesseract_ray.functions.text_stats import WS_PATTERN
+    from org_dharts_dia_tesseract_ray.util import _string_hash64, as_array
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        # the line_filter corpus shaping followed by the pii_redact
+        # appendages, in the exact order the oracle CTEs apply them
+        text = pc.replace_substring_regex(b["text"], " table ", ".\n")
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        ids = b["doc_id"].cast(pa.string())
+        text = pc.if_else(
+            pa.array(did % 4 == 0),
+            pc.binary_join_element_wise(
+                text,
+                ".\nenable javascript to continue.\nShort.\n"
+                "A proper closing sentence appears right here.", ""),
+            pc.binary_join_element_wise(text, " ends here.", ""))
+        text = pc.if_else(
+            pa.array(did % 7 == 0),
+            pc.binary_join_element_wise(
+                text, " contact user", ids, "@corpus-test.example now", ""),
+            text)
+        text = pc.if_else(
+            pa.array(did % 11 == 0),
+            pc.binary_join_element_wise(
+                text, " call +1 (555) 010-", ids, " today", ""),
+            text)
+        text = pc.if_else(
+            pa.array(did % 13 == 0),
+            pc.binary_join_element_wise(text, " host 10.0.0.", ids, "", ""),
+            text)
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    shaped = ds.map_batches(inject, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    scrubbed = apply_redact_pii(shaped)
+    filtered = apply_line_filter(scrubbed, text_col="redacted")
+
+    def kept_tokens(b: pa.Table) -> pa.Table:
+        t = b.filter(b["keep_doc"])        # nulls drop, like SQL WHERE
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text_kept"]), WS_PATTERN)
+        # int64 reinterpretation: Ray's hash aggregate rebuilds uint64 key
+        # columns via Python ints (>2^63 overflows C long → pickled-object
+        # fallback); the signed view is bijective so grouping is identical
+        digest = _string_hash64(as_array(t["text_kept"])).view(np.int64)
+        return pa.table({
+            "digest": pa.array(digest, pa.int64()),
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+        })
+
+    slim = filtered.map_batches(kept_tokens, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    winners = (slim.groupby("digest")
+               .aggregate(Min("doc_id", alias_name="doc_id"),
+                          Min("n_tokens", alias_name="n_tokens")))
+
+    pinned = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
+
+    def pin(b: pa.Table) -> pa.Table:
+        # groupby outputs lose their schema on empty hash partitions —
+        # pack_sequences' id pass would KeyError on them
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pinned.empty_table()
+        return b.select(["doc_id", "n_tokens"])
+
+    return pack_sequences(
+        winners.map_batches(pin, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        seq_len=_SEQ_LEN)
+
+
 def _q_line_dedup(sf_dir: str):
     """CCNet-style global line dedup over documents given deterministic
     line structure (same ' table ' → '.\\n' injection as line_filter; the
@@ -1026,6 +1115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions, never driver-checked — run early (VERDICT r2)
         "orders_bloom_new": _q_orders_bloom_new,
         "heavy_hitters": _q_heavy_hitters,
+        "corpus_assembly": _q_corpus_assembly,
         # flagship extraction engine (SURVEY.md §2.2-2.4)
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_spans": _q_extract_spans,
@@ -1181,6 +1271,57 @@ def _heavy_hitters_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.heavyhitters import (
         heavy_hitters_sql)
     return heavy_hitters_sql(20)
+
+
+def _corpus_assembly_sql_q() -> str:
+    """The five-stage composition as one CTE chain: shaping → PII scrub →
+    line filter → keep+dedup (min doc_id per distinct cleaned text) →
+    token counts → sequence packing.  Every stage reuses the same
+    module-level SQL the standalone oracles use."""
+    from org_dharts_dia_tesseract_ray.functions.linefilter import (
+        line_filter_sql)
+    from org_dharts_dia_tesseract_ray.functions.packing import (
+        pack_sequences_sql)
+    from org_dharts_dia_tesseract_ray.functions.pii import pii_sql
+    from org_dharts_dia_tesseract_ray.functions.text_stats import WS_PATTERN
+
+    tail = ("'.' || chr(10) || 'enable javascript to continue.' || chr(10)"
+            " || 'Short.' || chr(10)"
+            " || 'A proper closing sentence appears right here.'")
+    scrub = pii_sql(table="m1").lstrip()
+    lf = line_filter_sql(table="scrub", text_col="redacted").lstrip()
+    nt = f"len(regexp_split_to_array(trim(text_kept), '{WS_PATTERN}'))"
+    pack = pack_sequences_sql(_SEQ_LEN, table="dd").lstrip()
+    return f"""
+WITH m0 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN t1 || {tail}
+         ELSE t1 || ' ends here.' END AS text
+  FROM (SELECT doc_id,
+               regexp_replace(text, ' table ', '.' || chr(10), 'g') AS t1
+        FROM documents)),
+m1 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN t2 || ' host 10.0.0.' || doc_id
+         ELSE t2 END AS text
+  FROM (
+    SELECT doc_id,
+      CASE WHEN doc_id % 11 = 0
+           THEN t1 || ' call +1 (555) 010-' || doc_id || ' today'
+           ELSE t1 END AS t2
+    FROM (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0
+             THEN text || ' contact user' || doc_id
+                       || '@corpus-test.example now'
+             ELSE text END AS t1
+      FROM m0))),
+scrub AS ({scrub}),
+lf AS ({lf}),
+dd AS (
+  SELECT min(doc_id) AS doc_id, CAST({nt} AS BIGINT) AS n_tokens
+  FROM lf WHERE keep_doc GROUP BY text_kept)
+{pack}"""
 
 
 def _pack_sequences_sql_q() -> str:
@@ -1362,6 +1503,7 @@ WITH m AS (
         "dedup_exact": exact_dedup_sql(),
         "orders_bloom_new": _bloom_sql_q(),
         "heavy_hitters": _heavy_hitters_sql_q(),
+        "corpus_assembly": _corpus_assembly_sql_q(),
         "vocab_top100": _vocab_sql(100, 1),
         "sample_10pct": _sampling_sql("sample"),
         "train_val_test_split": _sampling_sql("split"),

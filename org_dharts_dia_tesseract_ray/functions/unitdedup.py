@@ -87,8 +87,12 @@ def unit_dedup(ds, *, sep: str = "\n", text_col: str = "text",
             raise ValueError(f"document exceeds {_MAX_UNITS} units")
         pos = ragged_arange(lens)
         ids = np.asarray(b[id_col], dtype=np.int64)[parents]
+        # int64 view of the uint64 hash: Ray's hash aggregate rebuilds
+        # uint64 KEY columns via Python ints (>2^63 overflows C long →
+        # pickled-object fallback on every shuffle block); the signed
+        # reinterpretation is bijective so grouping is unchanged
         return pa.table({
-            "h": pa.array(_string_hash64(flat), pa.uint64()),
+            "h": pa.array(_string_hash64(flat).view(np.int64), pa.int64()),
             "packed": pa.array(ids * _MAX_UNITS + pos, pa.int64()),
         })
 
