@@ -1346,3 +1346,63 @@ def test_heavy_hitters_exact_when_under_capacity(ray_session):
     # the whitespace-only doc contributes one empty token — same convention
     # as the vocab oracle (regexp_split_to_array of a trimmed empty string)
     assert got == {"a": 4, "b": 3, "c": 1, "": 1}
+
+
+def test_bloom_probe_positions_properties():
+    """Hypothesis sweep: probe positions are deterministic, in-range, and
+    the double-hash stride actually varies per key."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from org_dharts_dia_tesseract_ray.functions.bloomdedup import (
+        _probe_positions)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.one_of(st.text(max_size=30),
+                              st.integers(0, 2**40)),
+                    min_size=1, max_size=40),
+           st.sampled_from([1 << 12, 1 << 16, 1 << 20]),
+           st.integers(1, 12))
+    def inner(keys, bits, k):
+        col = pa.array([str(x) for x in keys], pa.string())
+        p1 = _probe_positions(col, bits, k)
+        p2 = _probe_positions(col, bits, k)
+        assert np.array_equal(p1, p2)               # deterministic
+        assert p1.shape == (len(keys), k)
+        assert (p1 >= 0).all() and (p1 < bits).all()
+        # distinct keys rarely share their FULL probe set
+        uniq = {tuple(r) for r in p1}
+        assert len(uniq) >= len(set(str(x) for x in keys)) * 0.9
+
+    inner()
+
+
+def test_mg_compress_properties():
+    """Hypothesis sweep of the MG invariants: size cap, underestimate
+    bounded by the decrement, dropped mass bounded by t per token."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from org_dharts_dia_tesseract_ray.functions.heavyhitters import (
+        mg_compress)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(1, 10_000), min_size=1, max_size=200),
+           st.integers(1, 50))
+    def inner(counts, capacity):
+        t_in = pa.table({
+            "token": [f"w{i}" for i in range(len(counts))],
+            "partial": counts,
+        })
+        out, t = mg_compress(t_in, capacity)
+        assert out.num_rows <= capacity
+        got = dict(zip(out["token"].to_pylist(),
+                       out["partial"].to_pylist()))
+        for i, c in enumerate(counts):
+            est = got.get(f"w{i}", 0)
+            assert est <= c                  # never overestimates
+            assert c - est <= t              # underestimate bounded by t
+            if est:
+                assert est == c - t          # survivors: exactly c - t
+
+    inner()
