@@ -525,6 +525,45 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """Container-format ingest: documents shaped as pages, serialized to
+    WARC shards with the real writer (spec Content-Length framing), read
+    back through `sources/warc.read_warc` — the Common-Crawl ingest
+    surface proven by a write→read identity over the driver oracle."""
+    import datetime as dt
+    import os
+
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.sources.warc import (read_warc,
+                                                           write_warc)
+
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang"]).to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    pages = pa.table({
+        "url": pa.array(["doc://" + str(i) for i in docs["doc_id"]],
+                        pa.string()),
+        "warc_ts": pa.array([epoch] * len(docs),
+                            pa.timestamp("us", tz="UTC")),
+        "html": pa.array([(t or "").encode() for t in docs["text"]],
+                         pa.binary()),
+        "text": pa.array(docs["text"], pa.string()),
+        "lang": pa.array(docs["lang"], pa.string()),
+    })
+    out_dir = os.path.join("/tmp/graft_warc_roundtrip",
+                           os.path.basename(os.path.normpath(sf_dir)))
+    paths = write_warc(pages, out_dir, shards=8)
+    ds = read_warc(paths)
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(["url", "text", "lang"])
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 _BLOOM_BITS = 1 << 24
 
 
@@ -1116,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bloom_new": _q_orders_bloom_new,
         "heavy_hitters": _q_heavy_hitters,
         "corpus_assembly": _q_corpus_assembly,
+        "warc_roundtrip": _q_warc_roundtrip,
         # flagship extraction engine (SURVEY.md §2.2-2.4)
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_spans": _q_extract_spans,
@@ -1504,6 +1544,8 @@ WITH m AS (
         "orders_bloom_new": _bloom_sql_q(),
         "heavy_hitters": _heavy_hitters_sql_q(),
         "corpus_assembly": _corpus_assembly_sql_q(),
+        "warc_roundtrip":
+            "SELECT 'doc://' || doc_id AS url, text, lang FROM documents",
         "vocab_top100": _vocab_sql(100, 1),
         "sample_10pct": _sampling_sql("sample"),
         "train_val_test_split": _sampling_sql("split"),

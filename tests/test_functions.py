@@ -1406,3 +1406,68 @@ def test_mg_compress_properties():
                 assert est == c - t          # survivors: exactly c - t
 
     inner()
+
+
+# ---------------------------------------------------------------------------
+# WARC container source
+
+
+def _warc_pages_table():
+    import datetime as dt
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    return pa.table({
+        "url": ["https://a.example/1", "https://b.example/2",
+                "https://c.example/3", "https://d.example/4"],
+        "warc_ts": pa.array([ts, ts.replace(microsecond=250_000), ts, ts],
+                            pa.timestamp("us", tz="UTC")),
+        # record 2's payload embeds the WARC magic + CRLFCRLF — framing
+        # must come from Content-Length, not delimiter scanning
+        "html": [b"<p>hi</p>", b"x\r\n\r\nWARC/1.0\r\nfake: y\r\n\r\nz",
+                 b"", None],
+        "text": ["hi", None, "", "t"],
+        "lang": ["en", "de", None, "fr"],
+    })
+
+
+def test_warc_roundtrip(ray_session, tmp_path):
+    from org_dharts_dia_tesseract_ray.sources.warc import (read_warc,
+                                                           write_warc)
+    pages = _warc_pages_table()
+    paths = write_warc(pages, str(tmp_path), shards=2)
+    assert len(paths) == 2
+    got = (read_warc(paths).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    want = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    # null html serializes as the empty payload — the one lossy cell
+    want.loc[want["html"].isna(), "html"] = b""
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(got, want)
+
+
+def test_warc_malformed_record_degrades(ray_session, tmp_path):
+    from org_dharts_dia_tesseract_ray.sources.warc import (read_warc,
+                                                           write_warc)
+    pages = _warc_pages_table()
+    [path] = write_warc(pages, str(tmp_path), shards=1)
+    raw = open(path, "rb").read()
+    with open(path, "wb") as f:
+        f.write(raw[:len(raw) - 30])      # truncate the final record
+    ok = read_warc([path]).to_pandas()
+    assert len(ok) == 3                   # intact records survive
+    witherr = read_warc([path], include_errors=True).to_pandas()
+    assert len(witherr) == 4
+    assert witherr["error"].notna().sum() == 1
+
+
+def test_warc_feeds_extraction(ray_session, tmp_path):
+    from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
+        extract_pages)
+    from org_dharts_dia_tesseract_ray.sources.gen_corpus import (
+        gen_rows, rows_to_table)
+    from org_dharts_dia_tesseract_ray.sources.warc import (read_warc,
+                                                           write_warc)
+    pages = rows_to_table(list(gen_rows(40, seed=7)))
+    paths = write_warc(pages, str(tmp_path), shards=3)
+    out = extract_pages(read_warc(paths)).to_pandas()
+    assert len(out) == 40
+    assert out["extracted_text"].notna().any()
