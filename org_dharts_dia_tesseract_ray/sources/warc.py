@@ -83,20 +83,25 @@ def record_bytes(url: str, ts_us: int, html: bytes,
 
 
 def write_warc(table: pa.Table, out_dir: str, *, shards: int = 4,
-               prefix: str = "crawl") -> list[str]:
+               prefix: str = "crawl", gzip_records: bool = False) -> list:
     """Serialize a pages table into ``shards`` WARC files; returns paths.
-    Deterministic: row order and bytes are a pure function of the input."""
+    Deterministic: row order and bytes are a pure function of the input.
+    ``gzip_records=True`` writes the Common-Crawl layout — one gzip
+    MEMBER per record, concatenated (``.warc.gz``), so range requests
+    can decompress single records."""
+    import gzip
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     n = table.num_rows
     per = (n + shards - 1) // shards
+    ext = "warc.gz" if gzip_records else "warc"
     paths = []
     for s in range(shards):
         chunk = table.slice(s * per, per)
         if chunk.num_rows == 0:
             break
-        path = os.path.join(out_dir, f"{prefix}-{s:05d}.warc")
+        path = os.path.join(out_dir, f"{prefix}-{s:05d}.{ext}")
         with open(path, "wb") as f:
             for i in range(chunk.num_rows):
                 url = chunk["url"][i].as_py()
@@ -104,7 +109,10 @@ def write_warc(table: pa.Table, out_dir: str, *, shards: int = 4,
                 html = chunk["html"][i].as_py() or b""
                 text = chunk["text"][i].as_py()
                 lang = chunk["lang"][i].as_py()
-                f.write(record_bytes(url, ts, html, text, lang))
+                rec = record_bytes(url, ts, html, text, lang)
+                if gzip_records:
+                    rec = gzip.compress(rec, mtime=0)  # byte-stable
+                f.write(rec)
         paths.append(path)
     return paths
 
@@ -170,9 +178,15 @@ def read_warc(paths, *, include_errors: bool = False):
     import ray.data
 
     def parse(b: pa.Table) -> pa.Table:
+        import gzip
+
         cols = {"url": [], "warc_ts": [], "html": [], "text": [],
                 "lang": [], "error": []}
         for blob in b["bytes"].to_pylist():
+            if blob[:2] == b"\x1f\x8b":
+                # gzip.decompress walks ALL concatenated members — the
+                # Common-Crawl member-per-record .warc.gz layout
+                blob = gzip.decompress(blob)
             one = parse_warc_bytes(blob)
             for k, v in one.items():
                 cols[k].extend(v)

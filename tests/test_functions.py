@@ -1471,3 +1471,17 @@ def test_warc_feeds_extraction(ray_session, tmp_path):
     out = extract_pages(read_warc(paths)).to_pandas()
     assert len(out) == 40
     assert out["extracted_text"].notna().any()
+
+
+def test_warc_gzip_member_per_record(ray_session, tmp_path):
+    from org_dharts_dia_tesseract_ray.sources.warc import (read_warc,
+                                                           write_warc)
+    pages = _warc_pages_table()
+    paths = write_warc(pages, str(tmp_path), shards=2, gzip_records=True)
+    assert all(p.endswith(".warc.gz") for p in paths)
+    got = (read_warc(paths).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    want = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    want.loc[want["html"].isna(), "html"] = b""
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(got, want)
