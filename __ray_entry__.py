@@ -423,9 +423,12 @@ def _q_corpus_assembly(sf_dir: str):
             return pinned.empty_table()
         return b.select(["doc_id", "n_tokens"])
 
+    # materialize the slim (doc_id, n_tokens) winners: pack_sequences
+    # makes three passes over its input, which would otherwise re-execute
+    # the whole scrub/filter/dedup pipeline (and its shuffle) three times
     return pack_sequences(
         winners.map_batches(pin, batch_format="pyarrow",
-                            zero_copy_batch=True),
+                            zero_copy_batch=True).materialize(),
         seq_len=_SEQ_LEN)
 
 
@@ -552,8 +555,11 @@ def _q_warc_roundtrip(sf_dir: str):
         "text": pa.array(docs["text"], pa.string()),
         "lang": pa.array(docs["lang"], pa.string()),
     })
-    out_dir = os.path.join("/tmp/graft_warc_roundtrip",
-                           os.path.basename(os.path.normpath(sf_dir)))
+    # unique scratch dir per call: a fixed path would race when two
+    # harness processes run the same sf_dir concurrently (reader of one
+    # vs rewriter of the other on the same shard files)
+    import tempfile
+    out_dir = tempfile.mkdtemp(prefix="graft_warc_roundtrip_")
     paths = write_warc(pages, out_dir, shards=8)
     ds = read_warc(paths)
 
@@ -837,9 +843,11 @@ def _q_pack_sequences(sf_dir: str):
                          "n_tokens": pc.list_value_length(toks).cast(
                              pa.int64())})
 
+    # slim (doc_id, n_tokens) materialized once — pack_sequences' three
+    # passes would re-tokenize the corpus per pass otherwise
     return pack_sequences(
         ds.map_batches(with_tokens, batch_format="pyarrow",
-                       zero_copy_batch=True),
+                       zero_copy_batch=True).materialize(),
         seq_len=_SEQ_LEN)
 
 

@@ -49,16 +49,27 @@ def _ts_to_warc(us_since_epoch: int) -> bytes:
     return dt.strftime(_TS_FMT).encode()
 
 
+_EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
 def _warc_to_ts(raw: bytes):
     s = raw.decode("ascii", "replace")
     for fmt in (_TS_FMT, _TS_FMT_US):
         try:
             dt = _dt.datetime.strptime(s, fmt).replace(
                 tzinfo=_dt.timezone.utc)
-            return int(dt.timestamp() * 1_000_000)
+            # integer arithmetic: float .timestamp()*1e6 truncates 1 µs on
+            # a large fraction of values (e.g. …54.935922 → …54.935921)
+            return (dt - _EPOCH) // _dt.timedelta(microseconds=1)
         except ValueError:
             continue
     return None
+
+
+def _header_value(s: str) -> bytes:
+    """CR/LF percent-encoded — a crawl-derived url containing CRLF must
+    not be able to forge header lines or terminate the header block."""
+    return s.replace("\r", "%0D").replace("\n", "%0A").encode()
 
 
 def record_bytes(url: str, ts_us: int, html: bytes,
@@ -66,10 +77,11 @@ def record_bytes(url: str, ts_us: int, html: bytes,
     """One WARC `response` record (header block + payload + 2×CRLF)."""
     headers = [b"WARC/1.0",
                b"WARC-Type: response",
-               b"WARC-Target-URI: " + url.encode(),
+               b"WARC-Target-URI: " + _header_value(url),
                b"WARC-Date: " + _ts_to_warc(ts_us)]
     if lang is not None:
-        headers.append(b"WARC-Identified-Content-Language: " + lang.encode())
+        headers.append(b"WARC-Identified-Content-Language: "
+                       + _header_value(lang))
     tail = text.encode() if text is not None else b""
     # Content-Length covers the WHOLE payload (spec framing — a foreign
     # WARC reader walks this file correctly); the non-standard sidecar
@@ -105,11 +117,15 @@ def write_warc(table: pa.Table, out_dir: str, *, shards: int = 4,
         with open(path, "wb") as f:
             for i in range(chunk.num_rows):
                 url = chunk["url"][i].as_py()
+                if url is None:
+                    continue   # unaddressable row — degrade, don't throw
                 ts = chunk["warc_ts"][i].value   # µs since epoch
                 html = chunk["html"][i].as_py() or b""
                 text = chunk["text"][i].as_py()
                 lang = chunk["lang"][i].as_py()
-                rec = record_bytes(url, ts, html, text, lang)
+                # null timestamp serializes as the epoch (WARC-Date is
+                # mandatory); null url/ts round-trips are lossy by design
+                rec = record_bytes(url, ts or 0, html, text, lang)
                 if gzip_records:
                     rec = gzip.compress(rec, mtime=0)  # byte-stable
                 f.write(rec)
@@ -119,8 +135,18 @@ def write_warc(table: pa.Table, out_dir: str, *, shards: int = 4,
 
 def parse_warc_bytes(blob: bytes) -> dict:
     """Parse one shard's bytes into pages-schema column lists (plus an
-    ``error`` column).  Content-Length framing; a malformed record emits
-    one error row covering the shard remainder and stops the walk."""
+    ``error`` column).  Content-Length framing throughout:
+
+    * non-`response` / URI-less records (a real crawl starts with
+      `warcinfo` and interleaves `request`/`metadata`) are SKIPPED by
+      their declared length — they cost one header scan, emit nothing;
+    * only a record whose FRAMING is unknown (no parseable
+      Content-Length, missing header terminator, or truncated payload)
+      emits one error row covering the shard remainder and stops the
+      walk — there is no way to resynchronize safely past it.
+
+    Header names match case-insensitively with optional space after the
+    colon (the spec allows both)."""
     urls, tss, htmls, texts, langs, errs = [], [], [], [], [], []
     view = memoryview(blob)
     pos = 0
@@ -132,25 +158,29 @@ def parse_warc_bytes(blob: bytes) -> dict:
         if pos >= total:
             break
         head_end = blob.find(_CRLF + _CRLF, pos)
-        ok = head_end != -1 and blob[pos:pos + 5] == b"WARC/"
+        framed = head_end != -1 and blob[pos:pos + 5] == b"WARC/"
         url = ts = lang = None
         clen = text_len = None
-        if ok:
+        rtype = b"response"
+        if framed:
             for line in bytes(view[pos:head_end]).split(_CRLF)[1:]:
-                k, _, v = line.partition(b": ")
-                if k == b"WARC-Target-URI":
+                k, _, v = line.partition(b":")
+                k = k.strip().lower()
+                v = v.strip()
+                if k == b"warc-target-uri":
                     url = v.decode("utf-8", "replace")
-                elif k == b"WARC-Date":
+                elif k == b"warc-date":
                     ts = _warc_to_ts(v)
-                elif k == b"Content-Length":
+                elif k == b"content-length":
                     clen = int(v) if v.isdigit() else None
-                elif k == b"WARC-Identified-Content-Language":
+                elif k == b"warc-type":
+                    rtype = v.lower()
+                elif k == b"warc-identified-content-language":
                     lang = v.decode("ascii", "replace")
-                elif k == b"X-Graft-Text-Length":
+                elif k == b"x-graft-text-length":
                     text_len = int(v) if v.isdigit() else None
-            ok = (url is not None and clen is not None
-                  and (text_len or 0) <= clen)
-        if not ok or head_end + 4 + clen > total:
+        if (not framed or clen is None
+                or head_end + 4 + clen > total):
             urls.append(url)
             tss.append(ts)
             htmls.append(None)
@@ -158,6 +188,9 @@ def parse_warc_bytes(blob: bytes) -> dict:
             langs.append(lang)
             errs.append(f"malformed WARC record at byte {pos}")
             break
+        if rtype != b"response" or url is None or (text_len or 0) > clen:
+            pos = head_end + 4 + clen      # framing known: skip record
+            continue
         body = head_end + 4
         html_len = clen - (text_len or 0)
         urls.append(url)

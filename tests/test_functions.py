@@ -1485,3 +1485,43 @@ def test_warc_gzip_member_per_record(ray_session, tmp_path):
     want.loc[want["html"].isna(), "html"] = b""
     import pandas.testing as pdt
     pdt.assert_frame_equal(got, want)
+
+
+def test_warc_microsecond_exact_and_real_crawl_shape(ray_session, tmp_path):
+    """µs values that float-truncate (935922), a leading warcinfo record,
+    interleaved request records, CRLF-bearing urls, null url/ts rows."""
+    import datetime as dt
+
+    from org_dharts_dia_tesseract_ray.sources.warc import (read_warc,
+                                                           write_warc)
+    ts = dt.datetime(2004, 7, 20, 19, 48, 54, 935922,
+                     tzinfo=dt.timezone.utc)
+    pages = pa.table({
+        "url": ["https://x.example/ok", "https://evil.example/a\r\nX: y",
+                None, "https://y.example/nullts"],
+        "warc_ts": pa.array([ts, ts, ts, None],
+                            pa.timestamp("us", tz="UTC")),
+        "html": [b"<p>a</p>", b"<p>b</p>", b"<p>skip</p>", b"<p>c</p>"],
+        "text": ["a", "b", "c", "d"],
+        "lang": ["en", "en", "en", "en"],
+    })
+    [path] = write_warc(pages, str(tmp_path), shards=1)
+    # splice real-crawl noise in front: warcinfo + request records
+    noise = (b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n"
+             b"\r\nnois\r\n\r\n"
+             b"WARC/1.0\r\nWARC-Type: request\r\n"
+             b"WARC-Target-URI: https://x.example/ok\r\n"
+             b"Content-Length: 2\r\n\r\nGE\r\n\r\n")
+    raw = open(path, "rb").read()
+    open(path, "wb").write(noise + raw)
+    got = (read_warc([path]).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    assert len(got) == 3                       # null-url row skipped
+    row = got[got["url"] == "https://x.example/ok"].iloc[0]
+    assert row["warc_ts"].microsecond == 935922   # integer-exact
+    # CRLF in url percent-encoded, framing intact
+    assert "https://evil.example/a%0DX: y" in set(got["url"]) or \
+        "https://evil.example/a%0D%0AX: y" in set(got["url"])
+    import pandas as pd
+    nullts = got[got["url"] == "https://y.example/nullts"].iloc[0]
+    assert nullts["warc_ts"] == pd.Timestamp("1970-01-01", tz="UTC")
