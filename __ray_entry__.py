@@ -891,12 +891,15 @@ def _q_length_quantiles_sketch(sf_dir: str):
     (functions/qsketch) — shuffle bounded by capacity, not group size;
     exact (bit-identical to the grouped_quantiles oracle) because no run
     exceeds the capacity at oracle scale; the compression path is
-    bound-tested in tests."""
+    bound-tested in tests.  capacity is sized so the query stays in the
+    exact regime at EVERY sf the harness can run (largest lang group at
+    sf1 ~ 20k docs < 65536) — the exact-SQL oracle would false-fail the
+    moment compression fires."""
     from org_dharts_dia_tesseract_ray.functions.qsketch import (
         grouped_quantiles_sketch)
     return grouped_quantiles_sketch(
         _read(sf_dir, "documents", ["lang", "n_chars"]),
-        key="lang", value_col="n_chars")
+        key="lang", value_col="n_chars", capacity=65536)
 
 
 def _q_lineitem_price_quantiles(sf_dir: str):

@@ -13,10 +13,13 @@ each batch's emission per key at ``capacity`` weighted points:
    zero error; otherwise ``capacity`` evenly-spaced weight buckets,
    each represented by its middle order statistic.  Rank error per
    compression <= run/(2*capacity).
-2. summaries merge by concatenation + weighted re-thinning (classic
-   GK-lite / "mergeable summaries" shape) inside a
-   ``groupby(key).map_groups`` — shuffle <= batches x keys x capacity
-   points, never the raw values.
+2. summaries merge by concatenation inside the engine's hash-partition
+   pattern (``__part = hash(key) % P`` → one groupby shuffle → one
+   vectorized walk per partition; null keys form their own run, SQL
+   GROUP BY semantics) — shuffle <= batches x keys x capacity points,
+   never the raw values.  ``thin_summary`` re-thins only at
+   INTERMEDIATE tree levels that must ship their result onward; the
+   terminal merge computes quantiles on the full local point set.
 3. quantiles interpolate between weighted points with the exact
    ``np.percentile(method="linear")`` formula — when no compression
    fired anywhere (all weights 1), results are BIT-IDENTICAL to the
@@ -37,7 +40,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import key_change_mask, round_half_away
+from ..util import (default_num_partitions, key_change_mask,
+                    partition_ids, round_half_away)
 
 
 def thin_summary(vals: np.ndarray, weights: np.ndarray,
@@ -51,12 +55,11 @@ def thin_summary(vals: np.ndarray, weights: np.ndarray,
     bounds = (np.arange(capacity + 1, dtype=np.int64) * total) // capacity
     # representative of bucket j = the point covering the bucket's weight
     # midpoint; searchsorted over the cumulative weights finds it without
-    # expanding items
+    # expanding items.  total > capacity here (weights >= 1), so every
+    # bucket has weight >= 1.
     mids = (bounds[:-1] + bounds[1:] - 1) // 2
     idx = np.searchsorted(cum, mids, side="right")
-    w = np.diff(bounds)
-    keep = w > 0                       # tiny totals can yield empty buckets
-    return vals[idx[keep]], w[keep]
+    return vals[idx], np.diff(bounds)
 
 
 def summarize_run(vals: np.ndarray, capacity: int):
@@ -77,6 +80,10 @@ def quantile_from_summary(vals: np.ndarray, weights: np.ndarray,
     lo = vals[np.searchsorted(cum, int(np.floor(r)), side="right")]
     hi = vals[np.searchsorted(cum, int(np.ceil(r)), side="right")]
     frac = r - np.floor(r)
+    # numpy's _lerp switches formula at frac >= 0.5 for monotonicity —
+    # mirror it exactly or ~0.7% of float cases differ by 1 ulp
+    if frac >= 0.5:
+        return float(hi - (hi - lo) * (1 - frac))
     return float(lo + (hi - lo) * frac)
 
 
@@ -86,7 +93,8 @@ def _pack(a: np.ndarray) -> bytes:
 
 def grouped_quantiles_sketch(ds, *, key: str, value_col: str,
                              quantiles=(0.5, 0.9, 0.99),
-                             capacity: int = 4096):
+                             capacity: int = 4096,
+                             num_partitions: int | None = None):
     """(key, q50, q90, …) via mergeable summaries — see module docstring."""
     qcols = [f"q{int(q * 100)}" for q in quantiles]
 
@@ -115,20 +123,47 @@ def grouped_quantiles_sketch(ds, *, key: str, value_col: str,
             "weights": pa.array(ws, pa.binary()),
         })
 
-    def merge(g: pa.Table) -> pa.Table:
-        vals = np.concatenate([np.frombuffer(x, dtype="<f8")
-                               for x in g["vals"].to_pylist()])
-        weights = np.concatenate([np.frombuffer(x, dtype="<i8")
-                                  for x in g["weights"].to_pylist()])
-        order = np.argsort(vals, kind="stable")
-        v, w = thin_summary(vals[order], weights[order], capacity)
-        cols = {key: g[key].slice(0, 1)}
-        for q, name in zip(quantiles, qcols):
-            cols[name] = pa.array(
-                [round_half_away(quantile_from_summary(v, w, q), 4)],
-                pa.float64())
+    P = num_partitions or default_num_partitions()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column("__part", partition_ids(b[key], P))
+
+    def merge_partition(g: pa.Table) -> pa.Table:
+        # hash-partitioned like stats.grouped_quantiles — Ray's key
+        # groupby sort-shuffles and crashes on null keys; key_change_mask
+        # gives nulls their own run (SQL GROUP BY semantics)
+        t = g.sort_by([(key, "ascending")])
+        n = t.num_rows
+        bounds = np.flatnonzero(key_change_mask(t[key], n))
+        ends = np.r_[bounds[1:], n]
+        vblobs = t["vals"].to_pylist()
+        wblobs = t["weights"].to_pylist()
+        out_q = [np.empty(len(bounds)) for _ in quantiles]
+        for i, (s, e) in enumerate(zip(bounds, ends)):
+            vals = np.concatenate([np.frombuffer(vblobs[j], dtype="<f8")
+                                   for j in range(s, e)])
+            weights = np.concatenate([np.frombuffer(wblobs[j], dtype="<i8")
+                                      for j in range(s, e)])
+            order = np.argsort(vals, kind="stable")
+            # terminal merge: no re-thinning — every point is already
+            # local, so quantiles over the full point set are strictly
+            # more accurate (thin_summary is for intermediate tree
+            # levels that must ship their result onward)
+            for k, q in enumerate(quantiles):
+                out_q[k][i] = round_half_away(
+                    quantile_from_summary(vals[order], weights[order], q),
+                    4)
+        keys = t[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        cols = {key: keys.take(pa.array(bounds, pa.int64()))}
+        for name, arr in zip(qcols, out_q):
+            cols[name] = pa.array(arr, pa.float64())
         return pa.table(cols)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    return partials.groupby(key).map_groups(merge, batch_format="pyarrow")
+    partials = (ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .map_batches(add_part, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    return partials.groupby("__part").map_groups(merge_partition,
+                                                 batch_format="pyarrow")

@@ -1547,23 +1547,25 @@ def test_qsketch_compressed_rank_error_bound():
     from org_dharts_dia_tesseract_ray.functions.qsketch import (
         quantile_from_summary, summarize_run, thin_summary)
     rng = np.random.default_rng(5)
-    vals = rng.lognormal(3, 1, size=20_000)
+    half1 = rng.lognormal(3, 1, size=20_000)
+    half2 = rng.lognormal(3, 1, size=20_000)
     cap = 256
-    v, w = summarize_run(vals, capacity=cap)
-    assert len(v) <= cap and w.sum() == len(vals)
-    # merge two compressed halves, then check quantile rank error
-    v2, w2 = summarize_run(rng.lognormal(3, 1, size=20_000), capacity=cap)
+    v, w = summarize_run(half1, capacity=cap)
+    assert len(v) <= cap and w.sum() == len(half1)
+    # merge two compressed halves (weighted re-thin — the intermediate
+    # tree-level path where input weights are NOT all 1), then check the
+    # MERGED summary's quantile rank error against the exact pool
+    v2, w2 = summarize_run(half2, capacity=cap)
     allv = np.concatenate([v, v2]); allw = np.concatenate([w, w2])
     order = np.argsort(allv, kind="stable")
     mv, mw = thin_summary(allv[order], allw[order], cap)
-    exact_pool = np.sort(np.concatenate([vals,
-        np.array([], dtype=float)]))  # rank error vs first half suffices
-    for q in (0.1, 0.5, 0.9):
-        est = quantile_from_summary(v, w, q)
-        # rank of the estimate in the exact data within n/cap of target
-        rank = np.searchsorted(np.sort(vals), est) / len(vals)
-        assert abs(rank - q) <= 2.0 / cap * 2 + 0.01
     assert mw.sum() == 40_000 and len(mv) <= cap
+    exact_pool = np.sort(np.concatenate([half1, half2]))
+    for q in (0.1, 0.5, 0.9):
+        est = quantile_from_summary(mv, mw, q)
+        rank = np.searchsorted(exact_pool, est) / len(exact_pool)
+        # two compressions (batch + merge), each <= n/(2*cap) rank error
+        assert abs(rank - q) <= 2.0 / cap + 0.01
 
 
 def test_qsketch_grouped_matches_exact_operator(ray_session):
@@ -1583,3 +1585,24 @@ def test_qsketch_grouped_matches_exact_operator(ray_session):
          .to_pandas().sort_values("lang").reset_index(drop=True))
     import pandas.testing as pdt
     pdt.assert_frame_equal(a, b)                   # bit-identical when exact
+
+
+def test_qsketch_null_keys_form_their_own_group(ray_session):
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.qsketch import (
+        grouped_quantiles_sketch)
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        grouped_quantiles)
+    t = pa.table({"lang": ["a", None, "a", None, "b", "a"],
+                  "n": [1.0, 10.0, 3.0, 30.0, 5.0, 2.0]})
+    a = (grouped_quantiles_sketch(ray.data.from_arrow(t).repartition(3),
+                                  key="lang", value_col="n")
+         .to_pandas().sort_values("lang", na_position="last")
+         .reset_index(drop=True))
+    b = (grouped_quantiles(ray.data.from_arrow(t).repartition(3),
+                           key="lang", value_col="n")
+         .to_pandas().sort_values("lang", na_position="last")
+         .reset_index(drop=True))
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(a, b)          # incl. the None-key row
