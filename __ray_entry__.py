@@ -570,6 +570,52 @@ def _q_warc_roundtrip(sf_dir: str):
                           zero_copy_batch=True)
 
 
+_PR_ITERS = 10
+
+
+def _q_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank (functions/graph) over a
+    deterministic synthetic link graph on the documents' id domain
+    (three modular-arithmetic edge rules; two are bijections, so every
+    node has in-links).  Integer micro-unit arithmetic makes the result
+    bit-identical across parallelism AND exactly SQL-expressible — the
+    oracle is the mechanically generated 10-level CTE chain.  Physical
+    plan: the broadcast-ranks variant (host-level node counts fit a
+    ray.put vector; pagerank_int is the partitioned page-level path and
+    is asserted bit-equal in tests)."""
+    from org_dharts_dia_tesseract_ray.functions.graph import (
+        pagerank_broadcast)
+
+    nodes = _read(sf_dir, "documents", ["doc_id"])
+    n = nodes.count()
+
+    def mk_edges(b: pa.Table) -> pa.Table:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        fifth = i[i % 5 == 0]
+        src = np.concatenate([i, i, fifth])
+        dst = np.concatenate([(i * 7 + 3) % n, (i * 13 + 5) % n,
+                              (fifth * 3 + 1) % n])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = nodes.map_batches(mk_edges, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return pagerank_broadcast(nodes, edges, iterations=_PR_ITERS,
+                              node_col="doc_id")
+
+
+def _pagerank_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.graph import pagerank_sql
+    edges = """
+SELECT node AS src, (node * 7 + 3) % (SELECT c FROM nn) AS dst FROM nodes
+UNION ALL
+SELECT node, (node * 13 + 5) % (SELECT c FROM nn) FROM nodes
+UNION ALL
+SELECT node, (node * 3 + 1) % (SELECT c FROM nn) FROM nodes
+WHERE node % 5 = 0"""
+    return pagerank_sql(edges, iterations=_PR_ITERS)
+
+
 _BLOOM_BITS = 1 << 24
 
 
@@ -1181,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_assembly": _q_corpus_assembly,
         "warc_roundtrip": _q_warc_roundtrip,
         "length_quantiles_sketch": _q_length_quantiles_sketch,
+        "pagerank": _q_pagerank,
         # flagship extraction engine (SURVEY.md §2.2-2.4)
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_spans": _q_extract_spans,
@@ -1572,6 +1619,7 @@ WITH m AS (
         "warc_roundtrip":
             "SELECT 'doc://' || doc_id AS url, text, lang FROM documents",
         "length_quantiles_sketch": _stats_sql(),
+        "pagerank": _pagerank_sql_q(),
         "vocab_top100": _vocab_sql(100, 1),
         "sample_10pct": _sampling_sql("sample"),
         "train_val_test_split": _sampling_sql("split"),

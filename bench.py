@@ -240,7 +240,7 @@ def run_query_suite(sf_dir: str) -> dict:
              # corpus-assembly / cleanup additions (round 3)
              "pii_redact", "line_filter", "line_dedup", "pack_sequences",
              "unigram_score", "orders_bloom_new", "heavy_hitters",
-             "length_quantiles_sketch",
+             "length_quantiles_sketch", "pagerank",
              "corpus_assembly",
              # high-cardinality partition-vectorized operators (~147k keys)
              "lineitem_sessions", "lineitem_asof_lastship",

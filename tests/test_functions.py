@@ -1606,3 +1606,64 @@ def test_qsketch_null_keys_form_their_own_group(ray_session):
          .reset_index(drop=True))
     import pandas.testing as pdt
     pdt.assert_frame_equal(a, b)          # incl. the None-key row
+
+
+# ---------------------------------------------------------------------------
+# Integer PageRank
+
+
+def _pr_numpy_reference(n, src, dst, iters, scale=10 ** 12, D=85):
+    init = scale // n
+    base = ((100 - D) * init) // 100
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, src, 1)
+    rank = np.full(n, init, dtype=np.int64)
+    for _ in range(iters):
+        inflow = np.zeros(n, dtype=np.int64)
+        np.add.at(inflow, dst, rank[src] // deg[src])
+        rank = base + (D * inflow) // 100
+    return rank
+
+
+def _pr_fixture():
+    rng = np.random.default_rng(11)
+    n = 50
+    src = rng.integers(0, n, size=150).astype(np.int64)
+    dst = rng.integers(0, n, size=150).astype(np.int64)
+    # every node needs out-edges for the reference formula (dangling
+    # nodes divide by zero in the numpy oracle); add a self-cycle ring
+    ring_src = np.arange(n, dtype=np.int64)
+    src = np.concatenate([src, ring_src])
+    dst = np.concatenate([dst, (ring_src + 1) % n])
+    return n, src, dst
+
+
+def test_pagerank_broadcast_matches_numpy_reference(ray_session):
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.graph import (
+        pagerank_broadcast)
+    n, src, dst = _pr_fixture()
+    nodes = ray.data.from_arrow(pa.table({"node": np.arange(n)}))
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    got = (pagerank_broadcast(nodes.repartition(3), edges.repartition(4),
+                              iterations=5)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    want = _pr_numpy_reference(n, src, dst, iters=5)
+    assert got["rank"].to_numpy().tolist() == want.tolist()
+
+
+def test_pagerank_partitioned_matches_broadcast(ray_session):
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.graph import (
+        pagerank_broadcast, pagerank_int)
+    n, src, dst = _pr_fixture()
+    nodes = ray.data.from_arrow(pa.table({"node": np.arange(n)}))
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    a = (pagerank_int(nodes, edges, iterations=2)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (pagerank_broadcast(nodes, edges, iterations=2)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(a, b)       # integer arithmetic: bit-equal
