@@ -21,7 +21,10 @@ K-level CTE chain).  Update rule per iteration::
 Dangling nodes (no out-edges) simply retire their mass each round —
 the standard simplification, identical on both sides of the oracle.
 Parallel edges are counted as a multiset (two edges ship two
-contributions), again identical on both sides.
+contributions), again identical on both sides.  Precondition: every
+edge endpoint must be in the node set (the broadcast variant raises on
+violation; the partitioned variant would emit rank rows for phantom
+``dst`` nodes and drop foreign-``src`` contributions).
 
 Scale shape per iteration: ONE schema-pinned hash join (edges ⋈ ranks
 on src — the ranks side is a groupby output, exactly the empty-block
@@ -178,9 +181,17 @@ def pagerank_broadcast(nodes_ds, edges_ds, *, iterations: int = 10,
     edges = edges_ds.materialize()
     ids_ref = ray.put(ids)
 
+    def _index(ids_arr: np.ndarray, col, name: str) -> np.ndarray:
+        v = np.asarray(col, dtype=np.int64)
+        pos = np.searchsorted(ids_arr, v)
+        pos_c = np.minimum(pos, len(ids_arr) - 1)
+        if not (ids_arr[pos_c] == v).all():
+            # a silent mis-map would corrupt ranks — fail the batch
+            raise ValueError(f"edge {name} endpoint not in node set")
+        return pos
+
     def deg_pass(b: pa.Table) -> pa.Table:
-        key = np.searchsorted(ray.get(ids_ref),
-                              np.asarray(b[src_col], dtype=np.int64))
+        key = _index(ray.get(ids_ref), b[src_col], src_col)
         j, c = np.unique(key, return_counts=True)
         return pa.table({"j": pa.array(j, pa.int64()),
                          "c": pa.array(c.astype(np.int64))})
@@ -199,10 +210,8 @@ def pagerank_broadcast(nodes_ds, edges_ds, *, iterations: int = 10,
             _ids = ray.get(ids_ref)
             _deg = ray.get(deg_ref)
             _rank = ray.get(rank_ref)
-            s = np.searchsorted(_ids, np.asarray(b[src_col],
-                                                 dtype=np.int64))
-            d = np.searchsorted(_ids, np.asarray(b[dst_col],
-                                                 dtype=np.int64))
+            s = _index(_ids, b[src_col], src_col)
+            d = _index(_ids, b[dst_col], dst_col)
             c = _rank[s] // _deg[s]
             j, inv = np.unique(d, return_inverse=True)
             acc = np.zeros(len(j), dtype=np.int64)

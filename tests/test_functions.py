@@ -1667,3 +1667,15 @@ def test_pagerank_partitioned_matches_broadcast(ray_session):
          .to_pandas().sort_values("node").reset_index(drop=True))
     import pandas.testing as pdt
     pdt.assert_frame_equal(a, b)       # integer arithmetic: bit-equal
+
+
+def test_pagerank_broadcast_rejects_foreign_endpoints(ray_session):
+    import pytest as _pytest
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.graph import (
+        pagerank_broadcast)
+    nodes = ray.data.from_arrow(pa.table({"node": [0, 1, 2]}))
+    edges = ray.data.from_arrow(pa.table({"src": [0, 1], "dst": [1, 99]}))
+    with _pytest.raises(Exception, match="endpoint not in node set"):
+        pagerank_broadcast(nodes, edges, iterations=1).to_pandas()
