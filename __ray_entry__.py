@@ -577,7 +577,9 @@ def _q_pagerank(sf_dir: str):
     """Fixed-point integer PageRank (functions/graph) over a
     deterministic synthetic link graph on the documents' id domain
     (three modular-arithmetic edge rules; two are bijections, so every
-    node has in-links).  Integer micro-unit arithmetic makes the result
+    node has in-links; the rules assume the dense 0..N-1 doc_id domain
+    the testdata guarantees — both the Ray side and the SQL oracle use
+    the same ``% count`` arithmetic).  Integer micro-unit arithmetic makes the result
     bit-identical across parallelism AND exactly SQL-expressible — the
     oracle is the mechanically generated 10-level CTE chain.  Physical
     plan: the broadcast-ranks variant (host-level node counts fit a

@@ -60,10 +60,11 @@ def pagerank_int(nodes_ds, edges_ds, *, iterations: int = 10,
     P = num_partitions or default_num_partitions()
     n_nodes = nodes_ds.count()
     if n_nodes == 0:
-        return nodes_ds.map_batches(
-            lambda b: pa.table({node_col: b[node_col],
-                                "rank": b[node_col].cast(pa.int64())}),
-            batch_format="pyarrow", zero_copy_batch=True)
+        # Ray never invokes map_batches on empty blocks, so the schema
+        # must be pinned by constructing the typed empty table directly
+        import ray.data
+        return ray.data.from_arrow(pa.schema(
+            [(node_col, pa.int64()), ("rank", pa.int64())]).empty_table())
     init_rank = scale // n_nodes
     base = ((100 - damping_pct) * init_rank) // 100
     i64 = pa.int64()
@@ -165,10 +166,11 @@ def pagerank_broadcast(nodes_ds, edges_ds, *, iterations: int = 10,
     consumption otherwise)."""
     import ray
 
-    ids = np.sort(np.asarray(
-        [r[node_col] for r in
-         nodes_ds.select_columns([node_col]).take_all()],
-        dtype=np.int64))
+    id_chunks = [np.asarray(bt[node_col], dtype=np.int64)
+                 for bt in nodes_ds.select_columns([node_col])
+                 .iter_batches(batch_format="pyarrow")]
+    ids = np.sort(np.concatenate(id_chunks)) if id_chunks else \
+        np.empty(0, dtype=np.int64)
     n = len(ids)
     if n == 0:
         import ray.data
@@ -191,15 +193,24 @@ def pagerank_broadcast(nodes_ds, edges_ds, *, iterations: int = 10,
         return pos
 
     def deg_pass(b: pa.Table) -> pa.Table:
-        key = _index(ray.get(ids_ref), b[src_col], src_col)
+        _ids = ray.get(ids_ref)
+        key = _index(_ids, b[src_col], src_col)
+        _index(_ids, b[dst_col], dst_col)   # validate dst up front too
         j, c = np.unique(key, return_counts=True)
         return pa.table({"j": pa.array(j, pa.int64()),
                          "c": pa.array(c.astype(np.int64))})
 
+    def _reduce_into(acc: np.ndarray, ds) -> None:
+        # vectorized driver reduction — iter_batches keeps the rows as
+        # Arrow arrays (take_all's per-row Python dicts would dominate
+        # at host-level node counts)
+        for bt in ds.iter_batches(batch_format="pyarrow"):
+            np.add.at(acc, np.asarray(bt["j"], dtype=np.int64),
+                      np.asarray(bt["c"], dtype=np.int64))
+
     deg = np.zeros(n, dtype=np.int64)
-    for row in edges.map_batches(deg_pass, batch_format="pyarrow",
-                                 zero_copy_batch=True).take_all():
-        deg[row["j"]] += row["c"]
+    _reduce_into(deg, edges.map_batches(deg_pass, batch_format="pyarrow",
+                                        zero_copy_batch=True))
     deg_ref = ray.put(deg)
 
     ranks = np.full(n, init_rank, dtype=np.int64)
@@ -220,9 +231,9 @@ def pagerank_broadcast(nodes_ds, edges_ds, *, iterations: int = 10,
                              "c": pa.array(acc)})
 
         inflow = np.zeros(n, dtype=np.int64)
-        for row in edges.map_batches(flow_pass, batch_format="pyarrow",
-                                     zero_copy_batch=True).take_all():
-            inflow[row["j"]] += row["c"]
+        _reduce_into(inflow, edges.map_batches(flow_pass,
+                                               batch_format="pyarrow",
+                                               zero_copy_batch=True))
         ranks = base + (damping_pct * inflow) // 100
 
     import ray.data

@@ -1679,3 +1679,19 @@ def test_pagerank_broadcast_rejects_foreign_endpoints(ray_session):
     edges = ray.data.from_arrow(pa.table({"src": [0, 1], "dst": [1, 99]}))
     with _pytest.raises(Exception, match="endpoint not in node set"):
         pagerank_broadcast(nodes, edges, iterations=1).to_pandas()
+
+
+def test_pagerank_empty_node_set_typed(ray_session):
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.graph import (
+        pagerank_broadcast, pagerank_int)
+    nodes = ray.data.from_arrow(pa.table({"node": pa.array([], pa.int64())}))
+    edges = ray.data.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                          "dst": pa.array([], pa.int64())}))
+    for fn in (pagerank_broadcast, pagerank_int):
+        out = fn(nodes, edges, iterations=1)
+        # Dataset-level schema is the contract (Ray's to_pandas drops
+        # columns entirely on empty datasets)
+        assert out.schema().names == ["node", "rank"]
+        assert out.count() == 0
