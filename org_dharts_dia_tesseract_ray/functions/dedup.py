@@ -509,6 +509,9 @@ def jaccard_pairs_brute(ds, *, threshold: float = 0.5, k: int = 8,
         ids_, sets, sizes, uniq, starts, ends, doc_of = ray.get(index_ref)
         pos_of = _BRUTE_POS_CACHE.get(index_ref.hex())
         if pos_of is None:
+            # only one index is live per call — evict older entries so a
+            # long-lived worker doesn't pin a dict per past invocation
+            _BRUTE_POS_CACHE.clear()
             pos_of = _BRUTE_POS_CACHE.setdefault(
                 index_ref.hex(), {int(i): p for p, i in enumerate(ids_)})
         a_out, b_out, js = [], [], []
@@ -602,20 +605,23 @@ def simhash_pairs(ds, *, max_hamming: int = 3, k: int = 4,
     """
     if num_partitions is None:
         num_partitions = default_join_partitions()
+    id_type = ds_arrow_schema(ds).field(id_col).type
     sh = ds.map_batches(
         lambda b: simhash_batch(b, k=k, text_col=text_col, id_col=id_col),
         batch_format="pyarrow", zero_copy_batch=True)
 
     def band_rows(b: pa.Table) -> pa.Table:
-        ids = np.asarray(b[id_col], dtype=np.int64)
         sims = np.asarray(b["simhash"])
-        n = len(ids)
+        n = b.num_rows
         band_idx = np.tile(np.arange(4, dtype=np.int32), n)
         rep_sims = np.repeat(sims, 4)
         band_val = ((rep_sims >> (np.uint64(16) * band_idx.astype(np.uint64)))
                     & np.uint64(0xFFFF)).astype(np.uint32)
+        # take() instead of a numpy round-trip: preserves the real id type
+        rep_ids = b[id_col].take(pa.array(
+            np.repeat(np.arange(n, dtype=np.int64), 4)))
         return pa.table({
-            id_col: pa.array(np.repeat(ids, 4), pa.int64()),
+            id_col: rep_ids,
             "simhash": pa.array(rep_sims, pa.uint64()),
             "band": pa.array(band_idx, pa.int32()),
             "band_val": pa.array(band_val, pa.uint32()),
@@ -626,7 +632,7 @@ def simhash_pairs(ds, *, max_hamming: int = 3, k: int = 4,
     cand = _self_join_pairs(
         band_ds, ["band", "band_val"], ["simhash"], id_col, num_partitions,
         types={"band": pa.int32(), "band_val": pa.uint32(),
-               "simhash": pa.uint64(), id_col: pa.int64()})
+               "simhash": pa.uint64(), id_col: id_type})
 
     def ham_filter(b: pa.Table) -> pa.Table:
         d = hamming64(np.asarray(b["simhash_a"]), np.asarray(b["simhash_b"]))

@@ -111,9 +111,13 @@ def heavy_hitters(ds, k: int = 20, *, capacity: int = 4096,
     # reach every output row, so the (<= batches x capacity)-row totals
     # are folded through one partition here.  At unbounded-vocab scale
     # replace with sort+limit per partition and a driver-side err fetch.
+    # batch_size=None -> whole-block batches: after repartition(1) the
+    # sentinel row and every token row share the ONE batch split_err sees
+    # (the default ~1024-row slicing would hand the real err_bound only to
+    # tokens co-batched with the sentinel).
     topk = (totals.repartition(1)
             .map_batches(split_err, batch_format="pyarrow",
-                         zero_copy_batch=True)
+                         batch_size=None, zero_copy_batch=True)
             .sort(["n", "token"], descending=[True, False]).limit(k))
     return topk
 

@@ -42,7 +42,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import default_num_partitions
+from ..util import default_num_partitions, ds_arrow_schema
 
 
 def pack_sequences(ds, *, seq_len: int, id_col: str = "doc_id",
@@ -65,14 +65,17 @@ def pack_sequences(ds, *, seq_len: int, id_col: str = "doc_id",
                             Max(id_col, alias_name="hi"))
     lo, hi = bounds["lo"], bounds["hi"]
     if lo is None:        # empty input
-        return slim.map_batches(
-            lambda b: pa.table({id_col: b[id_col],
-                                weight_col: pc.cast(b[weight_col],
-                                                    pa.int64()),
-                                "tok_start": b[id_col].cast(pa.int64()),
-                                "seq_first": b[id_col].cast(pa.int64()),
-                                "seq_last": b[id_col].cast(pa.int64())}),
-            batch_format="pyarrow", zero_copy_batch=True)
+        # Ray never invokes map_batches UDFs on empty blocks, so build the
+        # typed 5-column empty table statically (pagerank_int precedent).
+        import ray
+        id_type = ds_arrow_schema(ds).field(id_col).type
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], id_type),
+            weight_col: pa.array([], pa.int64()),
+            "tok_start": pa.array([], pa.int64()),
+            "seq_first": pa.array([], pa.int64()),
+            "seq_last": pa.array([], pa.int64()),
+        }))
     span = int(hi) - int(lo) + 1
 
     def bucket_of(ids: pa.Array) -> np.ndarray:
@@ -133,14 +136,18 @@ def pack_sequences_sql(seq_len: int, *, table: str = "m",
                        id_col: str = "doc_id",
                        weight_col: str = "n_tokens") -> str:
     """DuckDB oracle: global window cumsum in id order."""
+    # CAST everything derived from the window SUM back to BIGINT: DuckDB's
+    # window SUM(BIGINT) returns HUGEINT, which lands as decimal/float64 in
+    # the comparison frame while the engine emits int64 (hash mismatch).
     w = f"COALESCE({weight_col}, 0)"
     return f"""
 SELECT {id_col}, CAST({weight_col} AS BIGINT) AS {weight_col},
-       tok_start,
+       CAST(tok_start AS BIGINT) AS tok_start,
        CASE WHEN w0 = 0 THEN NULL
-            ELSE tok_start // {seq_len} END AS seq_first,
+            ELSE CAST(tok_start // {seq_len} AS BIGINT) END AS seq_first,
        CASE WHEN w0 = 0 THEN NULL
-            ELSE (tok_start + w0 - 1) // {seq_len} END AS seq_last
+            ELSE CAST((tok_start + w0 - 1) // {seq_len} AS BIGINT)
+            END AS seq_last
 FROM (
   SELECT {id_col}, {weight_col}, {w} AS w0,
          SUM({w}) OVER (ORDER BY {id_col}

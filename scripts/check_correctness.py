@@ -85,6 +85,20 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         if list(mine.columns) != list(want.columns):
             status.append(f"columns {list(mine.columns)} != {list(want.columns)}")
         if not status:
+            # the driver's value-hash is dtype-sensitive: int64 12 vs
+            # float64/decimal 12.0 hash differently even when values
+            # compare equal — flag numeric-kind mismatches explicitly
+            # (this is what masked the r03 HUGEINT window-sum red rows)
+            for c in mine.columns:
+                mk = getattr(mine[c].dtype, "kind", "O")
+                wk = getattr(want[c].dtype, "kind", "O")
+                grp = lambda k: "int" if k in "iu" else (
+                    "float" if k == "f" else "other")
+                if grp(mk) != grp(wk):
+                    status.append(
+                        f"dtype kind mismatch on {c}: "
+                        f"engine {mine[c].dtype} vs oracle {want[c].dtype}")
+        if not status:
             try:
                 import pandas.testing as pdt
                 pdt.assert_frame_equal(mine, want, check_dtype=False,
