@@ -1210,95 +1210,88 @@ def _q_lineitem_pricing(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """Checked by the driver in dict (insertion) order; a budget-limited run
-    may not reach the tail, so the queries with the LEAST prior driver
-    evidence run FIRST (round-2 lesson: the run stopped at query 50 and the
-    two never-verified as-of variants were in the tail)."""
+    may not reach the tail (r02 and r03 both stopped at 50), so queries are
+    ordered by EVIDENCE STALENESS (VERDICT r3 #2): code changed this round
+    first, then code rewritten in r3 whose only driver verdict predates the
+    rewrite, then the r03-green remainder."""
     _register_by_value()
     return {
-        # never-driver-verified / dropped-in-r2 entries first
-        "lineitem_asof_lastship": _q_lineitem_asof_lastship,
-        "events_asof_next_order": _q_events_asof_next_order,
-        "events_enrich_customer": _q_events_enrich_customer,
-        "order_shipments_90d": _q_order_shipments_90d,
-        "lineitem_pricing": _q_lineitem_pricing,
-        # the round-2 red row (schema-pinned join fix) next
-        "tfidf_top_term": _q_tfidf_top_term,
-        # round-3 additions, never driver-checked — run early (VERDICT r2)
-        "orders_bloom_new": _q_orders_bloom_new,
-        "heavy_hitters": _q_heavy_hitters,
+        # --- changed in round 4 (oracle or engine touched this round) ---
+        "pack_sequences": _q_pack_sequences,
         "corpus_assembly": _q_corpus_assembly,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "length_quantiles_sketch": _q_length_quantiles_sketch,
+        "heavy_hitters": _q_heavy_hitters,
+        "neardup_simhash": _q_neardup_simhash,
+        "neardup_jaccard_brute": _q_neardup_jaccard_brute,
         "pagerank": _q_pagerank,
-        # flagship extraction engine (SURVEY.md §2.2-2.4)
+        # --- rewritten in r3, only r02 driver evidence (VERDICT r3 #2) ---
+        "dedup_exact": _q_dedup_exact,
+        "neardup_minhash_lsh": _q_neardup_minhash,
+        "neardup_clusters": _q_neardup_clusters,
+        "neardup_cosine": _q_neardup_cosine,
+        "neardup_cosine_bucketed": _q_neardup_cosine_bucketed,
+        "ann_brute_topk": _q_ann_brute,
+        "ann_ivf_topk": _q_ann_ivf,
+        "embeddings_pca": _q_embeddings_pca,
+        "media_decode": _q_media_decode,
+        "media_frame_sample": _q_media_frames,
+        # windows/events family — unreached by the truncated r03 run
+        "events_windowed": _q_events_windowed,
+        "events_sliding_window": _q_events_sliding,
+        "events_sessions": _q_events_sessions,
+        "lineitem_sessions": _q_lineitem_sessions,
+        "events_rollup": _q_events_rollup,
+        "events_latest_per_user": _q_events_latest,
+        "events_asof_order": _q_events_asof_order,
+        "skew_topk": _q_skew_topk,
+        "doc_stats_by_lang": _q_doc_stats_by_lang,
+        "approx_distinct_tokens": _q_approx_distinct_tokens,
+        "winnow_fingerprints": _q_winnow,
+        "domain_cap": _q_domain_cap,
+        "repetition_stats": _q_repetition_stats,
+        "weighted_mix": _q_weighted_mix,
+        "token_budget": _q_token_budget,
+        "decontaminate": _q_decontaminate,
+        "unigram_score": _q_unigram_score,
+        "length_quantiles_by_lang": _q_length_quantiles,
+        "lineitem_price_quantiles": _q_lineitem_price_quantiles,
+        "doc_frequency": _q_doc_frequency,
+        "vocab_top100": _q_vocab_top100,
+        "bigrams_top100": _q_bigrams_top100,
+        "sample_10pct": _q_sample_10pct,
+        "train_val_test_split": _q_split,
+        "stratified_sample": _q_stratified,
+        # --- r03-green, unchanged since — tail ---
         "extract_roundtrip": _q_extract_roundtrip,
         "extract_spans": _q_extract_spans,
         "extract_mixed_pdf": _q_extract_mixed_pdf,
         "pages_dedup_extract": _q_pages_dedup_extract,
         "extract_boxes": _q_extract_boxes,
         "extract_metrics_by_lang": _q_extract_metrics,
-        # segmentation modes / ROI / char filter (M9 / M2 / M11)
         "extract_mode_text_only": _mode_query("text_only"),
         "extract_mode_single_block": _mode_query("single_block"),
         "extract_charfilter_digits": _mode_query("charfilter_digits"),
         "extract_selector_article": _mode_query("selector_article"),
-        # user-extension surface (BlockRule) + I13 word predicates
         "extract_custom_rule": _q_extract_custom_rule,
         "extract_subsup": _q_extract_subsup,
-        # hOCR string rendering (M7)
         "extract_hocr": _q_extract_hocr,
-        # text analysis suite
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
-        "repetition_stats": _q_repetition_stats,
         "url_normalize": _q_url_normalize,
         "pii_redact": _q_pii_redact,
         "line_filter": _q_line_filter,
         "line_dedup": _q_line_dedup,
-        "domain_cap": _q_domain_cap,
         "langid": _q_langid,
         "text_direction": _q_text_direction,
         "fingerprint_md5": _q_fingerprint,
-        "winnow_fingerprints": _q_winnow,
-        "vocab_top100": _q_vocab_top100,
-        "sample_10pct": _q_sample_10pct,
-        "train_val_test_split": _q_split,
-        "stratified_sample": _q_stratified,
-        "weighted_mix": _q_weighted_mix,
-        "token_budget": _q_token_budget,
-        "pack_sequences": _q_pack_sequences,
-        "unigram_score": _q_unigram_score,
-        "decontaminate": _q_decontaminate,
-        "length_quantiles_by_lang": _q_length_quantiles,
-        "lineitem_price_quantiles": _q_lineitem_price_quantiles,
-        "doc_frequency": _q_doc_frequency,
-        "bigrams_top100": _q_bigrams_top100,
-        # dedup family
-        "dedup_exact": _q_dedup_exact,
-        "neardup_minhash_lsh": _q_neardup_minhash,
-        "neardup_clusters": _q_neardup_clusters,
-        "neardup_simhash": _q_neardup_simhash,
-        "neardup_jaccard_brute": _q_neardup_jaccard_brute,
-        "neardup_cosine": _q_neardup_cosine,
-        "neardup_cosine_bucketed": _q_neardup_cosine_bucketed,
-        # similarity search
-        "ann_brute_topk": _q_ann_brute,
-        "ann_ivf_topk": _q_ann_ivf,
-        "embeddings_pca": _q_embeddings_pca,
-        # multimodal plumbing (deterministic synthetic media)
-        "media_decode": _q_media_decode,
-        "media_frame_sample": _q_media_frames,
-        # wide-step relational parity (groupby/sort/window analogues §2.5)
-        "skew_topk": _q_skew_topk,
-        "doc_stats_by_lang": _q_doc_stats_by_lang,
-        "events_latest_per_user": _q_events_latest,
-        "events_rollup": _q_events_rollup,
-        "events_windowed": _q_events_windowed,
-        "events_sliding_window": _q_events_sliding,
-        "approx_distinct_tokens": _q_approx_distinct_tokens,
-        "events_sessions": _q_events_sessions,
-        "lineitem_sessions": _q_lineitem_sessions,
-        "events_asof_order": _q_events_asof_order,
+        "tfidf_top_term": _q_tfidf_top_term,
+        "orders_bloom_new": _q_orders_bloom_new,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "length_quantiles_sketch": _q_length_quantiles_sketch,
+        "lineitem_asof_lastship": _q_lineitem_asof_lastship,
+        "events_asof_next_order": _q_events_asof_next_order,
+        "events_enrich_customer": _q_events_enrich_customer,
+        "order_shipments_90d": _q_order_shipments_90d,
+        "lineitem_pricing": _q_lineitem_pricing,
     }
 
 
