@@ -755,9 +755,14 @@ def _q_media_decode(sf_dir: str):
 
     from org_dharts_dia_tesseract_ray.functions.multimodal import (
         apply_decode, synth_media_table)
-    out = apply_decode(ray.data.from_arrow(synth_media_table(64)))
+    # corrupt_every exercises all three decode-failure families (bad magic,
+    # truncation, CRC bit-flip) through the oracle, not just in unit tests;
+    # px_checksum is the decoded-pixel CRC32 — proof the RLE decompression
+    # actually ran, verified against an independent golden synthesis
+    out = apply_decode(ray.data.from_arrow(
+        synth_media_table(64, corrupt_every=13)))
     return out.select_columns(["item_id", "status", "width", "height",
-                               "n_frames"])
+                               "n_frames", "px_checksum"])
 
 
 def _q_media_frames(sf_dir: str):

@@ -295,17 +295,66 @@ def g_approx_distinct() -> pa.Table:
     })
 
 
+def _media_pattern(item_id: int, seed: int, frame: int, w: int,
+                   h: int) -> np.ndarray:
+    """INDEPENDENT inline restatement of the SYNM v2 pixel pattern — the
+    engine's decoder must recover exactly these rasters through the RLE
+    round-trip; a codec regression shows up here, not as a co-moving
+    oracle."""
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)
+    return (((xs[None, :] >> 3) * 37 + (ys[:, None] >> 3) * 11
+             + frame * 7 + item_id * 13 + seed) % 256).astype(np.uint8)
+
+
 def g_media_decode() -> pa.Table:
-    from org_dharts_dia_tesseract_ray.functions.multimodal import (
-        MediaDecoder, synth_media_table)
-    out = MediaDecoder()(synth_media_table(64))
-    return out.select(["item_id", "status", "width", "height", "n_frames"])
+    """Expected decode table WITHOUT running the decoder: statuses from the
+    corruption schedule (every 13th row damaged), pixel CRCs from the
+    pattern synthesized directly (no RLE encode/decode involved)."""
+    import zlib
+    ids, st, ws, hs, fs, crcs = [], [], [], [], [], []
+    for i in range(64):
+        w = 32 + (i * 7) % 96
+        h = 24 + (i * 5) % 72
+        ids.append(i)
+        if i % 13 == 12:                      # corrupt_every=13 schedule
+            st.append("decode_error")
+            ws.append(0); hs.append(0); fs.append(0); crcs.append(-1)
+        else:
+            crc = zlib.crc32(_media_pattern(i, 42, 0, w, h).tobytes())
+            st.append("ok")
+            ws.append(w); hs.append(h); fs.append(1)
+            crcs.append(crc & 0xFFFFFFFF)
+    return pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "status": pa.array(st, pa.string()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "n_frames": pa.array(fs, pa.int32()),
+        "px_checksum": pa.array(crcs, pa.int64()),
+    })
 
 
 def g_media_frames() -> pa.Table:
-    from org_dharts_dia_tesseract_ray.functions.multimodal import (
-        frame_sample_batch, synth_media_table)
-    return frame_sample_batch(synth_media_table(64, kind="video"), every=4)
+    """Expected frame-sample table from the pattern directly (the engine
+    seeks + RLE-decodes each sampled frame; this golden never touches the
+    container)."""
+    ids, fis, means = [], [], []
+    for i in range(64):
+        w = 32 + (i * 7) % 96
+        h = 24 + (i * 5) % 72
+        nf = 8 + i % 24
+        for fi in range(0, nf, 4):
+            px = _media_pattern(i, 42, fi, w, h)
+            m = int(px.astype(np.int64).sum()) / px.size
+            ids.append(i)
+            fis.append(fi)
+            means.append(np.floor(m * 1e6 + 0.5) / 1e6)
+    return pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "frame_idx": pa.array(fis, pa.int64()),
+        "frame_mean": pa.array(means, pa.float64()),
+    })
 
 
 GOLDENS = {

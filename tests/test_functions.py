@@ -267,6 +267,62 @@ def test_media_decode_deterministic(ray_session):
                           np.stack(out2["features"].values))
 
 
+def test_synm_codec_roundtrip_exact():
+    """encode → decode recovers the exact rasters (real RLE + CRC work,
+    not a hash fake)."""
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        _frame_pixels, decode_media, encode_media, seek_frame)
+    payload = encode_media(7, "video", 40, 24, 5, seed=42)
+    (w, h, nf), frames, crc = decode_media(payload)
+    assert (w, h, nf) == (40, 24, 5)
+    for f in range(nf):
+        assert np.array_equal(frames[f], _frame_pixels(7, 42, f, 40, 24))
+    # seek path decodes the same frame without full decompress
+    assert np.array_equal(seek_frame(payload, 3), frames[3])
+    assert seek_frame(payload, 5) is None
+
+
+def test_synm_codec_rejects_corruption():
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        decode_media, encode_media)
+    payload = encode_media(3, "image", 48, 32, 1)
+    assert decode_media(payload) is not None
+    assert decode_media(b"JUNK" + payload[4:]) is None          # bad magic
+    assert decode_media(payload[:len(payload) // 2]) is None    # truncated
+    mid = len(payload) // 2                                     # CRC flip
+    flipped = payload[:mid] + bytes([payload[mid] ^ 0xFF]) + payload[mid + 1:]
+    assert decode_media(flipped) is None
+    assert decode_media(payload + b"\x00") is None              # trailing junk
+
+
+def test_media_decode_corrupt_rows_become_error_rows():
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        MediaDecoder, synth_media_table)
+    out = MediaDecoder()(synth_media_table(64, corrupt_every=13))
+    st = out["status"].to_pylist()
+    bad = [i for i, s in enumerate(st) if s == "decode_error"]
+    assert bad == [12, 25, 38, 51]
+    crcs = out["px_checksum"].to_pylist()
+    assert all(crcs[i] == -1 for i in bad)
+    assert all(c >= 0 for i, c in enumerate(crcs) if i not in bad)
+
+
+def test_media_decode_features_are_tile_means():
+    """Features come from DECODED pixels: verify one item against an
+    independent tile-mean computation on the raw pattern."""
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        MediaDecoder, _frame_pixels, synth_media_table)
+    out = MediaDecoder()(synth_media_table(3))
+    f = np.array(out["features"][1].as_py())
+    w, h = 32 + 7 % 96, 24 + 5 % 72
+    px = _frame_pixels(1, 42, 0, w, h)
+    ys = np.linspace(0, h, 5).astype(int)
+    xs = np.linspace(0, w, 5).astype(int)
+    want = [px[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].astype(np.int64).mean()
+            / 255.0 for i in range(4) for j in range(4)]
+    assert np.allclose(f, np.array(want, np.float32), atol=1e-6)
+
+
 def test_media_decode_error_row():
     from org_dharts_dia_tesseract_ray.functions.multimodal import MediaDecoder
     bad = pa.table({
