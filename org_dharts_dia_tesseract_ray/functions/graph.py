@@ -57,6 +57,33 @@ def pagerank_int(nodes_ds, edges_ds, *, iterations: int = 10,
     """(node, rank) int64 after ``iterations`` damped rounds."""
     from ray.data.aggregate import Sum
 
+    import ray
+    import ray.data
+
+    @ray.remote
+    def _concat(*tables):
+        return pa.concat_tables(tables).combine_chunks()
+
+    def _pin(ds, cap: int):
+        """Materialize, sever lineage, and BOUND the block count.
+
+        ``from_arrow_refs`` over the executed block refs keeps the data in
+        the object store but drops the logical plan (a plain
+        ``materialize()`` keeps it attached and re-plans it every round).
+        The block cap is the real fix for round-count scaling: each
+        sort-shuffle emits ~input-many blocks, so uncapped ranks grow a few
+        blocks per round and every later round launches linearly more
+        tasks — quadratic total (measured +3 blocks and +0.08s marginal
+        per round before this; near-flat after).  Coalescing is a handful
+        of remote concats over the slim (node, rank) table, not a
+        shuffle."""
+        refs = ds.materialize().to_arrow_refs()
+        if len(refs) > cap:
+            groups = np.array_split(np.arange(len(refs)), cap)
+            refs = [_concat.remote(*[refs[int(j)] for j in g])
+                    for g in groups if len(g)]
+        return ray.data.from_arrow_refs(refs)
+
     P = num_partitions or default_num_partitions()
     n_nodes = nodes_ds.count()
     if n_nodes == 0:
@@ -80,10 +107,10 @@ def pagerank_int(nodes_ds, edges_ds, *, iterations: int = 10,
               .groupby(src_col).aggregate(Sum("partial", alias_name="d")))
 
     # joined ONCE, pinned for reuse across every iteration
-    edges_deg = schema_pinned_join(
+    edges_deg = _pin(schema_pinned_join(
         edges_ds, outdeg, on=(src_col,), num_partitions=P,
         left_schema=pa.schema([(src_col, i64), (dst_col, i64)]),
-        right_schema=pa.schema([(src_col, i64), ("d", i64)])).materialize()
+        right_schema=pa.schema([(src_col, i64), ("d", i64)])), P)
 
     def init(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -91,8 +118,8 @@ def pagerank_int(nodes_ds, edges_ds, *, iterations: int = 10,
             "rank": pa.array(np.full(b.num_rows, init_rank, np.int64)),
         })
 
-    ranks = nodes_ds.map_batches(init, batch_format="pyarrow",
-                                 zero_copy_batch=True).materialize()
+    ranks = _pin(nodes_ds.map_batches(init, batch_format="pyarrow",
+                                      zero_copy_batch=True), P)
 
     def rename_ranks(b: pa.Table) -> pa.Table:
         return pa.table({src_col: b[node_col], "rank": b["rank"]})
@@ -137,11 +164,10 @@ def pagerank_int(nodes_ds, edges_ds, *, iterations: int = 10,
                        .union(nodes_ds.map_batches(
                            zeros, batch_format="pyarrow",
                            zero_copy_batch=True)))
-        ranks = (inflow_rows.groupby(dst_col)
-                 .aggregate(Sum("c", alias_name="s"))
-                 .map_batches(finish, batch_format="pyarrow",
-                              zero_copy_batch=True)
-                 .materialize())
+        ranks = _pin(inflow_rows.groupby(dst_col)
+                     .aggregate(Sum("c", alias_name="s"))
+                     .map_batches(finish, batch_format="pyarrow",
+                                  zero_copy_batch=True), P)
     return ranks
 
 

@@ -1725,6 +1725,29 @@ def test_pagerank_partitioned_matches_broadcast(ray_session):
     pdt.assert_frame_equal(a, b)       # integer arithmetic: bit-equal
 
 
+def test_pagerank_int_block_count_bounded_across_rounds(ray_session):
+    """The iterative-loop scale guard: pinned ranks must not gain blocks
+    round over round (uncapped, each sort-shuffle emitted ~input-many
+    blocks → linearly more tasks per round → quadratic total wall).  With
+    the cap, many iterations end at ≤ num_partitions blocks and per-round
+    cost stays flat."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.graph import (
+        pagerank_broadcast, pagerank_int)
+    n, src, dst = _pr_fixture()
+    nodes = ray.data.from_arrow(pa.table({"node": np.arange(n)}))
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    out = pagerank_int(nodes, edges, iterations=7, num_partitions=4)
+    assert out.materialize().num_blocks() <= 4
+    # and the capped/pinned path is still bit-equal to broadcast
+    a = out.to_pandas().sort_values("node").reset_index(drop=True)
+    b = (pagerank_broadcast(nodes, edges, iterations=7)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    import pandas.testing as pdt
+    pdt.assert_frame_equal(a, b)
+
+
 def test_pagerank_broadcast_rejects_foreign_endpoints(ray_session):
     import pytest as _pytest
     import ray.data
