@@ -100,6 +100,76 @@ def _q_extract_roundtrip(sf_dir: str):
         ["url", "extracted_text", "n_blocks", "payload_kind", "charset"])
 
 
+def _q_checkpoint_resume(sf_dir: str):
+    """S4 checkpoint/resume through the driver's oracle (VERDICT r3 #6).
+
+    Writes the wrapped corpus as 4 parquet shards, runs the checkpointed
+    pipeline over the first two (simulating a crash partway through the
+    shard list), plants a manifest-less PARTIAL partition for shard 2
+    (simulating a kill mid-write), then resumes over the full input.  The
+    resume must skip both finished partitions wholesale and wipe+redo the
+    partial — asserted here, so a resume-semantics regression fails the
+    driver row — and the resumed table must equal the clean-run oracle
+    (same SQL as ``extract_roundtrip``).  Ref anchor: the
+    regression-by-issue testing pattern,
+    /root/reference/tests/.../regression/AnalyzerFactoryBugs.java:71-109.
+    """
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        wrap_documents_batch)
+    from org_dharts_dia_tesseract_ray.state.checkpoint import (
+        run_checkpointed)
+
+    tmp = tempfile.mkdtemp(prefix="ckpt_resume_", dir="/tmp")
+    try:
+        pages = wrap_documents_batch(
+            pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text", "lang"]))
+        shards_dir = os.path.join(tmp, "shards")
+        os.makedirs(shards_dir)
+        files = []
+        n = pages.num_rows
+        cut = [0, n // 4, n // 2, (3 * n) // 4, n]
+        for i in range(4):
+            f = os.path.join(shards_dir, f"shard-{i}.parquet")
+            pq.write_table(pages.slice(cut[i], cut[i + 1] - cut[i]), f)
+            files.append(f)
+
+        out = os.path.join(tmp, "out")
+        run_checkpointed(files[:2], out, write_spans=False,
+                         skew_routing=False)
+        # mid-shard kill: partition dir + data file exist, no manifest
+        partial = os.path.join(out, "part=00002")
+        os.makedirs(partial)
+        with open(os.path.join(partial, "junk.parquet"), "wb") as f:
+            f.write(b"not a parquet file")
+
+        r = run_checkpointed(files, out, write_spans=False,
+                             skew_routing=False)
+        if sorted(r["skipped"]) != ["part=00000", "part=00001"]:
+            raise RuntimeError(f"resume did not skip finished partitions: "
+                               f"{r}")
+        if sorted(r["done"]) != ["part=00002", "part=00003"]:
+            raise RuntimeError(f"resume did not redo partial/missing "
+                               f"partitions: {r}")
+
+        out_files = sorted(
+            os.path.join(out, p, fn)
+            for p in os.listdir(out) if p.startswith("part=")
+            for fn in os.listdir(os.path.join(out, p))
+            if fn.endswith(".parquet"))
+        return ray.data.read_parquet(
+            out_files, columns=["url", "extracted_text", "n_blocks",
+                                "payload_kind", "charset"]).materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_extract_mixed_pdf(sf_dir: str):
     """Sniff-routed mixed corpus: every 10th doc is a PDF payload (every
     20th Flate-compressed) — the S2-upgrade PDF branch, oracle-checked."""
@@ -236,6 +306,19 @@ def _q_pages_dedup_extract(sf_dir: str):
     combined = extract_pages(pages, dedup=True)
     return combined.select_columns(["url", "extracted_text", "n_blocks",
                                     "payload_kind"])
+
+
+def _q_extract_unlv(sf_dir: str):
+    """UNLV-format rendering (M7's sibling; TessAPI.java:512 analogue)
+    over the subsup-wrapped corpus so the script markers appear in the
+    oracle string."""
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        pages_from_documents)
+    from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
+        extract_pages)
+    from org_dharts_dia_tesseract_ray.stages.extractor import apply_unlv
+    return apply_unlv(extract_pages(pages_from_documents(sf_dir,
+                                                         subsup=True)))
 
 
 def _q_extract_hocr(sf_dir: str):
@@ -1228,6 +1311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_simhash": _q_neardup_simhash,
         "neardup_jaccard_brute": _q_neardup_jaccard_brute,
         "pagerank": _q_pagerank,
+        "checkpoint_resume": _q_checkpoint_resume,
+        "extract_unlv": _q_extract_unlv,
         # --- rewritten in r3, only r02 driver evidence (VERDICT r3 #2) ---
         "dedup_exact": _q_dedup_exact,
         "neardup_minhash_lsh": _q_neardup_minhash,
@@ -1565,10 +1650,13 @@ def oracle_sql() -> dict[str, str]:
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
         roundtrip_spans_sql, roundtrip_sql)
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
-        boxes_sql, hocr_sql, mixed_pdf_sql, mode_sql, subsup_words_sql)
+        boxes_sql, hocr_sql, mixed_pdf_sql, mode_sql, subsup_words_sql,
+        unlv_sql)
     return {
         "extract_hocr": hocr_sql(),
+        "extract_unlv": unlv_sql(),
         "extract_roundtrip": roundtrip_sql(),
+        "checkpoint_resume": roundtrip_sql(),
         "extract_spans": roundtrip_spans_sql(),
         "extract_mixed_pdf": mixed_pdf_sql(),
         "pages_dedup_extract": """

@@ -271,6 +271,19 @@ SELECT {url} AS url,
 FROM {table}"""
 
 
+def unlv_sql(table: str = "documents") -> str:
+    """Oracle for the UNLV-format rendering (TessAPI.java:512 analogue)
+    over the subsup-wrapped corpus: heading line, blank block separator,
+    body line with the subscript word ``_``-prefixed and the superscript
+    word ``^``-prefixed, trailing newline."""
+    nl = "chr(10)"
+    return f"""
+SELECT 'https://corpus.test/doc/' || doc_id AS url,
+       'Doc ' || doc_id || {nl} || {nl} ||
+       text || ' _H2O and ^mc2' || {nl} AS unlv
+FROM {table}"""
+
+
 def subsup_words_sql(table: str = "documents") -> str:
     """Oracle for the I13 word-flag fixture: the wrapped body is
     ``text || ' H2O and mc2'`` — exactly one subscript-flagged word (H2O)

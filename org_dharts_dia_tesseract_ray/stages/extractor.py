@@ -339,6 +339,78 @@ def apply_hocr(ds, *, include_words: bool = False, **kwargs):
                           **kwargs)
 
 
+UNLV_SCHEMA = pa.schema([("url", pa.string()), ("unlv", pa.string())])
+
+
+def render_unlv_doc(text: str, spans: list[dict], *,
+                    reject_below: float = 0.0) -> str:
+    """One document's UNLV-format string — the ``TessBaseAPIGetUNLVText``
+    analogue (reference binding TessAPI.java:512; the third trivial
+    projection over the spans table next to hOCR and boxes).
+
+    1-D adaptation of the UNLV conventions: words space-joined per line,
+    one line per text line, a blank line between blocks, trailing newline;
+    superscript words prefixed ``^`` and subscript words ``_`` (the
+    word-flag analogues of UNLV's scripted-character markers,
+    RecognitionResultsIterator.java:146-158); words whose confidence falls
+    below ``reject_below`` (0-100 scale) are masked to ``~`` per character
+    (the UNLV reject character).  Non-text blocks are skipped entirely —
+    UNLV carries recognized text only."""
+    from ..extract.types import BlockType
+
+    lines: list[tuple[int, list[str]]] = []      # (block ordinal, words)
+    block_i = -1
+    in_text_block = False
+    for s in spans:
+        lvl = s["level"]
+        if lvl == "block":
+            block_i += 1
+            in_text_block = BlockType.is_text(s["block_type"])
+        elif not in_text_block:
+            continue
+        elif lvl == "line":
+            lines.append((block_i, []))
+        elif lvl == "word" and lines:
+            w = text[s["start"]:s["end"]]
+            if float(s["confidence"]) < reject_below:
+                w = "~" * len(w)
+            if s["is_superscript"]:
+                w = "^" + w
+            elif s["is_subscript"]:
+                w = "_" + w
+            lines[-1][1].append(w)
+    out: list[str] = []
+    prev_block = None
+    for bi, words in lines:
+        if prev_block is not None and bi != prev_block:
+            out.append("")                       # blank line between blocks
+        prev_block = bi
+        out.append(" ".join(words))
+    return "\n".join(out) + "\n" if out else ""
+
+
+def unlv_batch(batch: pa.Table, *, reject_below: float = 0.0) -> pa.Table:
+    """(url, unlv) — UNLV rendering of each document.  Pure formatting pass
+    over the extract output, same altitude as :func:`hocr_batch`."""
+    spans_col = batch["spans"]
+    if isinstance(spans_col, pa.ChunkedArray):
+        spans_col = spans_col.combine_chunks()
+    texts = batch["extracted_text"].to_pylist()
+    docs = [render_unlv_doc(t, sp or [], reject_below=reject_below)
+            for t, sp in zip(texts, spans_col.to_pylist())]
+    return pa.Table.from_arrays(
+        [batch["url"].combine_chunks()
+         if isinstance(batch["url"], pa.ChunkedArray) else batch["url"],
+         pa.array(docs, pa.string())],
+        schema=UNLV_SCHEMA)
+
+
+def apply_unlv(ds, *, reject_below: float = 0.0, **kwargs):
+    return ds.map_batches(lambda b: unlv_batch(b, reject_below=reject_below),
+                          batch_format="pyarrow", zero_copy_batch=True,
+                          **kwargs)
+
+
 def default_concurrency(fraction: float = 1.0) -> tuple:
     """Autoscaling actor-pool bounds sized to the cluster CPU count.
 

@@ -821,6 +821,44 @@ def test_hocr_rendering_structure():
     assert "x_wconf" in hocr_w and "ocrx_word" in hocr_w
 
 
+def _unlv_spans(res):
+    return [{k: getattr(s, k) for k in
+             ("node_id", "level", "block_type", "start", "end",
+              "confidence", "is_subscript", "is_superscript")}
+            for s in res.spans]
+
+
+def test_unlv_rendering():
+    """UNLV renderer (TessAPI.java:512 analogue): words space-joined per
+    line, blank line between blocks, sub/sup markers, trailing newline."""
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+    from org_dharts_dia_tesseract_ray.stages.extractor import render_unlv_doc
+    html = (b"<html><body><article><h1>Doc 7</h1>"
+            b"<p>alpha H<sub>2</sub>O mc<sup>2</sup></p>"
+            b"</article></body></html>")
+    res = extract_one(html, "en", None)
+    out = render_unlv_doc(res.text, _unlv_spans(res))
+    assert out == "Doc 7\n\nalpha _H2O ^mc2\n"
+
+
+def test_unlv_reject_masking_and_noise_blocks():
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+    from org_dharts_dia_tesseract_ray.stages.extractor import render_unlv_doc
+    html = (b"<html><body>"
+            b'<nav><a href="/">home</a> <a href="/x">x</a></nav>'
+            b"<article><h1>Doc 9</h1><p>body words</p></article>"
+            b"<footer><a href='/a'>about</a></footer></body></html>")
+    res = extract_one(html, "en", None)
+    out = render_unlv_doc(res.text, _unlv_spans(res))
+    # noise blocks (nav/footer) carry no UNLV text
+    assert out == "Doc 9\n\nbody words\n"
+    # reject threshold above every word confidence masks all words to ~
+    masked = render_unlv_doc(res.text, _unlv_spans(res), reject_below=101.0)
+    assert masked == "~~~ ~\n\n~~~~ ~~~~~\n"
+    # empty document renders to the empty string
+    assert render_unlv_doc("", []) == ""
+
+
 def test_neardup_clusters_chain_convergence(ray_session):
     """Chain-shaped component: min-label propagation moves one hop per
     round, so a length-L path exercises the iteration + fixed-point exit
