@@ -48,15 +48,20 @@ def _spin(n: int) -> float:
     return time.time() - t0
 
 
-def probe_effective_cores(n_procs: int = 32) -> float:
+def probe_effective_cores(n_procs: int = 32, n: int = 3_000_000) -> float:
     """This sandbox's vCPUs are oversubscribed at the hypervisor: parallel
     capacity swings between ~15 and ~4 effective cores hour to hour while
     single-core speed stays constant.  A 32-process pure-CPU spin measures
     the capacity actually available to THIS run, so every benchmark JSON
-    carries the context needed to interpret its throughput."""
+    carries the context needed to interpret its throughput.
+
+    ``n`` trades probe cost for smoothing: the default ~1 s probe opens a
+    run; the lighter per-query probes (VERDICT r3 #7 — one capacity sample
+    ADJACENT to every suite query's timed window, not a single sample at
+    run start) use a smaller spin (~0.5 s, fork pool, safe inside a live
+    Ray session — verified)."""
     import multiprocessing as mp
 
-    n = 3_000_000
     t1 = _spin(n)
     with mp.Pool(n_procs) as p:
         t0 = time.time()
@@ -133,8 +138,16 @@ def read_bench_pages(corpus_dir: str):
                                           "text", "lang"])
 
 
-def run_headline(sf_dir: str, replicate: int, *, passes: int = 2) -> dict:
-    """The flagship: sniff → skew-routed actor-pool extract → rollup."""
+def run_headline(sf_dir: str, replicate: int, *, passes: int = 2,
+                 probe: bool = False) -> dict:
+    """The flagship: sniff → skew-routed actor-pool extract → rollup.
+
+    ``probe=True`` samples effective cores immediately before and after
+    the timed window (VERDICT r3 #7: the probe must describe the timed
+    window, not the run start minutes earlier; truly-concurrent probing
+    would contend with the measured pipeline inside this oversubscribed
+    VM and corrupt both numbers, so adjacent sampling is the honest
+    protocol)."""
     from ray.data.aggregate import Count, Sum
 
     from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
@@ -149,6 +162,7 @@ def run_headline(sf_dir: str, replicate: int, *, passes: int = 2) -> dict:
     warm = read_bench_pages(corpus_dir)
     extract_pages(warm).select_columns(["payload_bytes"]).count()
 
+    eff_before = probe_effective_cores() if probe else None
     # best of two timed runs: the oversubscribed host's capacity dips can
     # halve a single sample (see BASELINE.md); the fastest clean pass is
     # the honest steady-state measure
@@ -165,9 +179,10 @@ def run_headline(sf_dir: str, replicate: int, *, passes: int = 2) -> dict:
                             Sum("payload_bytes", alias_name="bytes"),
                             Sum("n_blocks", alias_name="blocks")))
         wall = min(wall, time.time() - t0)
+    eff_after = probe_effective_cores() if probe else None
     docs = int(stats["docs"])
     mb = stats["bytes"] / 1e6
-    return {
+    out = {
         "wall_sec": round(wall, 3),
         "docs": docs,
         "mb_html": round(mb, 2),
@@ -175,6 +190,10 @@ def run_headline(sf_dir: str, replicate: int, *, passes: int = 2) -> dict:
         "mb_per_sec": round(mb / wall, 2),
         "total_blocks": int(stats["blocks"]),
     }
+    if probe:
+        out["eff_cores_before"] = eff_before
+        out["eff_cores_after"] = eff_after
+    return out
 
 
 def realistic_corpus(n_rows: int, shards: int = 64) -> str:
@@ -227,11 +246,25 @@ def run_realistic(n_rows: int = 30_000) -> dict:
     }
 
 
-def run_query_suite(sf_dir: str) -> dict:
-    """Time the operator-suite pipelines (each consumed to completion)."""
+#: a suite query whose first timing reaches this re-runs once and reports
+#: the min: session-level warmup (worker package imports, kernel pickling)
+#: lands on whichever heavy query runs it first — measured 14.7 s cold vs
+#: 5.3-6.7 s warm for neardup_minhash_lsh in a fresh session at the same
+#: probed capacity — and the bench's documented contract is STEADY-STATE
+#: cost (same reason the headline does a full warmup pass).  Cheap queries
+#: aren't re-run; the bound on extra wall is one repeat of the slow tail.
+RERUN_THRESHOLD_SEC = 3.0
+
+
+def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
+    """Time the operator-suite pipelines (each consumed to completion).
+
+    ``detail`` (if given) collects per-query context: a capacity probe
+    taken immediately before each query's timed window plus the cold
+    first-run seconds when a warm re-run was taken."""
     import __ray_entry__ as entry_mod
     names = ["extract_roundtrip", "extract_spans", "extract_hocr",
-             "pages_dedup_extract",
+             "extract_unlv", "pages_dedup_extract",
              "token_stats", "quality_score", "langid", "fingerprint_md5",
              "dedup_exact", "neardup_minhash_lsh", "neardup_simhash",
              "neardup_cosine", "ann_brute_topk", "ann_ivf_topk",
@@ -247,22 +280,39 @@ def run_query_suite(sf_dir: str) -> dict:
              "lineitem_price_quantiles"]
     qs = entry_mod.queries()
     out = {}
-    for name in names:
+
+    def timed_run(name: str) -> float:
+        import ray.data
         t0 = time.time()
+        res = qs[name](sf_dir)
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        else:
+            len(res)
+        return time.time() - t0
+
+    for name in names:
+        eff = probe_effective_cores(n=1_200_000)
         # a query that CRASHES must report ok:false, never a plausible
         # seconds value — a bench that times failures as successes masks
         # regressions (round-2 lesson: broken tfidf "reported" 4.76 s)
+        t_start = time.time()
         try:
-            import ray.data
-            res = qs[name](sf_dir)
-            if isinstance(res, ray.data.Dataset):
-                res.count()
-            else:
-                len(res)
-            out[name] = round(time.time() - t0, 3)
+            first = timed_run(name)
+            sec = first
+            if first >= RERUN_THRESHOLD_SEC:
+                sec = min(first, timed_run(name))
+            out[name] = round(sec, 3)
+            if detail is not None:
+                d = {"eff_cores": eff}
+                if sec != first:
+                    d["cold_sec"] = round(first, 3)
+                detail[name] = d
         except Exception as e:
-            out[name] = {"sec": round(time.time() - t0, 3), "ok": False,
+            out[name] = {"sec": round(time.time() - t_start, 3), "ok": False,
                          "err": f"{type(e).__name__}: {e}"[:300]}
+            if detail is not None:
+                detail[name] = {"eff_cores": eff}
     return out
 
 
@@ -315,11 +365,13 @@ def main() -> None:
         # scaling children: one timed pass (their wall time is already
         # ~2 min at 4 cpus; both children see identical input and warmup)
         headline = run_headline(SF_DIR, REPLICATE,
-                                passes=1 if child else 2)
+                                passes=1 if child else 2,
+                                probe=not child)
         queries = {"headline_extract": headline}
+        suite_detail: dict = {}
         if not child:
             queries["realistic_extract"] = run_realistic()
-            queries.update(run_query_suite(SF_DIR))
+            queries.update(run_query_suite(SF_DIR, detail=suite_detail))
         total = headline["wall_sec"] + sum(
             v for k, v in queries.items() if isinstance(v, (int, float)))
         print(json.dumps({
@@ -327,6 +379,7 @@ def main() -> None:
             "value": headline["docs_per_sec"],
             "unit": "sec",
             "queries": queries,
+            "suite_detail": suite_detail,
             "total_wall_sec": round(total, 3),
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,

@@ -102,9 +102,36 @@ class ExtractConfig:
     # freeform passthrough, the setVariable analogue; values must be str.
     variables: tuple = field(default_factory=tuple)
 
-    def get_variable(self, name: str, default: str | None = None) -> str | None:
-        """Typed readback analogue (TesseractHandle.getVariable, :224-259)."""
+    def get_variable(self, name: str, default=None, *, type: type = str):
+        """Typed readback — the ``TesseractHandle.getVariable`` analogue
+        (tess4j/TesseractHandle.java:224-259, typed by an exemplar of
+        Integer/Boolean/Double/String; invalid type/value raises
+        ``InvalidParameterException``).
+
+        ``type`` selects the parse (``str`` | ``int`` | ``bool`` |
+        ``float``); a stored value that does not parse as the requested
+        type raises ``ValueError`` (the InvalidParameterException
+        analogue), any other ``type`` raises ``TypeError``.  A missing
+        name returns ``default`` unparsed.  Bool follows the engine's
+        int-backed convention: ``1/true/t/yes`` and ``0/false/f/no``
+        (case-insensitive)."""
         for k, v in self.variables:
             if k == name:
-                return v
+                if type is str:
+                    return v
+                if type is int:
+                    return int(v)
+                if type is float:
+                    return float(v)
+                if type is bool:
+                    lv = v.strip().lower()
+                    if lv in ("1", "true", "t", "yes"):
+                        return True
+                    if lv in ("0", "false", "f", "no"):
+                        return False
+                    raise ValueError(
+                        f"variable {name!r}={v!r} is not a bool")
+                raise TypeError(
+                    f"unsupported readback type {type!r}: expected "
+                    f"str, int, bool, or float")
         return default

@@ -276,7 +276,19 @@ def render_hocr_doc(text: str, spans: list[dict],
     Spans arrive in depth-first reading order (the order ``next(level)``
     visits nodes, BasePageHandle.java:128-134), so a close-to-depth stack
     rebuilds the nesting without consulting ``parent_id``."""
-    text = text or ""
+    return _hocr_render(
+        text or "", range(len(spans)),
+        [s["level"] for s in spans], [s["node_id"] for s in spans],
+        [s["start"] for s in spans], [s["end"] for s in spans],
+        [s.get("confidence", 0.0) for s in spans], include_words)
+
+
+def _hocr_render(text: str, idxs, lvls, nids, sts, ens, confs,
+                 include_words: bool) -> str:
+    """Core over parallel field lists — the batch path feeds these straight
+    from the Arrow struct fields (a whole-column ``to_pylist`` on the
+    nested struct list costs ~35× the rendering itself; per-field
+    primitive ``to_pylist`` is cheap)."""
     out = [f"<div class='ocr_page' id='page_0' "
            f"title='bbox 0 0 {len(text)} 1'>"]
     close: list[str] = []
@@ -285,10 +297,10 @@ def render_hocr_doc(text: str, spans: list[dict],
         while len(close) >= depth:
             out.append(close.pop())
 
-    for s in spans:
-        lvl = s["level"]
+    for i in idxs:
+        lvl = lvls[i]
         close_to(_HOCR_DEPTH[lvl])
-        nid, st, en = s["node_id"], s["start"], s["end"]
+        nid, st, en = nids[i], sts[i], ens[i]
         if lvl == "block":
             out.append(f"<div class='ocr_carea' id='block_{nid}' "
                        f"title='bbox {st} 0 {en} 1'>")
@@ -305,13 +317,23 @@ def render_hocr_doc(text: str, spans: list[dict],
             else:
                 out.append(head + _hocr_esc(text[st:en]) + "</span>")
         elif lvl == "word" and include_words:
-            conf = int(round(float(s["confidence"]) * 100))
+            conf = int(round(float(confs[i]) * 100))
             out.append(f"<span class='ocrx_word' id='word_{nid}' "
                        f"title='bbox {st} 0 {en} 1; x_wconf {conf}'>"
                        + _hocr_esc(text[st:en]) + "</span>")
     close_to(1)
     out.append("</div>")
     return "\n".join(out)
+
+
+def _flat_span_fields(spans_col: pa.ListArray, names: list[str]):
+    """(doc offsets, {field: flat Python list}) for the fields ``names`` —
+    the shared columnar fast path for the string renderers."""
+    import numpy as np
+    flat = pc.list_flatten(spans_col)
+    offs = np.asarray(spans_col.offsets, dtype=np.int64)
+    offs = offs - offs[0]
+    return offs, {n: flat.field(n).to_pylist() for n in names}
 
 
 def hocr_batch(batch: pa.Table, *, include_words: bool = False) -> pa.Table:
@@ -323,9 +345,12 @@ def hocr_batch(batch: pa.Table, *, include_words: bool = False) -> pa.Table:
     if isinstance(spans_col, pa.ChunkedArray):
         spans_col = spans_col.combine_chunks()
     texts = batch["extracted_text"].to_pylist()
-    all_spans = spans_col.to_pylist()
-    docs = [render_hocr_doc(t, sp or [], include_words)
-            for t, sp in zip(texts, all_spans)]
+    offs, f = _flat_span_fields(
+        spans_col, ["level", "node_id", "start", "end", "confidence"])
+    docs = [_hocr_render(texts[d] or "", range(offs[d], offs[d + 1]),
+                         f["level"], f["node_id"], f["start"], f["end"],
+                         f["confidence"], include_words)
+            for d in range(batch.num_rows)]
     return pa.Table.from_arrays(
         [batch["url"].combine_chunks()
          if isinstance(batch["url"], pa.ChunkedArray) else batch["url"],
@@ -356,27 +381,39 @@ def render_unlv_doc(text: str, spans: list[dict], *,
     below ``reject_below`` (0-100 scale) are masked to ``~`` per character
     (the UNLV reject character).  Non-text blocks are skipped entirely —
     UNLV carries recognized text only."""
+    return _unlv_render(
+        text, range(len(spans)),
+        [s["level"] for s in spans], [s["block_type"] for s in spans],
+        [s["start"] for s in spans], [s["end"] for s in spans],
+        [s.get("confidence", 0.0) for s in spans],
+        [s.get("is_subscript", False) for s in spans],
+        [s.get("is_superscript", False) for s in spans], reject_below)
+
+
+def _unlv_render(text: str, idxs, lvls, btypes, sts, ens, confs, subs,
+                 sups, reject_below: float) -> str:
+    """Core over parallel field lists (see :func:`_hocr_render`)."""
     from ..extract.types import BlockType
 
     lines: list[tuple[int, list[str]]] = []      # (block ordinal, words)
     block_i = -1
     in_text_block = False
-    for s in spans:
-        lvl = s["level"]
+    for i in idxs:
+        lvl = lvls[i]
         if lvl == "block":
             block_i += 1
-            in_text_block = BlockType.is_text(s["block_type"])
+            in_text_block = BlockType.is_text(btypes[i])
         elif not in_text_block:
             continue
         elif lvl == "line":
             lines.append((block_i, []))
         elif lvl == "word" and lines:
-            w = text[s["start"]:s["end"]]
-            if float(s["confidence"]) < reject_below:
+            w = text[sts[i]:ens[i]]
+            if float(confs[i]) < reject_below:
                 w = "~" * len(w)
-            if s["is_superscript"]:
+            if sups[i]:
                 w = "^" + w
-            elif s["is_subscript"]:
+            elif subs[i]:
                 w = "_" + w
             lines[-1][1].append(w)
     out: list[str] = []
@@ -396,8 +433,14 @@ def unlv_batch(batch: pa.Table, *, reject_below: float = 0.0) -> pa.Table:
     if isinstance(spans_col, pa.ChunkedArray):
         spans_col = spans_col.combine_chunks()
     texts = batch["extracted_text"].to_pylist()
-    docs = [render_unlv_doc(t, sp or [], reject_below=reject_below)
-            for t, sp in zip(texts, spans_col.to_pylist())]
+    offs, f = _flat_span_fields(
+        spans_col, ["level", "block_type", "start", "end", "confidence",
+                    "is_subscript", "is_superscript"])
+    docs = [_unlv_render(texts[d] or "", range(offs[d], offs[d + 1]),
+                         f["level"], f["block_type"], f["start"], f["end"],
+                         f["confidence"], f["is_subscript"],
+                         f["is_superscript"], reject_below)
+            for d in range(batch.num_rows)]
     return pa.Table.from_arrays(
         [batch["url"].combine_chunks()
          if isinstance(batch["url"], pa.ChunkedArray) else batch["url"],

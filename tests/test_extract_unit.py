@@ -323,3 +323,26 @@ def test_pdf_bad_octal_escape_degrades_gracefully():
            b"BT (Good text here) Tj (bad\\8esc) Tj ET\nendstream\n%%EOF")
     r = extract_pdf(pdf, "en", ExtractConfig())
     assert r.payload_kind == "pdf" and "Good text here" in r.text
+
+
+def test_get_variable_typed_readback():
+    """TesseractHandle.getVariable analogue (tess4j/TesseractHandle.java:
+    224-259): typed parse, InvalidParameterException -> ValueError,
+    unsupported exemplar -> TypeError, missing name -> default."""
+    import pytest
+
+    from org_dharts_dia_tesseract_ray.config import ExtractConfig
+
+    cfg = ExtractConfig(variables=(("psm_hint", "3"), ("debug", "true"),
+                                   ("thresh", "0.65"), ("label", "x")))
+    assert cfg.get_variable("psm_hint", type=int) == 3
+    assert cfg.get_variable("debug", type=bool) is True
+    assert cfg.get_variable("thresh", type=float) == 0.65
+    assert cfg.get_variable("label") == "x"
+    assert cfg.get_variable("missing", 7, type=int) == 7
+    with pytest.raises(ValueError):
+        cfg.get_variable("label", type=int)
+    with pytest.raises(ValueError):
+        cfg.get_variable("label", type=bool)
+    with pytest.raises(TypeError):
+        cfg.get_variable("psm_hint", type=list)
