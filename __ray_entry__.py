@@ -689,6 +689,18 @@ def _q_pagerank(sf_dir: str):
                               node_col="doc_id")
 
 
+def _substr_spans_sql() -> str:
+    from org_dharts_dia_tesseract_ray.functions.substrdedup import (
+        duplicated_spans_sql)
+    return duplicated_spans_sql(w=8)
+
+
+def _substr_clean_sql() -> str:
+    from org_dharts_dia_tesseract_ray.functions.substrdedup import (
+        dedup_substrings_sql)
+    return dedup_substrings_sql(w=8)
+
+
 def _pagerank_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.graph import pagerank_sql
     edges = """
@@ -760,6 +772,28 @@ def _q_neardup_simhash(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.dedup import simhash_pairs
     return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
                          max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _q_dup_substr_spans(sf_dir: str):
+    """Exact-substring dedup (Lee et al. 2021 analogue): maximal cross-doc
+    duplicated 8-token spans via rolling-hash grams + broadcast dup set
+    (functions/substrdedup; decontam-shaped two-pass plan, no text
+    shuffle)."""
+    from org_dharts_dia_tesseract_ray.functions.substrdedup import (
+        duplicated_spans)
+    return duplicated_spans(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            w=8)
+
+
+def _q_dedup_substrings(sf_dir: str):
+    """Removal variant: every token covered by a cross-doc duplicated
+    8-gram cut from the text (single-space rejoin; all occurrences cut —
+    keep-one canonicalization is a policy layer, as in the reference
+    tooling)."""
+    from org_dharts_dia_tesseract_ray.functions.substrdedup import (
+        dedup_substrings)
+    return dedup_substrings(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            w=8)
 
 
 def _q_neardup_jaccard_brute(sf_dir: str):
@@ -1305,6 +1339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _register_by_value()
     return {
         # --- changed in round 4 (oracle or engine touched this round) ---
+        "dup_substr_spans": _q_dup_substr_spans,
+        "dedup_substrings": _q_dedup_substrings,
         "pack_sequences": _q_pack_sequences,
         "corpus_assembly": _q_corpus_assembly,
         "heavy_hitters": _q_heavy_hitters,
@@ -1793,6 +1829,8 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus""",
+        "dup_substr_spans": _substr_spans_sql(),
+        "dedup_substrings": _substr_clean_sql(),
         # Golden-parquet oracles (pinned serial computations over sf0.01;
         # scripts/make_op_goldens.py — the LayoutIteratorTests golden-count
         # philosophy).  The near-dup pair goldens are INDEPENDENT brute-force

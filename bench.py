@@ -266,7 +266,8 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
     names = ["extract_roundtrip", "extract_spans", "extract_hocr",
              "extract_unlv", "pages_dedup_extract",
              "token_stats", "quality_score", "langid", "fingerprint_md5",
-             "dedup_exact", "neardup_minhash_lsh", "neardup_simhash",
+             "dedup_exact", "dedup_substrings",
+             "neardup_minhash_lsh", "neardup_simhash",
              "neardup_cosine", "ann_brute_topk", "ann_ivf_topk",
              "media_decode", "events_latest_per_user", "events_rollup",
              "lineitem_pricing", "tfidf_top_term",

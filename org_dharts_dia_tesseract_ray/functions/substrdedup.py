@@ -1,0 +1,314 @@
+"""Exact-substring deduplication — cross-document duplicated token spans.
+
+The classic pretraining-data cleanup (Lee et al. 2021, "Deduplicating
+Training Data Makes Language Models Better"): any window of ``w`` tokens
+that appears verbatim in more than one document marks a duplicated span;
+maximal runs of marked windows are reported (``duplicated_spans``) or cut
+out of the text (``dedup_substrings``).  Suffix arrays are the batch
+answer; the streaming-friendly equivalent used here is rolling-hash
+w-grams — the same trade the decontamination stage makes
+(``functions/decontam.py``).
+
+Scale shape (the decontam/bloom broadcast pattern, NOT a text shuffle):
+
+1. **Gram pass** — one ``map_batches`` sweep tokenizes (Arrow
+   ``split_pattern_regex``) and rolls a 64-bit polynomial over the token
+   hashes, emitting per-batch-unique ``(gram, min_doc, max_doc)``
+   partials; the only shuffle is this slim 24-byte-per-unique-gram
+   aggregate (same class as exact dedup's digest exchange — the raw text
+   never leaves its block).
+2. **Dup set** — grams with ``min_doc != max_doc`` (seen in ≥2 docs) are
+   collected to the driver and broadcast once via ``ray.put`` (bounded by
+   the corpus's actual duplication volume, exactly like the decontam
+   blocklist and the bloom bitmap; for corpora whose dup set outgrows
+   memory, swap step 3's probe for a ``schema_pinned_join`` on the gram
+   key — the documented escape hatch).
+3. **Mark pass** — a second sweep over the text recomputes gram hashes
+   per batch and probes the sorted dup set (``np.searchsorted``); marked
+   windows merge into maximal spans / a token coverage mask entirely
+   inside the batch (a document's grams never leave its row), so span
+   assembly needs NO shuffle at all.
+
+Determinism: token hashes are ``util._string_hash64`` (the shared
+byte-polynomial + splitmix64), gram hashes a fixed-multiplier polynomial
+over them — whitespace tokens can't contain spaces, so the space-joined
+gram string of the DuckDB oracle is bijective with the token sequence and
+the 64-bit hash stands in for it (collision-free at any plausible scale;
+the oracle would flag one as a row diff).  Within-document repeats are
+deliberately NOT duplicates (cross-doc only, ``count(DISTINCT doc_id) >
+1``); the removal variant cuts EVERY covered occurrence — keep-one
+canonicalization is a policy layer on top, as in the reference tooling.
+
+Reference analogue: the dedup family rows of SURVEY.md §2.5 (set ops);
+the two-pass broadcast shape mirrors ``functions/decontam.py:67``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import _string_hash64
+from .vocab import WS_PATTERN
+
+#: FNV-64 prime — the same multiplier the shared string hash uses.
+_M = np.uint64(1099511628211)
+
+
+def _token_runs(batch: pa.Table, text_col: str):
+    """(flat token hashes, per-token doc row, per-token position-in-doc)
+    for a batch — null-safe (null text contributes no tokens)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(batch[text_col]), WS_PATTERN)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+    n = len(parents)
+    if n == 0:
+        return (np.empty(0, np.uint64), parents,
+                np.empty(0, np.int64))
+    # position within doc: flat index minus the first flat index of the
+    # doc's run (derived from parents, so null rows can't misalign it)
+    starts = np.r_[0, np.flatnonzero(np.diff(parents)) + 1]
+    run_lens = np.diff(np.r_[starts, n])
+    run_start_of = np.repeat(starts, run_lens)
+    pos = np.arange(n, dtype=np.int64) - run_start_of
+    return np.asarray(_string_hash64(flat)), parents, pos
+
+
+def _gram_hashes(h: np.ndarray, parents: np.ndarray, pos: np.ndarray,
+                 w: int):
+    """Rolling polynomial over ``w`` consecutive token hashes; keeps only
+    windows fully inside one document.  Returns (gram, parent_row, pos)."""
+    n = len(h)
+    if n < w:
+        e64 = np.empty(0, np.uint64)
+        e = np.empty(0, np.int64)
+        return e64, e, e
+    width = n - w + 1
+    acc = np.zeros(width, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(w):
+            acc = acc * _M + h[j:j + width]
+    same_doc = parents[:width] == parents[w - 1:w - 1 + width]
+    return acc[same_doc], parents[:width][same_doc], pos[:width][same_doc]
+
+
+def _dup_gram_set(ds, *, w: int, text_col: str, id_col: str) -> np.ndarray:
+    """Sorted uint64 array of gram hashes seen in more than one document."""
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    def partial(b: pa.Table) -> pa.Table:
+        g, rows, _ = _gram_hashes(*_token_runs(b, text_col), w)
+        ids = np.asarray(b[id_col], dtype=np.int64)[rows]
+        t = pa.table({"gram": pa.array(g.view(np.int64), pa.int64()),
+                      "doc": pa.array(ids, pa.int64())})
+        # per-batch combiner: one row per (gram) before the shuffle
+        c = t.group_by("gram").aggregate([("doc", "min"), ("doc", "max")])
+        return pa.table({"gram": c["gram"],
+                         "lo": c["doc_min"].cast(pa.int64()),
+                         "hi": c["doc_max"].cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("gram").aggregate(Min("lo", alias_name="lo"),
+                                      Max("hi", alias_name="hi")))
+    chunks = []
+    # driver reduction is bounded by the corpus's duplication volume: only
+    # cross-doc grams survive the filter below; the full gram stream never
+    # reaches the driver
+    for bt in agg.iter_batches(batch_format="pyarrow"):
+        if bt.num_rows == 0 or "gram" not in bt.column_names:
+            continue
+        g = np.asarray(bt["gram"], dtype=np.int64)
+        lo = np.asarray(bt["lo"], dtype=np.int64)
+        hi = np.asarray(bt["hi"], dtype=np.int64)
+        chunks.append(g[lo != hi])
+    dup = (np.sort(np.concatenate(chunks).view(np.uint64))
+           if chunks else np.empty(0, np.uint64))
+    return dup
+
+
+def _marked_positions(b: pa.Table, dup_sorted: np.ndarray, *, w: int,
+                      text_col: str):
+    """(parent_row, pos) of every window whose gram is in the dup set,
+    plus the per-row token counts (for coverage clamping)."""
+    h, parents, pos = _token_runs(b, text_col)
+    g, rows, p = _gram_hashes(h, parents, pos, w)
+    if len(g) and len(dup_sorted):
+        idx = np.minimum(np.searchsorted(dup_sorted, g),
+                         len(dup_sorted) - 1)
+        hit = dup_sorted[idx] == g
+        rows, p = rows[hit], p[hit]
+    else:
+        rows, p = rows[:0], p[:0]
+    n_toks = np.zeros(b.num_rows, np.int64)
+    if len(parents):
+        uniq, cnt = np.unique(parents, return_counts=True)
+        n_toks[uniq] = cnt
+    return rows, p, n_toks
+
+
+def duplicated_spans(ds, *, w: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """(doc_id, tok_start, tok_end, n_dup_grams) — maximal duplicated
+    spans; [tok_start, tok_end) are 0-based token offsets."""
+    import ray
+    import ray.data
+
+    dup_ref = ray.put(_dup_gram_set(ds, w=w, text_col=text_col,
+                                    id_col=id_col))
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("tok_start", pa.int64()),
+                            ("tok_end", pa.int64()),
+                            ("n_dup_grams", pa.int64())])
+
+    def mark(b: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        rows, p, _ = _marked_positions(b, dup, w=w, text_col=text_col)
+        if len(rows) == 0:
+            return out_schema.empty_table()
+        # maximal islands: break on doc change or coverage gap (> w)
+        brk = np.r_[True, (np.diff(rows) != 0) | (np.diff(p) > w)]
+        grp = np.cumsum(brk) - 1
+        n_grp = int(grp[-1]) + 1
+        starts = p[brk]
+        ends = np.zeros(n_grp, np.int64)
+        np.maximum.at(ends, grp, p + w)
+        counts = np.bincount(grp, minlength=n_grp)
+        ids = np.asarray(b[id_col], dtype=np.int64)[rows[brk]]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "tok_start": pa.array(starts, pa.int64()),
+            "tok_end": pa.array(ends, pa.int64()),
+            "n_dup_grams": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(mark, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def dedup_substrings(ds, *, w: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """(doc_id, clean_text, n_removed) — text with every token covered by a
+    cross-doc duplicated ``w``-gram removed (single-space rejoin; the
+    corpus text is single-spaced already, see the roundtrip oracle)."""
+    import ray
+    import ray.data
+
+    dup_ref = ray.put(_dup_gram_set(ds, w=w, text_col=text_col,
+                                    id_col=id_col))
+
+    def clean(b: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b[text_col]), WS_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        rows, p, n_toks = _marked_positions(b, dup, w=w, text_col=text_col)
+        doc_off = np.r_[0, np.cumsum(n_toks)]
+        total = int(doc_off[-1])
+        # coverage via prefix-sum deltas: +1 at each marked start, -1 at
+        # start+w (full windows never cross a doc boundary)
+        delta = np.zeros(total + 1, np.int64)
+        if len(rows):
+            flat_s = doc_off[rows] + p
+            np.add.at(delta, flat_s, 1)
+            np.add.at(delta, flat_s + w, -1)
+        covered = np.cumsum(delta[:total]) > 0
+        keep = ~covered
+        flat = pc.list_flatten(toks)
+        # rebuild one list of kept tokens per row, then a single
+        # vectorized join — no per-doc Python string assembly
+        parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        kept_counts = np.zeros(b.num_rows, np.int64)
+        if total:
+            np.add.at(kept_counts, parents[keep], 1)
+        offsets = np.r_[0, np.cumsum(kept_counts)]
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            flat.filter(pa.array(keep)) if total else flat)
+        clean_txt = pc.binary_join(kept_list, " ")
+        removed = (n_toks - kept_counts).astype(np.int64)
+        return pa.table({
+            id_col: b[id_col],
+            "clean_text": clean_txt,
+            "n_removed": pa.array(removed, pa.int64()),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+def _gram_cte(w: int, table: str, text_col: str, id_col: str) -> str:
+    return f"""
+toks AS (
+  SELECT {id_col},
+         unnest(regexp_split_to_array(trim({text_col}), '{WS_PATTERN}'))
+           AS tok,
+         CAST(generate_subscripts(
+              regexp_split_to_array(trim({text_col}), '{WS_PATTERN}'), 1)
+           AS BIGINT) - 1 AS pos
+  FROM {table} WHERE {text_col} IS NOT NULL),
+nt AS (SELECT {id_col}, count(*) AS n FROM toks GROUP BY {id_col}),
+grams AS (
+  SELECT t.{id_col}, t.pos,
+         string_agg(tok, ' ') OVER (
+           PARTITION BY {id_col} ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS gram
+  FROM toks t),
+fg AS (SELECT g.{id_col}, g.pos, g.gram
+       FROM grams g JOIN nt USING ({id_col}) WHERE g.pos + {w} <= nt.n),
+dup AS (SELECT gram FROM fg GROUP BY gram
+        HAVING count(DISTINCT {id_col}) > 1),
+marked AS (SELECT {id_col}, pos FROM fg JOIN dup USING (gram))"""
+
+
+def duplicated_spans_sql(w: int = 8, table: str = "documents",
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    return f"""
+WITH {_gram_cte(w, table, text_col, id_col)},
+flg AS (
+  SELECT {id_col}, pos,
+         CASE WHEN pos - lag(pos) OVER (
+                PARTITION BY {id_col} ORDER BY pos) <= {w}
+              THEN 0 ELSE 1 END AS brk
+  FROM marked),
+isl AS (SELECT {id_col}, pos,
+               SUM(brk) OVER (PARTITION BY {id_col} ORDER BY pos) AS grp
+        FROM flg)
+SELECT {id_col}, CAST(MIN(pos) AS BIGINT) AS tok_start,
+       CAST(MAX(pos) + {w} AS BIGINT) AS tok_end,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+FROM isl GROUP BY {id_col}, grp"""
+
+
+def dedup_substrings_sql(w: int = 8, table: str = "documents",
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    return f"""
+WITH {_gram_cte(w, table, text_col, id_col)},
+cover AS (
+  SELECT DISTINCT t.{id_col}, t.pos
+  FROM toks t JOIN marked m ON t.{id_col} = m.{id_col}
+       AND t.pos >= m.pos AND t.pos < m.pos + {w}),
+kept AS (
+  SELECT t.{id_col}, t.pos, t.tok
+  FROM toks t LEFT JOIN cover c ON t.{id_col} = c.{id_col}
+       AND t.pos = c.pos
+  WHERE c.pos IS NULL)
+SELECT d.{id_col},
+       COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+                 FROM kept k WHERE k.{id_col} = d.{id_col}), '')
+         AS clean_text,
+       CAST(COALESCE((SELECT count(*) FROM cover c
+                      WHERE c.{id_col} = d.{id_col}), 0) AS BIGINT)
+         AS n_removed
+FROM {table} d"""

@@ -1812,3 +1812,58 @@ def test_pagerank_empty_node_set_typed(ray_session):
         # columns entirely on empty datasets)
         assert out.schema().names == ["node", "rank"]
         assert out.count() == 0
+
+
+def test_substr_dedup_crafted(ray_session):
+    """Exact-substring dedup on a crafted corpus: a shared 10-token
+    sentence across docs 0/2 is found and cut; a WITHIN-doc repeat is not
+    a duplicate (cross-doc contract); overlapping windows merge into one
+    maximal span; result is partitioning-invariant."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.substrdedup import (
+        dedup_substrings, duplicated_spans)
+    shared = "the quick brown fox jumps over the lazy sleeping dog"  # 10 toks
+    uniq = ["alpha beta gamma delta", "epsilon zeta eta theta"]
+    within = "one two three four five six seven eight"               # 8 toks
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"{uniq[0]} {shared}",
+            f"{within} padding {within}",         # same doc twice only
+            f"{shared} {uniq[1]}",
+            "short text",
+        ], pa.string()),
+    })
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(docs).repartition(parts)
+        spans = (duplicated_spans(ds, w=8).to_pandas()
+                 .sort_values(["doc_id", "tok_start"])
+                 .reset_index(drop=True))
+        # doc 0: shared occupies tokens 4..14 (3 windows merge to one span)
+        # doc 2: tokens 0..10; doc 1/3: nothing
+        assert spans.values.tolist() == [[0, 4, 14, 3], [2, 0, 10, 3]]
+        clean = (dedup_substrings(ds, w=8).to_pandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+        assert clean.loc[0, "clean_text"] == uniq[0]
+        assert clean.loc[0, "n_removed"] == 10
+        assert clean.loc[2, "clean_text"] == uniq[1]
+        assert clean.loc[1, "clean_text"] == f"{within} padding {within}"
+        assert clean.loc[3, "n_removed"] == 0
+
+
+def test_substr_dedup_no_duplicates_and_nulls(ray_session):
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.substrdedup import (
+        dedup_substrings, duplicated_spans)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["just some plain words here", None], pa.string()),
+    })
+    ds = ray.data.from_arrow(docs)
+    assert duplicated_spans(ds, w=8).count() == 0
+    clean = (dedup_substrings(ds, w=8).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    assert clean["clean_text"].tolist() == ["just some plain words here", ""]
+    assert clean["n_removed"].tolist() == [0, 0]
