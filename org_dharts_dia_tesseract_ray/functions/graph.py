@@ -181,15 +181,19 @@ def pagerank_broadcast(nodes_ds, edges_ds, *, iterations: int = 10,
     sufficient-statistics shape).  A host-level web graph has ~10^8
     nodes (a 0.8 GB int64 vector — one `ray.put` object per node per
     round) while the edge table is the 10^12-row big side that stays
-    distributed; each iteration is ONE `map_batches` sweep over the
-    edges emitting per-batch pre-summed sparse contributions, reduced
-    on the driver with `np.add.at` (rows <= batches x distinct dst per
-    batch).  No shuffle at all.  For page-level graphs whose node set
-    exceeds broadcast size, use :func:`pagerank_int`.
+    distributed; each iteration is one sweep over the edge blocks
+    emitting per-block pre-summed sparse contributions, reduced on the
+    driver with `np.add.at` (rows <= blocks x distinct dst per block).
+    No shuffle at all.  For page-level graphs whose node set exceeds
+    broadcast size, use :func:`pagerank_int`.
 
-    Iterating re-consumes the edge Dataset, so it is materialized once
-    up front (standard for iterative jobs; Ray re-executes lineage per
-    consumption otherwise)."""
+    The iteration loop runs as RAW Ray tasks over the materialized edge
+    block refs — one of the few places the Dataset API is the wrong
+    altitude: a per-iteration `map_batches` pipeline pays ~0.3 s of
+    executor startup per round (10+ rounds = seconds of pure overhead)
+    for what is a fixed task fan-out + driver reduce.  The endpoint
+    index (searchsorted positions of src/dst) is also computed ONCE and
+    pinned per block, so each round is just gather/divide/scatter."""
     import ray
 
     id_chunks = [np.asarray(bt[node_col], dtype=np.int64)
@@ -218,48 +222,45 @@ def pagerank_broadcast(nodes_ds, edges_ds, *, iterations: int = 10,
             raise ValueError(f"edge {name} endpoint not in node set")
         return pos
 
-    def deg_pass(b: pa.Table) -> pa.Table:
-        _ids = ray.get(ids_ref)
-        key = _index(_ids, b[src_col], src_col)
-        _index(_ids, b[dst_col], dst_col)   # validate dst up front too
-        j, c = np.unique(key, return_counts=True)
-        return pa.table({"j": pa.array(j, pa.int64()),
-                         "c": pa.array(c.astype(np.int64))})
+    @ray.remote(num_returns=2)
+    def index_block(tbl: pa.Table, ids_arr: np.ndarray):
+        """One-time per-block endpoint indexing (validates both ends).
+        Returns the pinned (src_idx, dst_idx) pair and the block's
+        out-degree partial."""
+        s = _index(ids_arr, tbl[src_col], src_col)
+        d = _index(ids_arr, tbl[dst_col], dst_col)
+        j, c = np.unique(s, return_counts=True)
+        return (np.stack([s, d]).astype(np.int64),
+                (j.astype(np.int64), c.astype(np.int64)))
 
-    def _reduce_into(acc: np.ndarray, ds) -> None:
-        # vectorized driver reduction — iter_batches keeps the rows as
-        # Arrow arrays (take_all's per-row Python dicts would dominate
-        # at host-level node counts)
-        for bt in ds.iter_batches(batch_format="pyarrow"):
-            np.add.at(acc, np.asarray(bt["j"], dtype=np.int64),
-                      np.asarray(bt["c"], dtype=np.int64))
+    @ray.remote
+    def flow_block(sd: np.ndarray, deg_arr: np.ndarray,
+                   rank_arr: np.ndarray):
+        s, d = sd
+        c = rank_arr[s] // deg_arr[s]
+        j, inv = np.unique(d, return_inverse=True)
+        acc = np.zeros(len(j), dtype=np.int64)
+        np.add.at(acc, inv, c)
+        return j, acc
 
+    sd_refs = []
+    deg_futs = []
+    for blk in edges.to_arrow_refs():
+        sd, dp = index_block.remote(blk, ids_ref)
+        sd_refs.append(sd)           # stays in the object store
+        deg_futs.append(dp)          # small partial, reduced on driver
     deg = np.zeros(n, dtype=np.int64)
-    _reduce_into(deg, edges.map_batches(deg_pass, batch_format="pyarrow",
-                                        zero_copy_batch=True))
+    for j, c in ray.get(deg_futs):   # endpoint-validation errors surface here
+        np.add.at(deg, j, c)
     deg_ref = ray.put(deg)
 
     ranks = np.full(n, init_rank, dtype=np.int64)
     for _ in range(iterations):
         rank_ref = ray.put(ranks)
-
-        def flow_pass(b: pa.Table) -> pa.Table:
-            _ids = ray.get(ids_ref)
-            _deg = ray.get(deg_ref)
-            _rank = ray.get(rank_ref)
-            s = _index(_ids, b[src_col], src_col)
-            d = _index(_ids, b[dst_col], dst_col)
-            c = _rank[s] // _deg[s]
-            j, inv = np.unique(d, return_inverse=True)
-            acc = np.zeros(len(j), dtype=np.int64)
-            np.add.at(acc, inv, c)
-            return pa.table({"j": pa.array(j, pa.int64()),
-                             "c": pa.array(acc)})
-
+        futs = [flow_block.remote(sd, deg_ref, rank_ref) for sd in sd_refs]
         inflow = np.zeros(n, dtype=np.int64)
-        _reduce_into(inflow, edges.map_batches(flow_pass,
-                                               batch_format="pyarrow",
-                                               zero_copy_batch=True))
+        for j, c in ray.get(futs):
+            np.add.at(inflow, j, c)
         ranks = base + (damping_pct * inflow) // 100
 
     import ray.data
