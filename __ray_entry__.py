@@ -689,6 +689,12 @@ def _q_pagerank(sf_dir: str):
                               node_col="doc_id")
 
 
+def _quality_buckets_sql() -> str:
+    from org_dharts_dia_tesseract_ray.functions.lm_score import (
+        quality_buckets_sql)
+    return quality_buckets_sql(_UNIGRAM_V)
+
+
 def _substr_spans_sql() -> str:
     from org_dharts_dia_tesseract_ray.functions.substrdedup import (
         duplicated_spans_sql)
@@ -995,6 +1001,19 @@ def _q_unigram_score(sf_dir: str):
     model = build_unigram_model(ds, vocab_size=_UNIGRAM_V)
     return score_unigram(_read(sf_dir, "documents", ["doc_id", "text"]),
                          model)
+
+
+def _q_quality_buckets(sf_dir: str):
+    """CCNet head/middle/tail terciles of the unigram corpus-frequency
+    score: sketch-derived thresholds (exact at oracle scale) + broadcast
+    bucket assignment over a once-materialized slim (id, score) table."""
+    from org_dharts_dia_tesseract_ray.functions.lm_score import (
+        build_unigram_model, quality_buckets, score_unigram)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = build_unigram_model(ds, vocab_size=_UNIGRAM_V)
+    scored = score_unigram(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           model)
+    return quality_buckets(scored)
 
 
 def _q_pack_sequences(sf_dir: str):
@@ -1339,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _register_by_value()
     return {
         # --- changed in round 4 (oracle or engine touched this round) ---
+        "quality_buckets": _q_quality_buckets,
         "dup_substr_spans": _q_dup_substr_spans,
         "dedup_substrings": _q_dedup_substrings,
         "pack_sequences": _q_pack_sequences,
@@ -1829,6 +1849,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus""",
+        "quality_buckets": _quality_buckets_sql(),
         "dup_substr_spans": _substr_spans_sql(),
         "dedup_substrings": _substr_clean_sql(),
         # Golden-parquet oracles (pinned serial computations over sf0.01;

@@ -133,3 +133,82 @@ SELECT d.{id_col},
             ELSE round(s.sum_freq / s.n_tokens * 10000.0) / 10000.0
        END AS mean_freq
 FROM {table} d LEFT JOIN scored s USING ({id_col})"""
+
+
+def quality_buckets(scored_ds, *, id_col: str = "doc_id",
+                    value_col: str = "mean_freq", capacity: int = 65536,
+                    num_partitions: int | None = None):
+    """(id, mean_freq, bucket) — the CCNet head/middle/tail split: corpus
+    tercile thresholds of the unigram score, then a broadcast bucket
+    assignment.
+
+    Thresholds come from the MERGEABLE quantile-summary path
+    (:mod:`qsketch`, constant key — shuffle bounded by capacity, exact at
+    oracle scale per the shared sizing discipline), so the thresholds and
+    the bucketing are both SQL-expressible.  The slim (id, score)
+    projection is materialized ONCE and feeds both the threshold sketch
+    and the assignment pass (the pack_sequences lesson: a twice-consumed
+    lazy upstream re-executes per consumer); ~16 B/doc, the same bounded
+    class as the exact-dedup digest exchange.  Documents with no tokens
+    (null score) land in ``tail`` — CCNet drops them, a policy layer can
+    filter on the bucket.
+    """
+    import numpy as np
+
+    from .qsketch import grouped_quantiles_sketch
+
+    slim = scored_ds.select_columns([id_col, value_col]).materialize()
+
+    def addk(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__k", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    qt = grouped_quantiles_sketch(
+        slim.map_batches(addk, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        key="__k", value_col=value_col, quantiles=(1 / 3, 2 / 3),
+        capacity=capacity, num_partitions=num_partitions)
+    rows = qt.take_all()                      # ≤ 1 row (constant key)
+    t1 = rows[0]["q33"] if rows else None
+    t2 = rows[0]["q66"] if rows else None
+
+    def assign(b: pa.Table) -> pa.Table:
+        mf = b[value_col]
+        arr = np.asarray(mf.to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        isnull = np.isnan(arr)
+        if t1 is None:
+            bucket = np.full(b.num_rows, "tail", dtype=object)
+        else:
+            bucket = np.where(
+                isnull | (arr <= t1), "tail",
+                np.where(arr <= t2, "middle", "head"))
+        return pa.table({
+            id_col: b[id_col],
+            value_col: mf,
+            "bucket": pa.array(bucket.tolist(), pa.string()),
+        })
+
+    return slim.map_batches(assign, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def quality_buckets_sql(vocab_size: int = 65536, *,
+                        table: str = "documents", text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB oracle: unigram score CTE → quantile_cont terciles (same
+    double q literals, same 4 dp half-away rounding) → CASE bucketing."""
+    u = unigram_score_sql(vocab_size, table=table, text_col=text_col,
+                          id_col=id_col)
+    q1, q2 = repr(1 / 3), repr(2 / 3)
+    return f"""
+WITH u AS ({u}),
+thr AS (
+  SELECT round(quantile_cont(mean_freq, {q1}) * 10000.0) / 10000.0 AS t1,
+         round(quantile_cont(mean_freq, {q2}) * 10000.0) / 10000.0 AS t2
+  FROM u)
+SELECT u.{id_col}, u.mean_freq,
+       CASE WHEN u.mean_freq IS NULL OR u.mean_freq <= thr.t1 THEN 'tail'
+            WHEN u.mean_freq <= thr.t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM u, thr"""

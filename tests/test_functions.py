@@ -1867,3 +1867,33 @@ def test_substr_dedup_no_duplicates_and_nulls(ray_session):
              .sort_values("doc_id").reset_index(drop=True))
     assert clean["clean_text"].tolist() == ["just some plain words here", ""]
     assert clean["n_removed"].tolist() == [0, 0]
+
+
+def test_quality_buckets_terciles(ray_session):
+    """CCNet bucketing: tercile thresholds t1=round(q33), t2=round(q66);
+    <= goes down-bucket; nulls land in tail; partitioning-invariant."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.lm_score import (
+        quality_buckets)
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, None]
+    scored = pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "mean_freq": pa.array(vals, pa.float64()),
+    })
+    import numpy as np
+    arr = np.array([v for v in vals if v is not None])
+    t1 = round(float(np.percentile(arr, 100 / 3)), 4)
+    t2 = round(float(np.percentile(arr, 200 / 3)), 4)
+    for parts in (1, 4):
+        ds = ray.data.from_arrow(scored).repartition(parts)
+        out = (quality_buckets(ds).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = ["tail" if v is None or v <= t1
+                else "middle" if v <= t2 else "head" for v in vals]
+        assert out["bucket"].tolist() == want
+    # degenerate: all-null scores -> everything tail
+    nulls = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "mean_freq": pa.array([None, None], pa.float64())})
+    out = quality_buckets(ray.data.from_arrow(nulls)).to_pandas()
+    assert out["bucket"].tolist() == ["tail", "tail"]
