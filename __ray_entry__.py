@@ -1369,6 +1369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "checkpoint_resume": _q_checkpoint_resume,
         "extract_unlv": _q_extract_unlv,
+        "extract_hocr": _q_extract_hocr,
         # --- rewritten in r3, only r02 driver evidence (VERDICT r3 #2) ---
         "dedup_exact": _q_dedup_exact,
         "neardup_minhash_lsh": _q_neardup_minhash,
@@ -1419,7 +1420,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_selector_article": _mode_query("selector_article"),
         "extract_custom_rule": _q_extract_custom_rule,
         "extract_subsup": _q_extract_subsup,
-        "extract_hocr": _q_extract_hocr,
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
         "url_normalize": _q_url_normalize,
