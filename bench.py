@@ -301,11 +301,21 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
         try:
             first = timed_run(name)
             sec = first
+            eff_warm = None
             if first >= RERUN_THRESHOLD_SEC:
-                sec = min(first, timed_run(name))
+                # probe again so the reported (warm) window has its own
+                # adjacent capacity sample, and never let a crashed warm
+                # re-run discard the valid first measurement
+                eff_warm = probe_effective_cores(n=1_200_000)
+                try:
+                    sec = min(first, timed_run(name))
+                except Exception:
+                    sec = first
             out[name] = round(sec, 3)
             if detail is not None:
                 d = {"eff_cores": eff}
+                if eff_warm is not None:
+                    d["eff_cores_warm"] = eff_warm
                 if sec != first:
                     d["cold_sec"] = round(first, 3)
                 detail[name] = d

@@ -24,6 +24,7 @@ additions the north rule asks for, built Ray-Data-first:
 from __future__ import annotations
 
 import math
+import sys
 
 import numpy as np
 import pyarrow as pa
@@ -580,14 +581,20 @@ def simhash_batch(batch: pa.Table, *, k: int = 4, text_col: str = "text",
             # summing ±1 and testing ≥ 0 (ties set the bit in both).
             # counts ≥ 1 always (kgram_hashes_batch contract), so reduceat
             # never sees a repeated boundary.
-            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+            # byteswap on big-endian hosts keeps the byte view (and hence
+            # bit↔column mapping) identical to little-endian — the old
+            # shift-and-mask kernel was endianness-independent and the
+            # signatures are golden-pinned
+            hb = h.byteswap() if sys.byteorder == "big" else h
+            bits = np.unpackbits(hb.view(np.uint8).reshape(-1, 8), axis=1,
                                  bitorder="little")
             ones = np.add.reduceat(bits, offs[i:j] - offs[i], axis=0,
                                    dtype=np.int64)
             nw = np.diff(offs[i:j + 1])
             maj = (2 * ones >= nw[:, None]).astype(np.uint8)
-            out[i:j] = np.packbits(maj, axis=1,
-                                   bitorder="little").view(np.uint64).ravel()
+            packed = np.packbits(maj, axis=1,
+                                 bitorder="little").view(np.uint64).ravel()
+            out[i:j] = packed.byteswap() if sys.byteorder == "big" else packed
             i = j
     return pa.table({id_col: batch[id_col],
                      "simhash": pa.array(out, pa.uint64())})

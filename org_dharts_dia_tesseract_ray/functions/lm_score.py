@@ -158,6 +158,18 @@ def quality_buckets(scored_ds, *, id_col: str = "doc_id",
     from .qsketch import grouped_quantiles_sketch
 
     slim = scored_ds.select_columns([id_col, value_col]).materialize()
+    if slim.count() == 0:
+        # Ray never invokes map_batches UDFs on empty blocks — pin the
+        # 3-column output schema statically (pack_sequences precedent)
+        import ray.data
+
+        from ..util import ds_arrow_schema
+        id_type = ds_arrow_schema(slim).field(id_col).type
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], id_type),
+            value_col: pa.array([], pa.float64()),
+            "bucket": pa.array([], pa.string()),
+        }))
 
     def addk(b: pa.Table) -> pa.Table:
         return b.append_column(

@@ -116,17 +116,25 @@ def _dup_gram_set(ds, *, w: int, text_col: str, id_col: str) -> np.ndarray:
                           zero_copy_batch=True)
            .groupby("gram").aggregate(Min("lo", alias_name="lo"),
                                       Max("hi", alias_name="hi")))
+
+    def dup_only(b: pa.Table) -> pa.Table:
+        # distributed cross-doc filter BEFORE anything streams to the
+        # driver — the unique-gram aggregate is corpus-sized, the
+        # survivors are duplication-sized (groupby empty hash partitions
+        # never reach this UDF; the consumer below re-guards anyway)
+        if b.num_rows == 0 or "gram" not in b.column_names:
+            return pa.table({"gram": pa.array([], pa.int64())})
+        return b.filter(pc.not_equal(b["lo"], b["hi"])).select(["gram"])
+
     chunks = []
     # driver reduction is bounded by the corpus's duplication volume: only
-    # cross-doc grams survive the filter below; the full gram stream never
-    # reaches the driver
-    for bt in agg.iter_batches(batch_format="pyarrow"):
+    # cross-doc grams stream here; the full gram aggregate stays distributed
+    for bt in (agg.map_batches(dup_only, batch_format="pyarrow",
+                               zero_copy_batch=True)
+               .iter_batches(batch_format="pyarrow")):
         if bt.num_rows == 0 or "gram" not in bt.column_names:
             continue
-        g = np.asarray(bt["gram"], dtype=np.int64)
-        lo = np.asarray(bt["lo"], dtype=np.int64)
-        hi = np.asarray(bt["hi"], dtype=np.int64)
-        chunks.append(g[lo != hi])
+        chunks.append(np.asarray(bt["gram"], dtype=np.int64))
     dup = (np.sort(np.concatenate(chunks).view(np.uint64))
            if chunks else np.empty(0, np.uint64))
     return dup
@@ -159,12 +167,19 @@ def duplicated_spans(ds, *, w: int = 8, text_col: str = "text",
     import ray
     import ray.data
 
-    dup_ref = ray.put(_dup_gram_set(ds, w=w, text_col=text_col,
-                                    id_col=id_col))
     out_schema = pa.schema([(id_col, pa.int64()),
                             ("tok_start", pa.int64()),
                             ("tok_end", pa.int64()),
                             ("n_dup_grams", pa.int64())])
+    if ds.count() == 0:
+        # empty input: the mark UDF would never run (Ray skips empty
+        # blocks), leaving the INPUT schema on the output — pin it
+        # statically instead (pack_sequences precedent).  count() on the
+        # usual column-pruned parquet read is metadata-cheap; callers
+        # with expensive lineage should materialize first.
+        return ray.data.from_arrow(out_schema.empty_table())
+    dup_ref = ray.put(_dup_gram_set(ds, w=w, text_col=text_col,
+                                    id_col=id_col))
 
     def mark(b: pa.Table) -> pa.Table:
         dup = ray.get(dup_ref)
@@ -199,6 +214,16 @@ def dedup_substrings(ds, *, w: int = 8, text_col: str = "text",
     import ray
     import ray.data
 
+    if ds.count() == 0:
+        # empty input: pin the 3-column output schema statically (same
+        # hazard + precedent as duplicated_spans above)
+        from ..util import ds_arrow_schema
+        id_type = ds_arrow_schema(ds).field(id_col).type
+        return ray.data.from_arrow(pa.table({
+            id_col: pa.array([], id_type),
+            "clean_text": pa.array([], pa.string()),
+            "n_removed": pa.array([], pa.int64()),
+        }))
     dup_ref = ray.put(_dup_gram_set(ds, w=w, text_col=text_col,
                                     id_col=id_col))
 

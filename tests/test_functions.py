@@ -1897,3 +1897,33 @@ def test_quality_buckets_terciles(ray_session):
                       "mean_freq": pa.array([None, None], pa.float64())})
     out = quality_buckets(ray.data.from_arrow(nulls)).to_pandas()
     assert out["bucket"].tolist() == ["tail", "tail"]
+
+
+def test_substr_dedup_and_buckets_empty_input_typed(ray_session):
+    """Code-review regression: a 0-row input must still yield the
+    documented output schema (Ray never invokes map_batches UDFs on empty
+    blocks — the pack_sequences hazard)."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.lm_score import (
+        quality_buckets)
+    from org_dharts_dia_tesseract_ray.functions.substrdedup import (
+        dedup_substrings, duplicated_spans)
+    empty_docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    out = duplicated_spans(empty_docs, w=8)
+    assert out.schema().names == ["doc_id", "tok_start", "tok_end",
+                                  "n_dup_grams"]
+    assert out.count() == 0
+    out = dedup_substrings(empty_docs, w=8)
+    assert out.schema().names == ["doc_id", "clean_text", "n_removed"]
+    assert out.count() == 0
+    empty_scored = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "mean_freq": pa.array([], pa.float64()),
+    }))
+    out = quality_buckets(empty_scored)
+    assert out.schema().names == ["doc_id", "mean_freq", "bucket"]
+    assert out.count() == 0
