@@ -114,3 +114,24 @@ def run(
     if out_dir is not None:
         combined.write_parquet(out_dir)
     return combined
+
+
+def process_pages(path_or_paths, cfg=None, out_dir: str | None = None,
+                  **extract_kwargs):
+    """One-call multi-document convenience — the ``TessBaseAPIProcessPages``
+    analogue (reference binding /root/reference/src/.../TessAPI.java:481:
+    filename in, all pages recognized, rendered output out).
+
+    ``read_pages → extract_pages`` in one call; with ``out_dir`` the result
+    is also written as partitioned parquet (the "renderer" side of
+    ProcessPages) and the written Dataset is returned for further use.  For
+    resumable long jobs prefer ``state.checkpoint.run_checkpointed`` /
+    ``python -m org_dharts_dia_tesseract_ray.job``, which add partition
+    manifests on top of this same composition.
+    """
+    combined = extract_pages(read_pages(path_or_paths), cfg,
+                             **extract_kwargs)
+    if out_dir is not None:
+        combined.write_parquet(out_dir)
+        return ray.data.read_parquet(out_dir)
+    return combined

@@ -185,3 +185,22 @@ def test_dedup_join_collapses_identical_copies(ray_session):
     ds = ray.data.from_arrow(t).repartition(3)
     out = dedup_pages(ds, strategy="join", num_partitions=2).to_pandas()
     assert sorted(out["url"].tolist()) == ["a", "b"]
+
+
+def test_process_pages_one_call(ray_session, tmp_path):
+    """ProcessPages analogue (TessAPI.java:481): file paths in, extracted
+    table out; with out_dir, parquet is written and re-readable."""
+    import pyarrow.parquet as pq
+
+    from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
+        process_pages)
+    fixture = "/root/repo/fixtures/pages_tiny.parquet"
+    out = process_pages(fixture)
+    n = pq.read_metadata(fixture).num_rows
+    assert out.count() == n
+    assert "extracted_text" in out.schema().names
+    odir = str(tmp_path / "pp_out")
+    written = process_pages(fixture, out_dir=odir)
+    assert written.count() == n
+    import os
+    assert any(f.endswith(".parquet") for f in os.listdir(odir))
