@@ -1312,37 +1312,62 @@ def _q_lineitem_pricing(sf_dir: str):
                        pa.timestamp("us"))
 
     def prep(b: pa.Table) -> pa.Table:
+        # integer fixed-point (cents / basis points) BEFORE the sum: float
+        # Σ price·(1−disc) is order-dependent and at sf0.1 the group sums
+        # land within ~0.005 of a 2-dp rounding boundary, so the quantized
+        # result flips with partitioning — the PageRank integer-exactness
+        # trick makes the sum order-independent and the oracle exact at
+        # every scale (values are 2-dp/4-dp decimals stored as float, so
+        # round() recovers the exact integers)
         b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
-        disc_price = pc.multiply(
-            b["l_extendedprice"],
-            pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        i64 = pa.int64()
+        qty_c = pc.round(pc.multiply(b["l_quantity"].cast(pa.float64()),
+                                     pa.scalar(100.0))).cast(i64)
+        price_c = pc.round(pc.multiply(b["l_extendedprice"],
+                                       pa.scalar(100.0))).cast(i64)
+        disc_bp = pc.round(pc.multiply(b["l_discount"],
+                                       pa.scalar(10000.0))).cast(i64)
+        disc_price_u = pc.multiply(
+            price_c, pc.subtract(pa.scalar(10000, i64), disc_bp))
         return pa.table({
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
-            "l_quantity": b["l_quantity"],
-            "l_extendedprice": b["l_extendedprice"],
-            "disc_price": disc_price,
-            "l_discount": b["l_discount"],
+            "qty_c": qty_c,
+            "price_c": price_c,
+            "disc_price_u": disc_price_u,
+            "disc_bp": disc_bp,
         })
 
     agg = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
            .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("l_extendedprice", alias_name="sum_base_price"),
-                      Sum("disc_price", alias_name="sum_disc_price"),
-                      Sum("l_discount", alias_name="sum_disc"),
+           .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
+                      Sum("price_c", alias_name="sum_price_c"),
+                      Sum("disc_price_u", alias_name="sum_disc_u"),
+                      Sum("disc_bp", alias_name="sum_disc_bp"),
                       Count(alias_name="count_order")))
 
     def quant(b: pa.Table) -> pa.Table:
+        f64 = pa.float64()
+        half_away = "half_towards_infinity"
+        n = b["count_order"].cast(f64)
         return pa.table({
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
-            "sum_qty": _quantize(b["sum_qty"], 100.0),
-            "sum_base_price": _quantize(b["sum_base_price"], 100.0),
-            "sum_disc_price": _quantize(b["sum_disc_price"], 100.0),
-            "avg_disc": _quantize(
-                pc.divide(b["sum_disc"],
-                          b["count_order"].cast(pa.float64())), 1e6),
+            "sum_qty": pc.divide(b["sum_qty_c"].cast(f64),
+                                 pa.scalar(100.0)),
+            "sum_base_price": pc.divide(b["sum_price_c"].cast(f64),
+                                        pa.scalar(100.0)),
+            "sum_disc_price": pc.divide(
+                pc.round(pc.divide(b["sum_disc_u"].cast(f64),
+                                   pa.scalar(10000.0)), 0,
+                         round_mode=half_away),
+                pa.scalar(100.0)),
+            "avg_disc": pc.divide(
+                pc.round(pc.divide(
+                    pc.multiply(b["sum_disc_bp"].cast(f64),
+                                pa.scalar(100.0)), n), 0,
+                         round_mode=half_away),
+                pa.scalar(1e6)),
             "count_order": b["count_order"],
         })
 
@@ -1838,13 +1863,19 @@ FROM orders o LEFT JOIN lineitem l
  AND l.l_shipdate >= o.o_orderdate
  AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
 GROUP BY 1, 2, 3""",
+        # integer fixed-point mirror of the engine's cents/basis-point sums
+        # (float SUMs are order-dependent and flip the 2-dp quantization at
+        # sf0.1 — see _q_lineitem_pricing.prep)
         "lineitem_pricing": f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity) * 100.0) / 100.0 AS sum_qty,
-       round(sum(l_extendedprice) * 100.0) / 100.0 AS sum_base_price,
-       round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0) / 100.0
-         AS sum_disc_price,
-       round(sum(l_discount) / count(*) * 1000000.0) / 1000000.0 AS avg_disc,
+       SUM(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0 AS sum_qty,
+       SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0
+         AS sum_base_price,
+       round(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                 * (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)))
+             / 10000.0) / 100.0 AS sum_disc_price,
+       round(SUM(CAST(round(l_discount * 10000.0) AS BIGINT)) * 100.0
+             / count(*)) / 1000000.0 AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
