@@ -78,6 +78,13 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         if name not in oracles:
             print(f"ok   {name}: rows={len(mine)} (rows-only) [{dt:.1f}s]")
             continue
+        if "op_goldens" in oracles[name] and "sf0.01" not in sf_dir:
+            # golden-parquet oracles are pinned serial runs over sf0.01 —
+            # at any other scale the comparison is meaningless by
+            # construction (the engine result is still executed above)
+            print(f"ok   {name}: rows={len(mine)} (golden pinned at "
+                  f"sf0.01 — value check skipped at this sf) [{dt:.1f}s]")
+            continue
         want = canon(con.sql(oracles[name]).df())
         status = []
         if len(mine) != len(want):
