@@ -1302,6 +1302,69 @@ def _q_approx_distinct_tokens(sf_dir: str):
                                         ["lang", "text"]))
 
 
+def _q_revenue_by_region(sf_dir: str):
+    """TPC-H Q5-flavored multi-hop rollup: lineitem joined through
+    supplier → nation → region.  The three dimension hops COLLAPSE
+    driver-side into one (s_suppkey → r_name) lookup before broadcast
+    (a dim chain is never shuffled — ship one composed map once), then a
+    single `broadcast_lookup` enrich + integer fixed-point revenue sums
+    (the lineitem_pricing cents/bp trick — order-independent, exact SQL
+    oracle at every scale)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from org_dharts_dia_tesseract_ray.functions.joins import (
+        broadcast_lookup)
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    dim = (sup.join(nat, keys="s_nationkey", right_keys="n_nationkey")
+           .join(reg, keys="n_regionkey", right_keys="r_regionkey")
+           .select(["s_suppkey", "r_name"]))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"])
+    enriched = broadcast_lookup(li, ray.data.from_arrow(dim),
+                                key="l_suppkey", dim_key="s_suppkey",
+                                carry={"r_name": "r_name"})
+
+    def prep(b: pa.Table) -> pa.Table:
+        i64 = pa.int64()
+        price_c = pc.round(pc.multiply(b["l_extendedprice"],
+                                       pa.scalar(100.0))).cast(i64)
+        disc_bp = pc.round(pc.multiply(b["l_discount"],
+                                       pa.scalar(10000.0))).cast(i64)
+        return pa.table({
+            "r_name": b["r_name"],
+            "rev_u": pc.multiply(price_c,
+                                 pc.subtract(pa.scalar(10000, i64),
+                                             disc_bp)),
+        })
+
+    agg = (enriched.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+           .groupby("r_name")
+           .aggregate(Sum("rev_u", alias_name="rev_u"),
+                      Count(alias_name="n_items")))
+
+    def quant(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": b["r_name"],
+            "revenue": pc.divide(
+                pc.round(pc.divide(b["rev_u"].cast(pa.float64()),
+                                   pa.scalar(10000.0)), 0,
+                         round_mode="half_towards_infinity"),
+                pa.scalar(100.0)),
+            "n_items": b["n_items"],
+        })
+
+    return agg.map_batches(quant, batch_format="pyarrow")
+
+
 def _q_lineitem_pricing(sf_dir: str):
     from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "lineitem",
@@ -1384,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- changed in round 4 (oracle or engine touched this round) ---
         "quality_buckets": _q_quality_buckets,
+        "revenue_by_region": _q_revenue_by_region,
         "dup_substr_spans": _q_dup_substr_spans,
         "dedup_substrings": _q_dedup_substrings,
         "pack_sequences": _q_pack_sequences,
@@ -1881,6 +1945,17 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus""",
         "quality_buckets": _quality_buckets_sql(),
+        "revenue_by_region": """
+SELECT r_name,
+       round(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                 * (10000 - CAST(round(l_discount * 10000.0) AS BIGINT)))
+             / 10000.0) / 100.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name""",
         "dup_substr_spans": _substr_spans_sql(),
         "dedup_substrings": _substr_clean_sql(),
         # Golden-parquet oracles (pinned serial computations over sf0.01;
