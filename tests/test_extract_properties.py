@@ -184,3 +184,79 @@ def test_fast_tokenizer_fuzz_parity():
         assert a.text == b.text, repr(doc)
         assert [dataclasses.astuple(s) for s in a.spans] == \
                [dataclasses.astuple(s) for s in b.spans], repr(doc)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup kernel vs brute force (functions/substrdedup)
+
+_WORDS = ["aa", "bb", "cc", "dd", "ee"]   # tiny alphabet forces duplicates
+
+
+@st.composite
+def _corpus(draw):
+    n_docs = draw(st.integers(2, 6))
+    return [" ".join(draw(st.lists(st.sampled_from(_WORDS),
+                                   min_size=0, max_size=30)))
+            for _ in range(n_docs)]
+
+
+@given(_corpus(), st.integers(2, 5))
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_substr_marking_matches_brute(texts, w):
+    """Rolling-hash marking == brute-force gram-tuple marking: validates
+    the gram hash (collision-free), window/position arithmetic and the
+    island merge against an independent pure-Python reference."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from org_dharts_dia_tesseract_ray.functions.substrdedup import (
+        _gram_hashes, _token_runs)
+
+    # brute reference (DuckDB tokenization convention: trim + \s+ split,
+    # whitespace-only text yields one "" token)
+    toks = [re.split(r"\s+", t.strip()) for t in texts]
+    gram_docs: dict = {}
+    for d, tt in enumerate(toks):
+        for i in range(len(tt) - w + 1):
+            gram_docs.setdefault(tuple(tt[i:i + w]), set()).add(d)
+    dup_grams = {g for g, ds_ in gram_docs.items() if len(ds_) > 1}
+    want = sorted(
+        (d, i) for d, tt in enumerate(toks)
+        for i in range(len(tt) - w + 1) if tuple(tt[i:i + w]) in dup_grams)
+
+    batch = pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    g, rows, p = _gram_hashes(*_token_runs(batch, "text"), w)
+    docs_of: dict = {}
+    for gv, r in zip(g.tolist(), rows.tolist()):
+        docs_of.setdefault(gv, set()).add(r)
+    dup = {gv for gv, s in docs_of.items() if len(s) > 1}
+    got = sorted((int(r), int(pos)) for gv, r, pos in
+                 zip(g.tolist(), rows.tolist(), p.tolist()) if gv in dup)
+    assert got == want
+
+
+@given(st.integers(0, 2**31), st.integers(1, 80), st.integers(1, 60),
+       st.integers(1, 6), st.sampled_from(["image", "audio", "video"]))
+@settings(max_examples=40, deadline=None)
+def test_synm_codec_roundtrip_property(item_id, w, h, nf, kind):
+    """encode→decode recovers the exact rasters for arbitrary dims/frames;
+    seek_frame agrees with the full decode on every frame."""
+    import numpy as np
+
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        _frame_pixels, decode_media, encode_media, seek_frame)
+    payload = encode_media(item_id, kind, w, h, nf, seed=7)
+    res = decode_media(payload)
+    assert res is not None
+    (dw, dh, dnf), frames, _crc = res
+    assert (dw, dh, dnf) == (w, h, nf)
+    for f in range(nf):
+        want = _frame_pixels(item_id, 7, f, w, h)
+        assert np.array_equal(frames[f], want)
+        assert np.array_equal(seek_frame(payload, f), want)
