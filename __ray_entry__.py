@@ -1162,16 +1162,29 @@ def _q_events_latest(sf_dir: str):
 
 def _q_events_rollup(sf_dir: str):
     from ray.data.aggregate import Count, Sum
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        # integer cents before the sum (order-independent — the
+        # lineitem_pricing scale lesson; value is 2-dp fixed-point)
+        return pa.table({
+            "event_type": b["event_type"],
+            "value_c": pc.round(pc.multiply(
+                b["value"], pa.scalar(100.0))).cast(pa.int64()),
+        })
+
     agg = (_read(sf_dir, "events", ["event_type", "value"])
+           .map_batches(to_cents, batch_format="pyarrow",
+                        zero_copy_batch=True)
            .groupby("event_type")
            .aggregate(Count(alias_name="n_events"),
-                      Sum("value", alias_name="total_value")))
+                      Sum("value_c", alias_name="total_value_c")))
 
     def quant(b: pa.Table) -> pa.Table:
         return pa.table({
             "event_type": b["event_type"],
             "n_events": b["n_events"],
-            "total_value": _quantize(b["total_value"], 100.0),
+            "total_value": pc.divide(b["total_value_c"].cast(pa.float64()),
+                                     pa.scalar(100.0)),
         })
 
     return agg.map_batches(quant, batch_format="pyarrow")
@@ -1885,7 +1898,7 @@ SELECT user_id, event_id, ts FROM (
   FROM events) WHERE rk = 1""",
         "events_rollup": """
 SELECT event_type, count(*) AS n_events,
-       round(sum(value) * 100.0) / 100.0 AS total_value
+       SUM(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS total_value
 FROM events GROUP BY event_type""",
         "events_windowed": _windows_sql("tumbling"),
         "events_sliding_window": _windows_sql("sliding"),

@@ -50,21 +50,28 @@ def tumbling_aggregate(ds, *, width_minutes: int = 60, ts_col: str = "ts",
     width_us = width_minutes * US_PER_MIN
 
     def prep(b: pa.Table) -> pa.Table:
-        return tumbling_window_batch(b, width_us, ts_col)
+        # integer cents BEFORE the sum: float Σvalue is shuffle-order-
+        # dependent and can flip the 2-dp quantization (the
+        # lineitem_pricing scale lesson); values are 2-dp fixed-point by
+        # corpus contract, so round() recovers exact integers
+        b = tumbling_window_batch(b, width_us, ts_col)
+        return b.append_column(
+            "value_c",
+            pc.round(pc.multiply(b[value_col],
+                                 pa.scalar(100.0))).cast(pa.int64()))
 
     agg = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
            .groupby(["window_start", key_col])
            .aggregate(Count(on=ts_col, alias_name="n_events"),
-                      Sum(value_col, alias_name="total_value")))
+                      Sum("value_c", alias_name="total_value_c")))
 
     def quant(b: pa.Table) -> pa.Table:
-        scaled = pc.round(pc.multiply(b["total_value"], pa.scalar(100.0)), 0,
-                          round_mode="half_towards_infinity")
         return pa.table({
             "window_start": b["window_start"],
             key_col: b[key_col],
             "n_events": b["n_events"],
-            "total_value": pc.divide(scaled, pa.scalar(100.0)),
+            "total_value": pc.divide(b["total_value_c"].cast(pa.float64()),
+                                     pa.scalar(100.0)),
         })
 
     return agg.map_batches(quant, batch_format="pyarrow")
@@ -77,7 +84,7 @@ def tumbling_aggregate_sql(width_minutes: int = 60,
 SELECT make_timestamp((epoch_us(ts) // {w}) * {w}) AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value) * 100.0) / 100.0 AS total_value
+       SUM(CAST(round(value * 100.0) AS BIGINT)) / 100.0 AS total_value
 FROM {table}
 GROUP BY 1, 2"""
 
