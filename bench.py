@@ -270,7 +270,8 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              "neardup_minhash_lsh", "neardup_simhash",
              "neardup_cosine", "ann_brute_topk", "ann_ivf_topk",
              "media_decode", "events_latest_per_user", "events_rollup",
-             "lineitem_pricing", "tfidf_top_term",
+             "lineitem_pricing", "revenue_by_region", "quality_buckets",
+             "tfidf_top_term",
              # corpus-assembly / cleanup additions (round 3)
              "pii_redact", "line_filter", "line_dedup", "pack_sequences",
              "unigram_score", "orders_bloom_new", "heavy_hitters",
