@@ -774,6 +774,29 @@ def _q_neardup_clusters(sf_dir: str):
     return neardup_clusters(ids, pairs)
 
 
+def _q_neardup_keep_one(sf_dir: str):
+    """The end-use of the near-dup family: cleaned corpus keeping ONE
+    representative per near-duplicate cluster (the minimum doc_id — the
+    cluster label by construction), i.e. pairs → components → filter
+    doc_id == cluster.  Oracle derives from the independent union-find
+    clusters golden, so this row also pins the keep-one policy."""
+    from org_dharts_dia_tesseract_ray.functions.dedup import (
+        minhash_lsh_pairs, neardup_clusters)
+    ids = _read(sf_dir, "documents", ["doc_id"])
+    pairs = minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
+                              threshold=MINHASH_THRESHOLD)
+    clusters = neardup_clusters(ids, pairs)
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "doc_id" not in b.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return b.filter(pc.equal(b["doc_id"], b["cluster"])).select(
+            ["doc_id"])
+
+    return clusters.map_batches(keep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def _q_neardup_simhash(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.dedup import simhash_pairs
     return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]),
@@ -1476,6 +1499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "neardup_minhash_lsh": _q_neardup_minhash,
         "neardup_clusters": _q_neardup_clusters,
+        "neardup_keep_one": _q_neardup_keep_one,
         "neardup_cosine": _q_neardup_cosine,
         "neardup_cosine_bucketed": _q_neardup_cosine_bucketed,
         "ann_brute_topk": _q_ann_brute,
@@ -1958,6 +1982,9 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF}'
 GROUP BY l_returnflag, l_linestatus""",
         "quality_buckets": _quality_buckets_sql(),
+        "neardup_keep_one": f"""
+SELECT doc_id FROM read_parquet('{_REPO}/fixtures/op_goldens/"""
+        """neardup_clusters.parquet') WHERE doc_id = cluster""",
         "revenue_by_region": """
 SELECT r_name,
        round(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)
