@@ -260,3 +260,62 @@ def test_synm_codec_roundtrip_property(item_id, w, h, nf, kind):
         want = _frame_pixels(item_id, 7, f, w, h)
         assert np.array_equal(frames[f], want)
         assert np.array_equal(seek_frame(payload, f), want)
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs brute force (functions/joins.asof_join)
+
+@st.composite
+def _asof_case(draw):
+    keys = [0, 1, 2]
+    n_l = draw(st.integers(1, 15))
+    n_r = draw(st.integers(0, 15))
+    lk = draw(st.lists(st.sampled_from(keys), min_size=n_l, max_size=n_l))
+    lt = draw(st.lists(st.integers(0, 20), min_size=n_l, max_size=n_l))
+    rk = draw(st.lists(st.sampled_from(keys), min_size=n_r, max_size=n_r))
+    rt = draw(st.lists(st.integers(0, 20), min_size=n_r, max_size=n_r))
+    rv = draw(st.lists(st.integers(-50, 50), min_size=n_r, max_size=n_r))
+    return lk, lt, rk, rt, rv
+
+
+@given(_asof_case(), st.sampled_from(["backward", "forward"]))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_brute(ray_session, case, direction):
+    """Property: asof_join == O(n·m) brute force under the documented
+    contract (at-or-before/after per key, ties on right ts resolve to the
+    MAX value, null when no right row qualifies) — random keys, duplicate
+    timestamps, empty right sides."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.joins import asof_join
+    lk, lt, rk, rt, rv = case
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(lk, pa.int64()), "lts": pa.array(lt, pa.int64()),
+        "row": pa.array(list(range(len(lk))), pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(rk, pa.int64()), "rts": pa.array(rt, pa.int64()),
+        "v": pa.array(rv, pa.float64())}))
+    out = (asof_join(left, right, key="k", left_ts="lts", right_ts="rts",
+                     value_col="v", direction=direction, num_partitions=3)
+           .to_pandas().sort_values("row").reset_index(drop=True))
+
+    want = []
+    for i in range(len(lk)):
+        cand = [rv[j] for j in range(len(rk))
+                if rk[j] == lk[i] and (rt[j] <= lt[i] if direction ==
+                                       "backward" else rt[j] >= lt[i])]
+        if not cand:
+            want.append(None)
+        else:
+            best_ts = (max if direction == "backward" else min)(
+                rt[j] for j in range(len(rk))
+                if rk[j] == lk[i] and (rt[j] <= lt[i] if direction ==
+                                       "backward" else rt[j] >= lt[i]))
+            want.append(float(max(rv[j] for j in range(len(rk))
+                                  if rk[j] == lk[i] and rt[j] == best_ts)))
+    got = [None if x != x else float(x) for x in out["asof_v"].tolist()]
+    assert got == want
