@@ -319,3 +319,56 @@ def test_asof_join_matches_brute(ray_session, case, direction):
                                   if rk[j] == lk[i] and rt[j] == best_ts)))
     got = [None if x != x else float(x) for x in out["asof_v"].tolist()]
     assert got == want
+
+
+@st.composite
+def _session_case(draw):
+    n = draw(st.integers(1, 25))
+    users = draw(st.lists(st.sampled_from([0, 1, 2]), min_size=n,
+                          max_size=n))
+    minutes = draw(st.lists(st.integers(0, 50), min_size=n, max_size=n))
+    return users, minutes
+
+
+@given(_session_case(), st.integers(1, 10))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_sessionize_matches_brute(ray_session, case, gap_minutes):
+    """Property: gap-based sessionization == per-user brute force (sorted
+    by (ts, id); boundary when gap > gap_minutes; 1-based numbering),
+    including duplicate timestamps across and within users."""
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.windows import (US_PER_MIN,
+                                                                sessionize)
+    users, minutes = case
+    n = len(users)
+    ts_us = [m * US_PER_MIN for m in minutes]
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "event_id": pa.array(list(range(n)), pa.int64()),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+    }))
+    out = (sessionize(ds, gap_minutes=gap_minutes, num_partitions=3)
+           .to_pandas().sort_values(["user_id", "session_no"])
+           .reset_index(drop=True))
+
+    gap_us = gap_minutes * US_PER_MIN
+    want = []
+    for u in sorted(set(users)):
+        evs = sorted((ts_us[i], i) for i in range(n) if users[i] == u)
+        sess = []
+        for t, i in evs:
+            if not sess or t - sess[-1][-1][0] > gap_us:
+                sess.append([(t, i)])
+            else:
+                sess[-1].append((t, i))
+        for no, s in enumerate(sess, 1):
+            want.append((u, no, len(s), s[0][0], s[-1][0]))
+    got = [(int(r.user_id), int(r.session_no), int(r.n_events),
+            int(r.session_start.value) // 1000,     # pandas .value is ns
+            int(r.session_end.value) // 1000)
+           for r in out.itertuples()]
+    assert got == want
