@@ -279,7 +279,7 @@ def _asof_case(draw):
 
 
 @given(_asof_case(), st.sampled_from(["backward", "forward"]))
-@settings(max_examples=25, deadline=None,
+@settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 def test_asof_join_matches_brute(ray_session, case, direction):
@@ -331,7 +331,7 @@ def _session_case(draw):
 
 
 @given(_session_case(), st.integers(1, 10))
-@settings(max_examples=25, deadline=None,
+@settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 def test_sessionize_matches_brute(ray_session, case, gap_minutes):
