@@ -451,11 +451,14 @@ def _verify_jaccard_pairs(cand, shing, *, id_col, id_type,
         for i in range(0, len(blobs), 2):
             x = np.frombuffer(blobs[i], dtype=np.uint64)
             y = np.frombuffer(blobs[i + 1], dtype=np.uint64)
-            j = math.floor(jaccard(x, y) * 10000.0 + 0.5) / 10000.0
-            if j >= threshold:
+            raw = jaccard(x, y)
+            # threshold the RAW value (matching jaccard_pairs_brute and
+            # the pinned golden); quantize only the REPORTED column — a
+            # pair at e.g. 0.49998 must not round up across the 0.5 gate
+            if raw >= threshold:
                 ids_a.append(a[i])
                 ids_b.append(b_[i])
-                js.append(j)
+                js.append(math.floor(raw * 10000.0 + 0.5) / 10000.0)
         return pa.table({"id_a": pa.array(ids_a, id_type),
                          "id_b": pa.array(ids_b, id_type),
                          "jaccard": pa.array(js, pa.float64())})
@@ -488,6 +491,14 @@ def jaccard_pairs_brute(ds, *, threshold: float = 0.5, k: int = 8,
     |corpus| Python iterations per row).
     """
     import ray
+
+    # explicit contract: the positional kernel (numpy id compares,
+    # bincount positions) requires integer ids — minhash_lsh_pairs is the
+    # arbitrary-id (and scale) path
+    id_type = ds_arrow_schema(ds).field(id_col).type
+    if not pa.types.is_integer(id_type):
+        raise TypeError("jaccard_pairs_brute requires integer doc ids; "
+                        "use minhash_lsh_pairs for other id types")
 
     idx_rows = ds.select_columns([id_col, text_col]).take_all()
     ids = np.array(sorted(r[id_col] for r in idx_rows), dtype=np.int64)
@@ -601,12 +612,20 @@ def simhash_batch(batch: pa.Table, *, k: int = 4, text_col: str = "text",
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit Hamming distance via SWAR popcount (one pass,
+    ~6 whole-array ops — the 64-round shift-and-mask loop it replaces made
+    64 passes over the candidate array, the simhash verify hot path)."""
     x = np.bitwise_xor(a, b)
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x = x >> np.uint64(1)
-    return cnt
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    with np.errstate(over="ignore"):
+        x = (x * h01) >> np.uint64(56)
+    return x.astype(np.int64)
 
 
 def simhash_pairs(ds, *, max_hamming: int = 3, k: int = 4,
@@ -619,6 +638,12 @@ def simhash_pairs(ds, *, max_hamming: int = 3, k: int = 4,
     on (band, band_val) → vectorized Hamming filter → pair dedup.  Two
     shuffles total; every step Arrow-vectorized.
     """
+    if max_hamming > 3:
+        # the fixed 4×16-bit banding only guarantees a shared band for
+        # distance ≤ 3 (pigeonhole) — a larger radius would silently lose
+        # recall, so refuse instead
+        raise ValueError("simhash_pairs banding supports max_hamming <= 3; "
+                         f"got {max_hamming}")
     if num_partitions is None:
         num_partitions = default_join_partitions()
     id_type = ds_arrow_schema(ds).field(id_col).type

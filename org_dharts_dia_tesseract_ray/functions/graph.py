@@ -121,6 +121,10 @@ def pagerank_int(nodes_ds, edges_ds, *, iterations: int = 10,
     ranks = _pin(nodes_ds.map_batches(init, batch_format="pyarrow",
                                       zero_copy_batch=True), P)
 
+    # the zero-contribution rows are identical every round — pin them once
+    # like edges_deg, or the nodes source re-executes per iteration
+    zeros_pinned = None
+
     def rename_ranks(b: pa.Table) -> pa.Table:
         return pa.table({src_col: b[node_col], "rank": b["rank"]})
 
@@ -159,11 +163,12 @@ def pagerank_int(nodes_ds, edges_ds, *, iterations: int = 10,
             left_schema=pa.schema([(src_col, i64), (dst_col, i64),
                                    ("d", i64)]),
             right_schema=pa.schema([(src_col, i64), ("rank", i64)]))
+        if zeros_pinned is None:
+            zeros_pinned = _pin(nodes_ds.map_batches(
+                zeros, batch_format="pyarrow", zero_copy_batch=True), P)
         inflow_rows = (joined.map_batches(contrib, batch_format="pyarrow",
                                           zero_copy_batch=True)
-                       .union(nodes_ds.map_batches(
-                           zeros, batch_format="pyarrow",
-                           zero_copy_batch=True)))
+                       .union(zeros_pinned))
         ranks = _pin(inflow_rows.groupby(dst_col)
                      .aggregate(Sum("c", alias_name="s"))
                      .map_batches(finish, batch_format="pyarrow",

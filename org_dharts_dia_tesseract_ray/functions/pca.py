@@ -19,12 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 
-def _stack(vec_col) -> np.ndarray:
-    vals = vec_col.to_pylist()
-    if not vals:
-        return np.zeros((0, 0), dtype=np.float64)
-    return np.stack([np.asarray(v, dtype=np.float64) for v in vals])
-
+from .similarity import _stack  # shared vector-column stacking kernel
 
 def fit_pca(ds, *, vec_col: str = "embedding", n_components: int = 8):
     """Two-phase exact PCA fit: streaming sufficient-statistics aggregate →

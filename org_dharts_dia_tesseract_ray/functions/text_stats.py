@@ -176,9 +176,16 @@ def langid_batch(batch: pa.Table, *, text_col: str = "text",
     pred[best_val == 0] = UND
     pred = np.where(np.asarray(cjk) > 0, "zh", pred)
     pred = np.where(np.asarray(arab) > 0, "ar", pred)
+    # null text → null prediction (the SQL oracle's CASE yields NULL when
+    # every count is NULL; without this mask the NaN hit rows argmax to
+    # index 0 and mislabel null docs as the first profile language)
+    valid = np.asarray(pc.is_valid(
+        text.combine_chunks() if isinstance(text, pa.ChunkedArray)
+        else text))
+    out = [p if v else None for p, v in zip(pred.tolist(), valid.tolist())]
     return pa.table({
         id_col: batch[id_col],
-        "pred_lang": pa.array(pred.tolist(), pa.string()),
+        "pred_lang": pa.array(out, pa.string()),
     })
 
 

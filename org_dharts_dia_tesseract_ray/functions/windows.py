@@ -109,6 +109,11 @@ def sliding_aggregate(ds, *, width_minutes: int = 60,
         raise ValueError("width must be a multiple of slide")
 
     def explode(b: pa.Table) -> pa.Table:
+        # drop null timestamps first: np.asarray on int64-with-nulls
+        # yields float64 NaN and the cast back to timestamp crashes the
+        # whole batch; the SQL oracle (generate_series over NULL) and the
+        # tumbling/sessionize siblings drop null-ts rows too
+        b = b.filter(pc.is_valid(b[ts_col]))
         epoch = np.asarray(pc.cast(b[ts_col], pa.int64()))
         last = (epoch // slide_us) * slide_us          # latest window start
         # starts: last - (k-1)*slide .. last, one row per (event, window)
