@@ -43,7 +43,7 @@ from .types import BlockType, ExtractResult, Level, PayloadKind, Span
 # content inside these is dropped entirely (metadata / code, never content)
 _SKIP_TAGS = frozenset({
     "script", "style", "noscript", "template", "svg", "head", "iframe",
-    "object", "embed", "canvas", "select", "option", "datalist",
+    "object", "embed", "canvas", "select", "option", "datalist", "title",
 })
 
 # structural boilerplate containers → everything inside is NOISE
@@ -511,9 +511,9 @@ _TAG_RE = re.compile(
     r"<(?:"
     r"!--.*?--\s*>"                              # comment
     r"|!\[CDATA\[.*?\]\]>"                       # CDATA section
-    r"|(/)\s*([a-zA-Z][a-zA-Z0-9:._-]*)\s*[^>]*>"   # end tag
+    r"|(/)\s*([a-zA-Z][^\t\n\r\f />\x00]*)\s*[^>]*>"   # end tag
     r"|/[^>]*>"                                  # bogus end tag → dropped
-    r"|([a-zA-Z][a-zA-Z0-9:._-]*)"               # start tag name
+    r"|([a-zA-Z][^\t\n\r\f />\x00]*)"            # start tag name
     # quoted value | UNQUOTED value consumed atomically (stdlib consumes
     # [^>\s]* whole, so a quote inside an unquoted value can never open a
     # quoted span) | any other char
@@ -562,9 +562,12 @@ def _role_attr(blob: str):
             return v
     return None
 
+#: raw-content mode exits ONLY at a real close tag (stdlib endtagfind
+#: semantics: parse_endtag in cdata mode treats any other "</..." — e.g.
+#: "</scripty>" or "</script x>" — as DATA and stays in raw mode)
 _CDATA_CLOSE = {
-    "script": re.compile(r"</\s*script", re.I),
-    "style": re.compile(r"</\s*style", re.I),
+    "script": re.compile(r"</\s*script\s*(?=>)", re.I),
+    "style": re.compile(r"</\s*style\s*(?=>)", re.I),
 }
 
 
@@ -786,6 +789,11 @@ def segment_html(text: str, cfg: ExtractConfig) -> list[_Block]:
         for p in paras:
             p.lines = [ln for ln in (_filt(l) for l in p.lines) if ln]
             p.chars = sum(len(l) for l in p.lines)
+            # clamp link mass to the surviving chars: filtering removes
+            # characters without attribution, and a stale link_chars >
+            # chars yields link density > 1 and misclassifies surviving
+            # content paragraphs as NOISE
+            p.link_chars = min(p.link_chars, p.chars)
             p.word_masks = None   # filtering re-segments words
         paras = [p for p in paras if p.lines or not p.is_text]
 

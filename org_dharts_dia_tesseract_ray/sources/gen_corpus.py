@@ -249,11 +249,18 @@ def gen_rows(n_rows: int, seed: int = 42, oversized_bytes: int = 65536):
         family = fam_cycle[i] if i < len(fam_cycle) else rng.choice(weighted)
         lang = rng.choice(_LANGS)
         ts = _EPOCH + _dt.timedelta(seconds=i, microseconds=i % 997)
-        url = f"https://{family}.example.com/{lang}/p{i}"
+
+        def _url(final_lang: str) -> str:
+            # built from the BUILDER's final lang (rtl overrides to "ar"):
+            # the module contract is that ground truth is recoverable from
+            # the url path, so the path segment must match the lang column
+            return f"https://{family}.example.com/{final_lang}/p{i}"
+
         if family == "dup_urls":
             html1, text1, lang = _f_article_nav(rng, lang)
             rng2 = random.Random(f"{seed}:{i}:dup")
             html2, text2, _ = _f_article_nav(rng2, lang)
+            url = _url(lang)
             yield {"url": url, "warc_ts": ts, "html": html1, "text": text1, "lang": lang}
             emitted += 1
             if emitted < n_rows:
@@ -266,7 +273,8 @@ def gen_rows(n_rows: int, seed: int = 42, oversized_bytes: int = 65536):
                 html, text, lang = builder(rng, lang, oversized_bytes)
             else:
                 html, text, lang = builder(rng, lang)
-            yield {"url": url, "warc_ts": ts, "html": html, "text": text, "lang": lang}
+            yield {"url": _url(lang), "warc_ts": ts, "html": html,
+                   "text": text, "lang": lang}
             emitted += 1
         i += 1
 

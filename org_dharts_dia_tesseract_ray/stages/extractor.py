@@ -317,7 +317,10 @@ def _hocr_render(text: str, idxs, lvls, nids, sts, ens, confs,
             else:
                 out.append(head + _hocr_esc(text[st:en]) + "</span>")
         elif lvl == "word" and include_words:
-            conf = int(round(float(confs[i]) * 100))
+            # confidence is already on the hOCR 0-100 scale
+            # (_para_confidence emits 0-100; same scale unlv reject_below
+            # documents) — a further ×100 put x_wconf on 0-10000
+            conf = int(round(float(confs[i])))
             out.append(f"<span class='ocrx_word' id='word_{nid}' "
                        f"title='bbox {st} 0 {en} 1; x_wconf {conf}'>"
                        + _hocr_esc(text[st:en]) + "</span>")

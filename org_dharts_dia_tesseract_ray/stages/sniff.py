@@ -43,10 +43,20 @@ def sniff_batch(batch: pa.Table, *, kinds: bool = False) -> pa.Table:
     out = batch
     cols = [("payload_bytes", nbytes)]
     if kinds:
-        # %PDF- magic in the first 8 bytes
-        head = pc.binary_slice(html, 0, 8)
-        is_pdf = pc.match_substring(head.cast(pa.binary()), b"%PDF-")
-        has_nul = pc.match_substring(html, b"\x00")
+        # mirror extract_one's authoritative sniff: %PDF- magic AFTER a
+        # leading-whitespace strip (the old any-substring-in-8-bytes check
+        # disagreed in both directions: b"xx%PDF-" labeled pdf,
+        # b"    %PDF-" labeled html), and UTF BOMs route to html BEFORE
+        # the NUL heuristic (UTF-16/32 text carries NULs by design)
+        from ..extract.api import _TEXT_BOMS
+        head = pc.binary_slice(html, 0, 64)
+        is_pdf = pc.match_substring_regex(
+            head, pattern="^[ \\t\\r\\n\\x0b\\x0c]*%PDF-")
+        is_bom = pc.starts_with(html, pattern=_TEXT_BOMS[0])
+        for bom in _TEXT_BOMS[1:]:
+            is_bom = pc.or_(is_bom, pc.starts_with(html, pattern=bom))
+        has_nul = pc.and_(pc.match_substring(html, b"\x00"),
+                          pc.invert(is_bom))
         # emptiness on a bounded head slice (binary-safe, no utf8 assumption)
         probe = pc.binary_slice(html, 0, 4096)
         for ws in (b" ", b"\t", b"\r", b"\n", b"\x0b", b"\x0c"):

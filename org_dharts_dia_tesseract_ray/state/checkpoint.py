@@ -26,6 +26,36 @@ from ..config import ExtractConfig
 from ..pipelines import extract_pipeline
 
 
+def _stable_cfg_repr(cfg: "ExtractConfig") -> str:
+    """Dataclass-repr-compatible serialization with a STABLE identity for
+    ``block_rules``: ``repr(cfg)`` embeds each callable's memory address
+    ("<function rule at 0x7f...>"), which changes every process — a resumed
+    job would mismatch every manifest and wipe all finished partitions
+    (and an edited rule landing at a recycled address would falsely
+    match).  Rules are identified by qualname + source hash instead.
+    For rule-free configs the output equals ``repr(cfg)`` exactly, so
+    existing manifests stay valid."""
+    import dataclasses
+    import inspect
+
+    parts = []
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if f.name == "block_rules" and v:
+            ids = []
+            for r in v:
+                try:
+                    src = inspect.getsource(r)
+                except (OSError, TypeError):
+                    src = getattr(r, "__qualname__", repr(r))
+                h = hashlib.sha256(src.encode()).hexdigest()[:16]
+                ids.append(f"{getattr(r, '__qualname__', '?')}:{h}")
+            parts.append(f"block_rules=({', '.join(ids)})")
+        else:
+            parts.append(f"{f.name}={v!r}")
+    return f"{type(cfg).__name__}({', '.join(parts)})"
+
+
 def _fingerprint(files: list[str], cfg_repr: str) -> str:
     h = hashlib.sha256()
     for f in sorted(files):
@@ -91,7 +121,7 @@ def run_checkpointed(
     cfg = cfg or ExtractConfig()
     # write_spans is part of the partition's identity: a partition
     # completed without the spans view must NOT satisfy a run that wants it
-    cfg_repr = repr(cfg) + f":spans={bool(write_spans)}"
+    cfg_repr = _stable_cfg_repr(cfg) + f":spans={bool(write_spans)}"
     os.makedirs(out_dir, exist_ok=True)
     done, skipped, metrics = [], [], {}
 
@@ -128,12 +158,16 @@ def run_checkpointed(
             # sorted: listdir order is filesystem-dependent, and the spans
             # view's row order (hence written bytes) must not vary between
             # runs/machines — part of the byte-identity/resume guarantee
-            written = ray.data.read_parquet(
-                [os.path.join(part_dir, fn)
-                 for fn in sorted(os.listdir(part_dir))
-                 if fn.endswith(".parquet")],
-                columns=["url", "spans"])
-            apply_explode_spans(written).write_parquet(spans_dir)
+            part_files = [os.path.join(part_dir, fn)
+                          for fn in sorted(os.listdir(part_dir))
+                          if fn.endswith(".parquet")]
+            if part_files:
+                # a 0-row shard writes no data files; read_parquet([])
+                # raises, which would wedge the shard forever (crash
+                # before manifest → wiped and re-crashed on every resume)
+                written = ray.data.read_parquet(part_files,
+                                                columns=["url", "spans"])
+                apply_explode_spans(written).write_parquet(spans_dir)
         wall = time.monotonic() - t0
 
         # lineage + metrics from the freshly written partition (cheap read of

@@ -346,3 +346,22 @@ def test_get_variable_typed_readback():
         cfg.get_variable("label", type=bool)
     with pytest.raises(TypeError):
         cfg.get_variable("psm_hint", type=list)
+
+
+def test_sniff_advisory_matches_authoritative():
+    """Code-review regression: the vectorized advisory payload_kind must
+    agree with extract_one's authoritative sniff_kind on every routing
+    family (lstrip'd PDF magic, mid-payload %PDF- is NOT pdf, BOM text
+    with NULs is html, NUL junk is error, whitespace/None are empty)."""
+    import pyarrow as pa
+
+    from org_dharts_dia_tesseract_ray.extract.api import sniff_kind
+    from org_dharts_dia_tesseract_ray.stages.sniff import sniff_batch
+
+    payloads = [b"  %PDF-1.4 x", b"xx%PDF-", b"%PDF-abc",
+                b"\xff\xfet\x00e\x00x\x00t\x00", b"<html>x</html>",
+                b"bin\x00junk", b"   ", None, b"\t\n%PDF-",
+                b"\xef\xbb\xbfplain utf8 bom"]
+    t = pa.table({"html": pa.array(payloads, pa.binary())})
+    adv = sniff_batch(t, kinds=True)["payload_kind"].to_pylist()
+    assert adv == [sniff_kind(p) for p in payloads]

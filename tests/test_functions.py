@@ -819,6 +819,10 @@ def test_hocr_rendering_structure():
     # word-level rendering nests words inside lines with confidences
     hocr_w = render_hocr_doc(res.text, spans, include_words=True)
     assert "x_wconf" in hocr_w and "ocrx_word" in hocr_w
+    # x_wconf is on the hOCR 0-100 scale (confidences are already 0-100)
+    import re as _re
+    wconfs = [int(x) for x in _re.findall(r"x_wconf (\d+)", hocr_w)]
+    assert wconfs and all(0 <= c <= 100 for c in wconfs)
 
 
 def _unlv_spans(res):
