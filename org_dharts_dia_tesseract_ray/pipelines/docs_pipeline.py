@@ -53,7 +53,14 @@ def make_pdf_payload(doc_id: int, text: str, *, flate: bool = False) -> bytes:
     """Minimal deterministic PDF: one content stream, one BT/ET text object,
     heading + body as two Tj lines (the shape pdf_extract.py §scope covers).
     ``flate=True`` wraps the stream in FlateDecode (zlib level fixed at 6 so
-    bytes are reproducible)."""
+    bytes are reproducible).
+
+    NOTE: ``sources/gen_corpus.make_pdf`` emits the same minimal-PDF shape
+    for the fixture corpus; both byte layouts are pinned by oracles/goldens
+    (mixed_pdf SQL here, golden parquet there), so they deliberately stay
+    separate rather than sharing a writer whose refactor would shift both
+    pinned families at once — keep their escaping/framing rules in sync by
+    hand when touching either."""
     import zlib
     content = (f"BT (Doc {doc_id}) Tj ({_pdf_escape(text)}) Tj ET"
                ).encode("latin-1")
