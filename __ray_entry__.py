@@ -22,8 +22,10 @@ from typing import Any
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
-os.environ["PYTHONPATH"] = (_REPO + os.pathsep
-                            + os.environ.get("PYTHONPATH", ""))
+_prev_pp = os.environ.get("PYTHONPATH")
+# no trailing empty entry: "repo:" would put each WORKER's cwd on sys.path
+os.environ["PYTHONPATH"] = (_REPO if not _prev_pp
+                            else _REPO + os.pathsep + _prev_pp)
 
 import numpy as np          # noqa: E402
 import pyarrow as pa        # noqa: E402
@@ -55,13 +57,6 @@ def _read(sf_dir: str, table: str, columns=None):
     import ray.data
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
                                  columns=columns)
-
-
-def _quantize(col, scale: float):
-    return pc.divide(
-        pc.round(pc.multiply(col.cast(pa.float64()), pa.scalar(scale)), 0,
-                 round_mode="half_towards_infinity"),
-        pa.scalar(scale))
 
 
 def _query_matrix(sf_dir: str, nq: int = NUM_ANN_QUERIES):
@@ -642,15 +637,21 @@ def _q_warc_roundtrip(sf_dir: str):
     # harness processes run the same sf_dir concurrently (reader of one
     # vs rewriter of the other on the same shard files)
     import tempfile
+    import shutil
     out_dir = tempfile.mkdtemp(prefix="graft_warc_roundtrip_")
-    paths = write_warc(pages, out_dir, shards=8)
-    ds = read_warc(paths)
+    try:
+        paths = write_warc(pages, out_dir, shards=8)
+        ds = read_warc(paths)
 
-    def project(b: pa.Table) -> pa.Table:
-        return b.select(["url", "text", "lang"])
+        def project(b: pa.Table) -> pa.Table:
+            return b.select(["url", "text", "lang"])
 
-    return ds.map_batches(project, batch_format="pyarrow",
-                          zero_copy_batch=True)
+        # materialize so the scratch WARC shards can be removed — a lazy
+        # return leaked one corpus-sized /tmp dir per harness invocation
+        return ds.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 _PR_ITERS = 10

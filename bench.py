@@ -27,7 +27,10 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
-os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+_prev_pp = os.environ.get("PYTHONPATH")
+# no trailing empty entry: "repo:" would put each worker's cwd on sys.path
+os.environ["PYTHONPATH"] = (REPO if not _prev_pp
+                            else REPO + os.pathsep + _prev_pp)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -37,7 +40,11 @@ REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "60"))
 # Ray's own service threads — scaling is then measured on the pipeline, not
 # on whole-machine saturation artifacts.
 SCALING_CPUS = [int(x) for x in
-                os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")]
+                os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
+                if x.strip()]
+if len(SCALING_CPUS) != 2 or SCALING_CPUS[0] >= SCALING_CPUS[1]:
+    raise SystemExit("GRAFT_SCALING_CPUS must be 'LO,HI' with LO < HI "
+                     f"(got {os.environ.get('GRAFT_SCALING_CPUS')!r})")
 
 
 def _spin(n: int) -> float:
@@ -114,10 +121,11 @@ def bench_corpus(sf_dir: str, replicate: int, *, files: int = 64) -> str:
         shutil.rmtree(out_dir)
 
     def amplify(batch: pa.Table) -> pa.Table:
+        t = wrap_documents_batch(batch)      # deterministic — wrap ONCE
+        base_urls = t["url"].to_pylist()
         outs = []
         for r in range(replicate):
-            t = wrap_documents_batch(batch)
-            urls = [f"{u}#r{r}" for u in t["url"].to_pylist()]
+            urls = [f"{u}#r{r}" for u in base_urls]
             outs.append(t.set_column(0, "url", pa.array(urls, pa.string())))
         return pa.concat_tables(outs)
 
@@ -343,7 +351,14 @@ def main() -> None:
                        GRAFT_BENCH_SCALING_CHILD="1")
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling"],
-                env=env, capture_output=True, text=True, check=True)
+                env=env, capture_output=True, text=True)
+            if proc.returncode != 0:
+                # surface the child's traceback — CalledProcessError would
+                # discard the captured stderr
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(
+                    f"scaling child (num_cpus={cpus}) failed "
+                    f"rc={proc.returncode}")
             line = [l for l in proc.stdout.splitlines()
                     if l.startswith("{")][-1]
             results[cpus] = json.loads(line)
@@ -384,8 +399,14 @@ def main() -> None:
         if not child:
             queries["realistic_extract"] = run_realistic()
             queries.update(run_query_suite(SF_DIR, detail=suite_detail))
-        total = headline["wall_sec"] + sum(
-            v for k, v in queries.items() if isinstance(v, (int, float)))
+        def _secs(v):
+            if isinstance(v, (int, float)):
+                return v
+            if isinstance(v, dict):
+                return v.get("wall_sec") or v.get("sec") or 0.0
+            return 0.0
+
+        total = sum(_secs(v) for v in queries.values())
         print(json.dumps({
             "metric": "extract_throughput_docs_per_sec",
             "value": headline["docs_per_sec"],

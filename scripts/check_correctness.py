@@ -64,6 +64,11 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     if only:
+        unknown = sorted(set(only) - set(qs))
+        if unknown:
+            # a typo'd name must FAIL, not silently check 0 queries
+            print(f"ERROR: unknown query name(s): {unknown}")
+            return 1
         qs = {k: v for k, v in qs.items() if k in only}
     n_fail = 0
     for name, fn in qs.items():

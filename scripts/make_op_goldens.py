@@ -35,8 +35,12 @@ sys.path.insert(0, REPO)
 SF_DIR = "/root/testdata/sf0.01"
 OUT = os.path.join(REPO, "fixtures", "op_goldens")
 
-MINHASH_THRESHOLD = 0.5
-SIMHASH_MAX_HAMMING = 3
+# imported from the harness so golden parameters can never drift from the
+# query parameters they pin
+import __ray_entry__ as _entry  # noqa: E402
+
+MINHASH_THRESHOLD = _entry.MINHASH_THRESHOLD
+SIMHASH_MAX_HAMMING = _entry.SIMHASH_MAX_HAMMING
 
 
 def _docs() -> pa.Table:
@@ -51,8 +55,14 @@ def g_winnow() -> pa.Table:
     return t.select(["doc_id", "n_fp", "min_fp"])
 
 
+_BRUTE_CACHE: dict = {}
+
+
 def _brute_jaccard_pairs(k: int = 8) -> pa.Table:
-    """Independent brute force: all-pairs exact Jaccard over shingle sets."""
+    """Independent brute force: all-pairs exact Jaccard over shingle sets.
+    Memoized — three goldens derive from the same O(n²) pair set."""
+    if k in _BRUTE_CACHE:
+        return _BRUTE_CACHE[k]
     from org_dharts_dia_tesseract_ray.functions.dedup import (jaccard,
                                                               shingle_set)
     t = _docs()
@@ -68,9 +78,11 @@ def _brute_jaccard_pairs(k: int = 8) -> pa.Table:
                 a_out.append(ids[i])
                 b_out.append(ids[j])
                 js.append(math.floor(jac * 10000.0 + 0.5) / 10000.0)
-    return pa.table({"id_a": pa.array(a_out, pa.int64()),
-                     "id_b": pa.array(b_out, pa.int64()),
-                     "jaccard": pa.array(js, pa.float64())})
+    t = pa.table({"id_a": pa.array(a_out, pa.int64()),
+                  "id_b": pa.array(b_out, pa.int64()),
+                  "jaccard": pa.array(js, pa.float64())})
+    _BRUTE_CACHE[k] = t
+    return t
 
 
 def g_minhash_pairs() -> pa.Table:
