@@ -265,6 +265,44 @@ def _q_extract_subsup(sf_dir: str):
                              zero_copy_batch=True)
 
 
+def _q_extract_font_attrs(sf_dir: str):
+    """I11 FontAttributes analogue (FontAttributes.java:28-59,
+    RecognitionResultsIterator.java:100-125): the font-wrapped corpus yields
+    exactly five font-flagged words per document (bold / italic / underlined
+    / monospace / nested bold-italic), derived from DOM inline markup."""
+    import pyarrow.compute as _pc
+
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        pages_from_documents)
+    from org_dharts_dia_tesseract_ray.pipelines.extract_pipeline import (
+        extract_pages, spans_view)
+    spans = spans_view(extract_pages(pages_from_documents(sf_dir,
+                                                          font_attrs=True)))
+
+    def flagged(b: pa.Table) -> pa.Table:
+        m = _pc.and_(_pc.equal(b["level"], "word"),
+                     _pc.not_equal(b["font_mask"], 0))
+        t = b.filter(m)
+        fm = t["font_mask"]
+
+        def bit(v: int):
+            return _pc.not_equal(
+                _pc.bit_wise_and(fm, pa.scalar(v, pa.uint8())), 0)
+
+        return pa.table({
+            "url": t["url"],
+            "start": t["start"],
+            "end": t["end"],
+            "is_bold": bit(1),
+            "is_italic": bit(2),
+            "is_underlined": bit(4),
+            "is_monospace": bit(8),
+        })
+
+    return spans.map_batches(flagged, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def _q_extract_custom_rule(sf_dir: str):
     """BlockRule extension surface (PageItemFactory/CloseListener
     analogue): a user rule re-types heading blocks to caption_text; the
@@ -1483,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _register_by_value()
     return {
         # --- changed in round 4 (oracle or engine touched this round) ---
+        "extract_font_attrs": _q_extract_font_attrs,
         "quality_buckets": _q_quality_buckets,
         "revenue_by_region": _q_revenue_by_region,
         "dup_substr_spans": _q_dup_substr_spans,
@@ -1833,9 +1872,10 @@ def oracle_sql() -> dict[str, str]:
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
         roundtrip_spans_sql, roundtrip_sql)
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
-        boxes_sql, hocr_sql, mixed_pdf_sql, mode_sql, subsup_words_sql,
-        unlv_sql)
+        boxes_sql, font_words_sql, hocr_sql, mixed_pdf_sql, mode_sql,
+        subsup_words_sql, unlv_sql)
     return {
+        "extract_font_attrs": font_words_sql(),
         "extract_hocr": hocr_sql(),
         "extract_unlv": unlv_sql(),
         "extract_roundtrip": roundtrip_sql(),

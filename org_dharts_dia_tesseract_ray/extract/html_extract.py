@@ -75,6 +75,17 @@ _ANCHOR_RESET_TAGS = frozenset({
 _WS_RE = re.compile(r"\s+")   # \s matches NBSP etc. on str in Python 3
 _NONWS_RE = re.compile(r"\S+")
 
+#: inline font-attribute tags → word-mask bits (FontAttributes.java:28-59
+#: analogue; bits 2..5 of the word mask, above 1=sub / 2=sup).  The mask is
+#: maintained incrementally (_upd_mask) so handle_data stays one attribute
+#: read; ``<pre>`` contributes the monospace bit via the same update hook.
+_FONT_BITS = {
+    "b": 4, "strong": 4,
+    "i": 8, "em": 8,
+    "u": 16, "ins": 16,
+    "code": 32, "tt": 32, "kbd": 32, "samp": 32,
+}
+
 #: skip tags that never nest in themselves — a second opening implies the
 #: first closed (browsers auto-close; an unclosed <option> must not poison
 #: the skip state and silently swallow the rest of the document)
@@ -121,8 +132,9 @@ class _Para:
     link_chars: int = 0    # normalized chars inside <a>
     inline_tags: int = 0   # inline tags opened while para open (density input)
     in_selector: bool = True
-    # per-line word sub/sup bitmasks (1=sub, 2=sup), parallel to ``lines``;
-    # None when the paragraph contains no <sub>/<sup> (the common fast path)
+    # per-line word bitmasks (1=sub, 2=sup, 4..32 = _FONT_BITS font
+    # attributes), parallel to ``lines``; None when the paragraph contains
+    # no masked content (the common fast path)
     word_masks: list | None = None
     # classic dropcap markup detected: the paragraph's first text node is a
     # single uppercase letter split out of its word by an inline element
@@ -153,6 +165,10 @@ class _SegmentingParser(HTMLParser):
         self._inline_tags = 0
         self._sub = 0
         self._sup = 0
+        # per-bit open-tag depths for the font-attribute bits (keyed by the
+        # _FONT_BITS bit value) and the current combined word mask
+        self._font = {4: 0, 8: 0, 16: 0, 32: 0}
+        self._mask = 0
         # nesting state: skip tracked as a STACK of open skip tags so that
         # malformed nesting (unclosed <option>, omitted </head>) can apply
         # implied-close rules instead of poisoning a counter forever
@@ -294,6 +310,15 @@ class _SegmentingParser(HTMLParser):
         self.__dict__["_ob"] = self._boiler > 0
         self.__dict__["_os"] = self._selector > 0
 
+    def _upd_mask(self) -> None:
+        """Recompute the combined word mask after any sub/sup/font/pre
+        counter change — handle_data then reads one attribute."""
+        f = self._font
+        self._mask = ((1 if self._sub else 0) | (2 if self._sup else 0)
+                      | (4 if f[4] else 0) | (8 if f[8] else 0)
+                      | (16 if f[16] else 0)
+                      | (32 if f[32] or self._pre else 0))
+
     # -- non-text emissions -------------------------------------------------
 
     def _emit_nontext(self, kind: str, subtype: str) -> None:
@@ -350,8 +375,11 @@ class _SegmentingParser(HTMLParser):
                 self._link = 0
                 self._sub = 0
                 self._sup = 0
+                self._font = {4: 0, 8: 0, 16: 0, 32: 0}
+                self._upd_mask()
             if tag == "pre":
                 self._pre += 1
+                self._upd_mask()
             role = ""
             for k, v in attrs:
                 if k == "role" and v:
@@ -377,8 +405,13 @@ class _SegmentingParser(HTMLParser):
             self._link = 1
         elif tag == "sub":
             self._sub += 1
+            self._upd_mask()
         elif tag == "sup":
             self._sup += 1
+            self._upd_mask()
+        elif tag in _FONT_BITS:
+            self._font[_FONT_BITS[tag]] += 1
+            self._upd_mask()
         self._inline_tags += 1
         if self._items:
             # element-boundary marker: distinguishes markup-split text
@@ -406,12 +439,15 @@ class _SegmentingParser(HTMLParser):
             return
         if self._pre and tag == "pre":
             self._pre -= 1
+            self._upd_mask()
         if tag in _FLUSH_TAGS:
             self._flush()
             if tag in _ANCHOR_RESET_TAGS:
                 self._link = 0
                 self._sub = 0
                 self._sup = 0
+                self._font = {4: 0, 8: 0, 16: 0, 32: 0}
+                self._upd_mask()
             if tag in _BOILER_TAGS and self._boiler:
                 # pop matching boiler container if present
                 for i in range(len(self._group_stack) - 1, -1, -1):
@@ -435,8 +471,14 @@ class _SegmentingParser(HTMLParser):
                 self._link = max(0, self._link - 1)
             elif tag == "sub":
                 self._sub = max(0, self._sub - 1)
+                self._upd_mask()
             elif tag == "sup":
                 self._sup = max(0, self._sup - 1)
+                self._upd_mask()
+            elif tag in _FONT_BITS:
+                bit = _FONT_BITS[tag]
+                self._font[bit] = max(0, self._font[bit] - 1)
+                self._upd_mask()
             if self._items:
                 self._items.append(("tb",))
         if self.selector_tag and tag == self.selector_tag:
@@ -457,7 +499,7 @@ class _SegmentingParser(HTMLParser):
             self.__dict__["_os"] = self._selector > 0
             if "_og" not in self.__dict__ or self.__dict__["_og"] is None:
                 self.__dict__["_og"] = ("flow",)
-        mask = (1 if self._sub else 0) | (2 if self._sup else 0)
+        mask = self._mask
         if "\n" in data and self._pre:
             parts = data.split("\n")
             for i, part in enumerate(parts):
@@ -905,7 +947,8 @@ def assemble(blocks: list[_Block], lang: str | None, cfg: ExtractConfig) -> Extr
                             spans.append(Span(nid(), lid, Level.WORD, blk.btype,
                                               offset + pos, offset + pos + len(w),
                                               conf, pspan.text_density, pspan.link_density,
-                                              bool(m & 1), bool(m & 2), drop))
+                                              bool(m & 1), bool(m & 2), drop,
+                                              m >> 2))
                         pos += len(w) + 1
                 parts.append(line)
                 offset += len(line)

@@ -106,6 +106,15 @@ class Span:
     is_subscript: bool = False
     is_superscript: bool = False
     is_dropcap: bool = False
+    # Word font attributes — the ``FontAttributes`` analogue
+    # (FontAttributes.java:28-59 / RecognitionResultsIterator.java:100-125)
+    # re-derived from DOM inline markup instead of glyph classification.
+    # Packed bitmask: 1=bold (<b>/<strong>), 2=italic (<i>/<em>),
+    # 4=underlined (<u>/<ins>), 8=monospace (<code>/<tt>/<kbd>/<samp> or
+    # inside <pre>).  serif/smallcaps/pointsize/fontId have no DOM signal
+    # (CSS-driven, invisible here — documented divergence); pointsize's
+    # closest analogue is the heading block type.
+    font_mask: int = 0
 
 
 @dataclass

@@ -107,6 +107,25 @@ def wrap_documents_batch_subsup(batch: pa.Table) -> pa.Table:
     return t.set_column(2, "html", pa.array(html, pa.binary()))
 
 
+#: template variant whose body paragraph carries the four DOM-expressible
+#: font attributes plus one nested bold-italic word — the fixture for the
+#: FontAttributes analogue (I11; FontAttributes.java:28-59,
+#: RecognitionResultsIterator.java:100-125)
+_TEMPLATE_FONTATTRS = _TEMPLATE.replace(
+    "<p>{text}</p>",
+    "<p>{text} <b>bold1</b> <i>ital1</i> <u>under1</u> "
+    "<code>mono1</code> <b><i>bi1</i></b></p>")
+
+
+def wrap_documents_batch_fontattrs(batch: pa.Table) -> pa.Table:
+    t = wrap_documents_batch(batch)
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    html = [_TEMPLATE_FONTATTRS.format(id=i, text=x).encode("utf-8")
+            for i, x in zip(ids, texts)]
+    return t.set_column(2, "html", pa.array(html, pa.binary()))
+
+
 def wrap_documents_batch_dup(batch: pa.Table) -> pa.Table:
     """TWO captures per url: the original page at warc_ts, and a revised
     page ('rev2 ' prefixed body) one hour later — the Common-Crawl
@@ -131,13 +150,15 @@ def wrap_documents_batch_dup(batch: pa.Table) -> pa.Table:
 
 
 def pages_from_documents(sf_dir: str, *, mixed_pdf: bool = False,
-                         subsup: bool = False, dup_captures: bool = False):
+                         subsup: bool = False, dup_captures: bool = False,
+                         font_attrs: bool = False):
     """documents.parquet → pages Dataset (lazy, streaming)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
     fn = (wrap_documents_batch_mixed if mixed_pdf
           else wrap_documents_batch_subsup if subsup
           else wrap_documents_batch_dup if dup_captures
+          else wrap_documents_batch_fontattrs if font_attrs
           else wrap_documents_batch)
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -311,3 +332,30 @@ SELECT 'https://corpus.test/doc/' || doc_id AS url,
        CAST({base} + 12 AS BIGINT) AS "end",
        FALSE, TRUE
 FROM {table}"""
+
+
+def font_words_sql(table: str = "documents") -> str:
+    """Oracle for the FontAttributes fixture (I11): the wrapped body is
+    ``text || ' bold1 ital1 under1 mono1 bi1'`` — one word per DOM font
+    attribute plus a nested bold-italic word, at offsets computable from
+    the template."""
+    base = "6 + length(CAST(doc_id AS VARCHAR)) + length(text)"
+    url = "'https://corpus.test/doc/' || doc_id"
+    rows = [
+        # (start offset, end offset, bold, italic, underlined, monospace)
+        (1, 6, "TRUE", "FALSE", "FALSE", "FALSE"),       # bold1
+        (7, 12, "FALSE", "TRUE", "FALSE", "FALSE"),      # ital1
+        (13, 19, "FALSE", "FALSE", "TRUE", "FALSE"),     # under1
+        (20, 25, "FALSE", "FALSE", "FALSE", "TRUE"),     # mono1
+        (26, 29, "TRUE", "TRUE", "FALSE", "FALSE"),      # bi1 (nested)
+    ]
+    parts = [
+        f"""SELECT {url} AS url,
+       CAST({base} + {s} AS BIGINT) AS "start",
+       CAST({base} + {e} AS BIGINT) AS "end",
+       {b} AS is_bold, {i} AS is_italic,
+       {u} AS is_underlined, {m} AS is_monospace
+FROM {table}"""
+        for s, e, b, i, u, m in rows
+    ]
+    return "\nUNION ALL\n".join(parts)

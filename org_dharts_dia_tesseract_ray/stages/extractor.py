@@ -37,6 +37,9 @@ SPAN_STRUCT = pa.struct([
     ("is_subscript", pa.bool_()),
     ("is_superscript", pa.bool_()),
     ("is_dropcap", pa.bool_()),
+    # packed word font attributes (FontAttributes.java:28-59 analogue):
+    # 1=bold 2=italic 4=underlined 8=monospace — see extract/types.py
+    ("font_mask", pa.uint8()),
 ])
 
 EXTRACTED_SCHEMA = pa.schema([
@@ -67,6 +70,7 @@ SPANS_SCHEMA = pa.schema([
     ("is_subscript", pa.bool_()),
     ("is_superscript", pa.bool_()),
     ("is_dropcap", pa.bool_()),
+    ("font_mask", pa.uint8()),
 ])
 
 
@@ -141,6 +145,7 @@ class HtmlExtractor:
                 pa.array([s.is_subscript for s in all_spans], pa.bool_()),
                 pa.array([s.is_superscript for s in all_spans], pa.bool_()),
                 pa.array([s.is_dropcap for s in all_spans], pa.bool_()),
+                pa.array([s.font_mask for s in all_spans], pa.uint8()),
             ],
             fields=list(SPAN_STRUCT),
         )

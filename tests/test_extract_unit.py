@@ -287,6 +287,33 @@ def test_subsup_word_flags_and_dropcap():
     assert r.text == ("Once upon a time formula H2O and E = mc2 appeared")
 
 
+def test_font_attribute_word_masks():
+    """I11 FontAttributes analogue: DOM inline markup → packed word
+    font_mask (1=bold 2=italic 4=underlined 8=monospace); <pre> content is
+    monospace; masks reset at sectioning roots; text stays byte-identical."""
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+    r = extract_one(
+        b"<p>plain <strong>bw</strong> <em>iw</em> <ins>uw</ins> "
+        b"<kbd>mw</kbd> <b><i>biw</i></b> H<sub>2</sub>O</p>"
+        b"<pre>prew</pre>"
+        b"<section><b>unclosed bold<p>still bold</p></section>"
+        b"<p>clean</p>")
+    words = {r.text[s.start:s.end]: s for s in r.spans if s.level == "word"}
+    assert words["plain"].font_mask == 0
+    assert words["bw"].font_mask == 1
+    assert words["iw"].font_mask == 2
+    assert words["uw"].font_mask == 4
+    assert words["mw"].font_mask == 8
+    assert words["biw"].font_mask == 3          # nested bold+italic
+    assert words["prew"].font_mask == 8         # <pre> ⇒ monospace
+    assert words["H2O"].font_mask == 0 and words["H2O"].is_subscript
+    # an unclosed <b> persists across paragraph boundaries (formatting
+    # reconstruction) but is severed by the sectioning root's close
+    assert words["still"].font_mask == 1
+    assert words["clean"].font_mask == 0
+    assert "plain bw iw uw mw biw H2O" in r.text
+
+
 def test_utf16_payload_decodes():
     from org_dharts_dia_tesseract_ray.extract.api import extract_one
     payload = "<html><body><p>Hello unicode</p></body></html>".encode("utf-16")
