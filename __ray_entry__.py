@@ -265,6 +265,18 @@ def _q_extract_subsup(sf_dir: str):
                              zero_copy_batch=True)
 
 
+def _q_word_predicates(sf_dir: str):
+    """I12 word predicates (isDictionaryWord / isNumeric,
+    RecognitionResultsIterator.java:128-136): one row per word span of the
+    wrapped corpus with per-language dictionary membership and numeric
+    detection, fully vectorized (trim/lower/is_in/regex kernels)."""
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        roundtrip_extract)
+    from org_dharts_dia_tesseract_ray.stages.extractor import (
+        apply_word_predicates)
+    return apply_word_predicates(roundtrip_extract(sf_dir))
+
+
 def _q_extract_font_attrs(sf_dir: str):
     """I11 FontAttributes analogue (FontAttributes.java:28-59,
     RecognitionResultsIterator.java:100-125): the font-wrapped corpus yields
@@ -1521,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _register_by_value()
     return {
         # --- changed in round 4 (oracle or engine touched this round) ---
+        "word_predicates": _q_word_predicates,
         "extract_font_attrs": _q_extract_font_attrs,
         "quality_buckets": _q_quality_buckets,
         "revenue_by_region": _q_revenue_by_region,
@@ -1873,8 +1886,9 @@ def oracle_sql() -> dict[str, str]:
         roundtrip_spans_sql, roundtrip_sql)
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
         boxes_sql, font_words_sql, hocr_sql, mixed_pdf_sql, mode_sql,
-        subsup_words_sql, unlv_sql)
+        subsup_words_sql, unlv_sql, word_predicates_sql)
     return {
+        "word_predicates": word_predicates_sql(),
         "extract_font_attrs": font_words_sql(),
         "extract_hocr": hocr_sql(),
         "extract_unlv": unlv_sql(),

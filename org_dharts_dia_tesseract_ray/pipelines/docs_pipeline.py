@@ -334,6 +334,57 @@ SELECT 'https://corpus.test/doc/' || doc_id AS url,
 FROM {table}"""
 
 
+def word_predicates_sql(table: str = "documents") -> str:
+    """Oracle for the I12 word predicates (``isDictionaryWord`` /
+    ``isNumeric``) over the wrapped corpus: the extracted text is
+    ``'Doc {id}\\n\\n' || text``, so the word rows are the two heading
+    words plus the body tokens at window-sum offsets.  The stopword
+    tables are inlined from the engine's own ``_STOPWORDS`` (single
+    source of truth); unknown langs fall back to English exactly like
+    ``stopwords_for``."""
+    from ..extract.html_extract import _STOPWORDS
+
+    sw_rows = ", ".join(
+        "('{}', '{}')".format(lg, w.replace("'", "''"))
+        for lg in sorted(_STOPWORDS)
+        for w in sorted(_STOPWORDS[lg]))
+    known = ", ".join(f"'{lg}'" for lg in sorted(_STOPWORDS) if lg != "en")
+    punct = "'.,;:!?\"''()[]«»'"
+    url = "'https://corpus.test/doc/' || doc_id"
+    return f"""
+WITH sw(lang, w) AS (VALUES {sw_rows}),
+lists AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM {table}),
+toks AS (
+  SELECT doc_id, lang,
+         unnest(toks) AS word,
+         unnest(range(1, length(toks) + 1)) AS i
+  FROM lists),
+body AS (
+  SELECT doc_id, lang, word,
+         6 + length(CAST(doc_id AS VARCHAR))
+           + COALESCE(sum(length(word) + 1) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM toks)
+SELECT {url} AS url,
+       CAST(s AS BIGINT) AS "start",
+       CAST(s + length(word) AS BIGINT) AS "end",
+       word,
+       (sw.w IS NOT NULL) AS is_dictionary_word,
+       regexp_matches(lower(trim(word, {punct})), '^[0-9]+$') AS is_numeric
+FROM body LEFT JOIN sw
+  ON sw.lang = (CASE WHEN body.lang IN ({known}) THEN body.lang
+                     ELSE 'en' END)
+ AND sw.w = lower(trim(body.word, {punct}))
+UNION ALL
+SELECT {url}, 0, 3, 'Doc', FALSE, FALSE FROM {table}
+UNION ALL
+SELECT {url}, 4, 4 + length(CAST(doc_id AS VARCHAR)),
+       CAST(doc_id AS VARCHAR), FALSE, TRUE
+FROM {table}"""
+
+
 def font_words_sql(table: str = "documents") -> str:
     """Oracle for the FontAttributes fixture (I11): the wrapped body is
     ``text || ' bold1 ital1 under1 mono1 bi1'`` — one word per DOM font

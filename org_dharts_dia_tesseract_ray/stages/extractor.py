@@ -255,6 +255,77 @@ def boxes_batch(batch: pa.Table, *, level: str = "line") -> pa.Table:
         schema=BOXES_SCHEMA)
 
 
+WORD_PRED_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("start", pa.int64()),
+    ("end", pa.int64()),
+    ("word", pa.string()),
+    ("is_dictionary_word", pa.bool_()),
+    ("is_numeric", pa.bool_()),
+])
+
+#: punctuation stripped before the predicate checks — EXACTLY the set the
+#: confidence score's dictionary-hit feature strips (html_extract.
+#: _para_confidence); the two must stay in sync.
+_PRED_PUNCT = ".,;:!?\"'()[]«»"
+
+
+def word_predicates_batch(batch: pa.Table) -> pa.Table:
+    """``isDictionaryWord`` / ``isNumeric`` word predicates — the I12
+    analogue (RecognitionResultsIterator.java:128-136,
+    ResultHandle.java:131-151): one row per word span with the two
+    predicate columns, dictionary membership per the document's language
+    (``stopwords_for`` — the TessBaseAPIIsValidWord analogue, same
+    normalization as the confidence score's dictionary-hit feature).
+
+    Vectorized like :func:`boxes_batch`: flatten + slice, then pyarrow
+    trim/lower/is_in/regex kernels — the only per-row Python is the text
+    slice."""
+    import numpy as np
+
+    from ..extract.html_extract import stopwords_for
+
+    spans_col = batch["spans"]
+    if isinstance(spans_col, pa.ChunkedArray):
+        spans_col = spans_col.combine_chunks()
+    flat = pc.list_flatten(spans_col)
+    parent_row = np.asarray(pc.list_parent_indices(spans_col))
+    start = np.asarray(flat.field("start"))
+    end = np.asarray(flat.field("end"))
+    is_word = np.asarray(pc.equal(flat.field("level"), "word"))
+    # zero-length word spans are the non-text-block placeholder words —
+    # they carry no text and are not predicate subjects
+    keep = np.flatnonzero(is_word & (end > start))
+    k_row = parent_row[keep]
+    k_s = start[keep]
+    k_e = end[keep]
+    texts = batch["extracted_text"].to_pylist()
+    words = [texts[r][s:e]
+             for r, s, e in zip(k_row.tolist(), k_s.tolist(), k_e.tolist())]
+    warr = pa.array(words, pa.string())
+    norm = pc.utf8_lower(pc.utf8_trim(warr, _PRED_PUNCT))
+    langs = (batch["lang"].to_pylist() if "lang" in batch.column_names
+             else [None] * batch.num_rows)
+    rl = np.array([(langs[r] or "en")[:2].lower() for r in k_row.tolist()],
+                  dtype=object)
+    isdict = np.zeros(len(words), dtype=bool)
+    for lg in set(rl.tolist()):
+        sw = pa.array(sorted(stopwords_for(lg)), pa.string())
+        hit = np.asarray(pc.is_in(norm, value_set=sw))
+        isdict |= hit & (rl == lg)
+    isnum = np.asarray(pc.match_substring_regex(norm, r"^[0-9]+$"))
+    return pa.Table.from_arrays(
+        [pc.take(batch["url"], pa.array(k_row, pa.int64())),
+         pa.array(k_s, pa.int64()), pa.array(k_e, pa.int64()),
+         warr, pa.array(isdict), pa.array(isnum)],
+        schema=WORD_PRED_SCHEMA)
+
+
+def apply_word_predicates(ds, **kwargs):
+    return ds.map_batches(word_predicates_batch, batch_format="pyarrow",
+                          zero_copy_batch=True, **kwargs)
+
+
 def apply_boxes(ds, *, level: str = "line", **kwargs):
     return ds.map_batches(lambda b: boxes_batch(b, level=level),
                           batch_format="pyarrow", zero_copy_batch=True,

@@ -314,6 +314,36 @@ def test_font_attribute_word_masks():
     assert "plain bw iw uw mw biw H2O" in r.text
 
 
+def test_word_predicates_batch():
+    """I12 isDictionaryWord/isNumeric: per-language stopword membership
+    (unknown lang → English fallback), punctuation-stripped normalization,
+    numeric detection, zero-length placeholder words skipped."""
+    import pyarrow as pa
+
+    from org_dharts_dia_tesseract_ray.stages.extractor import (
+        HtmlExtractor, word_predicates_batch)
+
+    pages = pa.table({
+        "url": pa.array(["u1", "u2"], pa.string()),
+        "warc_ts": pa.array([0, 0], pa.timestamp("us", tz="UTC")),
+        "html": pa.array([b"<p>The 42 answers, und!</p><hr>",
+                          b"<p>und der Hund 7</p>"], pa.binary()),
+        "lang": pa.array(["zh", "de"], pa.string()),   # zh → en fallback
+    })
+    out = word_predicates_batch(HtmlExtractor()(pages)).to_pylist()
+    got = {(r["url"], r["word"]): (r["is_dictionary_word"], r["is_numeric"])
+           for r in out}
+    assert got[("u1", "The")] == (True, False)     # en fallback, "the"
+    assert got[("u1", "42")] == (False, True)
+    assert got[("u1", "answers,")] == (False, False)   # trimmed, not stop
+    assert got[("u1", "und!")] == (False, False)   # "und" not an EN stopword
+    assert got[("u2", "und")] == (True, False)     # ...but a DE stopword
+    assert got[("u2", "Hund")] == (False, False)
+    assert got[("u2", "7")] == (False, True)
+    # the <hr> placeholder word is zero-length → excluded
+    assert len(out) == 8
+
+
 def test_utf16_payload_decodes():
     from org_dharts_dia_tesseract_ray.extract.api import extract_one
     payload = "<html><body><p>Hello unicode</p></body></html>".encode("utf-16")
