@@ -1398,7 +1398,7 @@ def _q_revenue_by_region(sf_dir: str):
     (the lineitem_pricing cents/bp trick — order-independent, exact SQL
     oracle at every scale)."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from org_dharts_dia_tesseract_ray.functions.joins import (
         broadcast_lookup)
@@ -1420,23 +1420,34 @@ def _q_revenue_by_region(sf_dir: str):
                                 carry={"r_name": "r_name"})
 
     def prep(b: pa.Table) -> pa.Table:
+        # partial combine INSIDE the batch (5 regions → ≤5 rows leave each
+        # batch) so the groupby exchange moves O(batches × regions) rows,
+        # not O(lineitem) — integer partials keep the sum exact and
+        # order-independent
         i64 = pa.int64()
         price_c = pc.round(pc.multiply(b["l_extendedprice"],
                                        pa.scalar(100.0))).cast(i64)
         disc_bp = pc.round(pc.multiply(b["l_discount"],
                                        pa.scalar(10000.0))).cast(i64)
-        return pa.table({
+        t = pa.table({
             "r_name": b["r_name"],
             "rev_u": pc.multiply(price_c,
                                  pc.subtract(pa.scalar(10000, i64),
                                              disc_bp)),
+        })
+        g = pa.TableGroupBy(t, "r_name").aggregate(
+            [("rev_u", "sum"), ("rev_u", "count")])
+        return pa.table({
+            "r_name": g["r_name"],
+            "rev_u": g["rev_u_sum"],
+            "n_part": g["rev_u_count"].cast(i64),
         })
 
     agg = (enriched.map_batches(prep, batch_format="pyarrow",
                                 zero_copy_batch=True)
            .groupby("r_name")
            .aggregate(Sum("rev_u", alias_name="rev_u"),
-                      Count(alias_name="n_items")))
+                      Sum("n_part", alias_name="n_items")))
 
     def quant(b: pa.Table) -> pa.Table:
         return pa.table({

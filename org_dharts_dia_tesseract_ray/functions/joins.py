@@ -37,16 +37,31 @@ import pyarrow.compute as pc
 from ..util import default_num_partitions, key_change_mask, partition_ids
 
 
+#: per-worker-process cache of fetched broadcast dimensions, keyed by
+#: ObjectRef — task-mode stages re-enter the same worker processes, so the
+#: (zero-copy) ray.get happens once per process, not once per batch.
+#: Bounded: dimension payloads are small by contract, but refs from many
+#: queries in one long session must not pin the object store forever.
+_BCAST_CACHE: dict = {}
+_BCAST_CACHE_MAX = 8
+
+
 def broadcast_lookup(ds, dim_ds, *, key: str, dim_key: str,
-                     carry: dict[str, str], concurrency=(1, 8)):
+                     carry: dict[str, str], concurrency=None):
     """Broadcast (map-side) dimension join — the small-side pattern.
 
     The dimension table is collected ONCE, built into Arrow lookup arrays,
-    ``ray.put`` into the object store, and read zero-copy by every actor in
-    ``__init__``; each batch is enriched with one vectorized ``index_in`` +
-    ``take`` — no shuffle at all.  Valid while the dimension fits a node
-    (the reference's analogue: its ``tessdata`` model broadcast to every
-    factory, ImageAnalyzerFactory.java:85-104).
+    ``ray.put`` into the object store, and read zero-copy by every worker
+    process (cached per process); each batch is enriched with one
+    vectorized ``index_in`` + ``take`` — no shuffle at all.  Valid while
+    the dimension fits a node (the reference's analogue: its ``tessdata``
+    model broadcast to every factory, ImageAnalyzerFactory.java:85-104).
+
+    Runs as ordinary tasks, not an actor pool: the per-process state is a
+    single zero-copy fetch, and the measured task-vs-actor gap for
+    cheap-init stages (BASELINE.md §lessons) makes a dedicated pool pure
+    startup overhead.  ``concurrency`` is accepted for call-site
+    compatibility and passed through when given.
 
     ``carry`` maps dimension column → output column name.
     """
@@ -58,20 +73,21 @@ def broadcast_lookup(ds, dim_ds, *, key: str, dim_key: str,
                 for src, out in carry.items()}
     ref = ray.put((dim_keys, dim_cols))
 
-    class Enrich:
-        def __init__(self, r):
-            self.keys, self.cols = ray.get(r)
+    def enrich(b: pa.Table) -> pa.Table:
+        ent = _BCAST_CACHE.get(ref)
+        if ent is None:
+            if len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
+                _BCAST_CACHE.clear()
+            ent = _BCAST_CACHE.setdefault(ref, ray.get(ref))
+        keys, cols = ent
+        idx = pc.index_in(b[key].cast(keys.type), value_set=keys)
+        for out, arr in cols.items():
+            b = b.append_column(out, arr.take(idx))
+        return b
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            idx = pc.index_in(b[key].cast(self.keys.type),
-                              value_set=self.keys)
-            for out, arr in self.cols.items():
-                b = b.append_column(out, arr.take(idx))
-            return b
-
-    return ds.map_batches(Enrich, fn_constructor_args=(ref,),
-                          batch_format="pyarrow", zero_copy_batch=True,
-                          concurrency=concurrency)
+    kwargs = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(enrich, batch_format="pyarrow",
+                          zero_copy_batch=True, **kwargs)
 
 
 def _np_i64(col) -> np.ndarray:
