@@ -962,6 +962,19 @@ def _q_media_decode(sf_dir: str):
                                "n_frames", "px_checksum"])
 
 
+def _q_audio_features(sf_dir: str):
+    """Audio leg of the multimodal contract: SYNM audio chunks decoded
+    (CRC-validated) and reduced to integer-exact signal features
+    (L1 energy / zero-crossing count / peak) per chunk; corrupt payloads
+    yield the null decode_error row."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        apply_audio_features, synth_audio_table)
+    return apply_audio_features(ray.data.from_arrow(
+        synth_audio_table(64, corrupt_every=13)))
+
+
 def _q_media_frames(sf_dir: str):
     import ray.data
 
@@ -1546,6 +1559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- changed in round 4 (oracle or engine touched this round) ---
         "word_predicates": _q_word_predicates,
         "extract_font_attrs": _q_extract_font_attrs,
+        "audio_features": _q_audio_features,
         "quality_buckets": _q_quality_buckets,
         "revenue_by_region": _q_revenue_by_region,
         "dup_substr_spans": _q_dup_substr_spans,
@@ -2077,7 +2091,8 @@ GROUP BY r_name""",
                         "neardup_clusters", "neardup_cosine_bucketed",
                         "embeddings_pca",
                         "ann_ivf_topk", "approx_distinct_tokens",
-                        "media_decode", "media_frame_sample")},
+                        "media_decode", "media_frame_sample",
+                        "audio_features")},
         # every queries() entry now carries an oracle; the approximate ones
         # additionally assert recall vs brute force in tests.
     }

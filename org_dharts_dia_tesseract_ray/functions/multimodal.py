@@ -198,37 +198,71 @@ def _tile_features(frame: np.ndarray) -> np.ndarray:
     return out.astype(np.float32)
 
 
+def _maybe_corrupt(payload: bytes, i: int, corrupt_every: int) -> bytes:
+    """Damage every ``corrupt_every``-th payload, cycling through the three
+    failure families the decoder must reject: bad magic, truncation, and a
+    body bit-flip (CRC mismatch)."""
+    if not corrupt_every or i % corrupt_every != corrupt_every - 1:
+        return payload
+    mode = (i // corrupt_every) % 3
+    if mode == 0:
+        return b"JUNK" + payload[4:]
+    if mode == 1:
+        return payload[:max(8, len(payload) // 2)]
+    mid = len(payload) // 2
+    return payload[:mid] + bytes([payload[mid] ^ 0xFF]) + payload[mid + 1:]
+
+
 def synth_media_table(n: int, *, kind: str = "image", seed: int = 42,
                       corrupt_every: int = 0) -> pa.Table:
     """Deterministic synthetic media corpus for tests/benches: real SYNM v2
     payloads (encode → decode round-trips to the exact rasters).
 
-    ``corrupt_every=k`` damages every k-th payload, cycling through the
-    three failure families the decoder must reject: bad magic, truncation,
-    and a body bit-flip (CRC mismatch).
+    ``corrupt_every=k`` damages every k-th payload (see
+    :func:`_maybe_corrupt`).
     """
     ids, kinds, payloads, ws, hs, fs = [], [], [], [], [], []
     for i in range(n):
         w = 32 + (i * 7) % 96
         h = 24 + (i * 5) % 72
         nf = 1 if kind == "image" else 8 + i % 24
-        payload = encode_media(i, kind, w, h, nf, seed=seed)
-        if corrupt_every and i % corrupt_every == corrupt_every - 1:
-            mode = (i // corrupt_every) % 3
-            if mode == 0:
-                payload = b"JUNK" + payload[4:]
-            elif mode == 1:
-                payload = payload[:max(8, len(payload) // 2)]
-            else:
-                mid = len(payload) // 2
-                payload = (payload[:mid]
-                           + bytes([payload[mid] ^ 0xFF])
-                           + payload[mid + 1:])
+        payload = _maybe_corrupt(encode_media(i, kind, w, h, nf, seed=seed),
+                                 i, corrupt_every)
         ids.append(i)
         kinds.append(kind)
         payloads.append(payload)
         ws.append(w)
         hs.append(h)
+        fs.append(nf)
+    return pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(ws, pa.int32()),
+        "height": pa.array(hs, pa.int32()),
+        "n_frames": pa.array(fs, pa.int32()),
+    })
+
+
+def synth_audio_table(n: int, *, seed: int = 42,
+                      corrupt_every: int = 0) -> pa.Table:
+    """Deterministic synthetic AUDIO corpus: 1-D PCM-like uint8 sample
+    chunks carried in the same SYNM v2 container (kind=audio, height=1,
+    width = samples per chunk, n_frames = chunk count) — the audio leg of
+    the opaque-binary multimodal contract.  The tile pattern degenerates to
+    8-sample constant runs, a step waveform the RLE genuinely compresses.
+    """
+    ids, kinds, payloads, ws, hs, fs = [], [], [], [], [], []
+    for i in range(n):
+        w = 256 + (i * 31) % 768            # samples per chunk
+        nf = 6 + i % 10                     # chunks
+        payload = _maybe_corrupt(
+            encode_media(i, "audio", w, 1, nf, seed=seed), i, corrupt_every)
+        ids.append(i)
+        kinds.append("audio")
+        payloads.append(payload)
+        ws.append(w)
+        hs.append(1)
         fs.append(nf)
     return pa.table({
         "item_id": pa.array(ids, pa.int64()),
@@ -348,3 +382,51 @@ def frame_sample_batch(batch: pa.Table, *, every: int = 4) -> pa.Table:
 def apply_frame_sample(ds, *, every: int = 4):
     return ds.map_batches(lambda b: frame_sample_batch(b, every=every),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def audio_features_batch(batch: pa.Table) -> pa.Table:
+    """Audio feature extraction: one output row per decoded CHUNK with
+    integer-exact signal features over the centered samples (x − 128):
+
+    * ``energy`` — Σ|x−128| (L1 energy),
+    * ``zcr`` — zero-crossing count (sign changes of x−128, zeros counted
+      positive — one fixed convention, mirrored in the golden),
+    * ``peak`` — max|x−128|.
+
+    Full container decode (CRC-validated) per payload; undecodable payloads
+    yield ONE row with ``chunk_idx=-1`` and null features — never
+    exceptions (the decode_error row contract of :class:`MediaDecoder`)."""
+    ids = np.asarray(batch["item_id"], dtype=np.int64)
+    payloads = batch["payload"].to_pylist()
+    rep, cidx, energy, zcr, peak = [], [], [], [], []
+    for r in range(batch.num_rows):
+        res = decode_media(payloads[r] or b"")
+        if res is None:
+            rep.append(ids[r])
+            cidx.append(-1)
+            energy.append(None)
+            zcr.append(None)
+            peak.append(None)
+            continue
+        _dims, frames, _crc = res
+        for fi, fr in enumerate(frames):
+            s = fr.reshape(-1).astype(np.int64) - 128
+            rep.append(ids[r])
+            cidx.append(fi)
+            energy.append(int(np.abs(s).sum()))
+            zcr.append(int(np.count_nonzero(np.diff(s >= 0))))
+            peak.append(int(np.abs(s).max()) if s.size else 0)
+    return pa.table({
+        "item_id": pa.array(rep, pa.int64()),
+        "chunk_idx": pa.array(cidx, pa.int64()),
+        "energy": pa.array(energy, pa.int64()),
+        "zcr": pa.array(zcr, pa.int64()),
+        "peak": pa.array(peak, pa.int64()),
+    })
+
+
+def apply_audio_features(ds, *, batch_size: int = 16):
+    """Small batches — audio payloads are wide rows, same sizing rule as
+    :func:`apply_decode`."""
+    return ds.map_batches(audio_features_batch, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)

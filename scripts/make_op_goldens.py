@@ -369,6 +369,38 @@ def g_media_frames() -> pa.Table:
     })
 
 
+def g_audio_features() -> pa.Table:
+    """Expected audio-feature table from the pattern directly (the engine
+    decodes the SYNM container; this golden synthesizes the waveform
+    inline).  Schedule mirrors synth_audio_table(64, corrupt_every=13)."""
+    ids, cis, en, zc, pk = [], [], [], [], []
+    for i in range(64):
+        w = 256 + (i * 31) % 768
+        nf = 6 + i % 10
+        if i % 13 == 12:
+            ids.append(i)
+            cis.append(-1)
+            en.append(None)
+            zc.append(None)
+            pk.append(None)
+            continue
+        for fi in range(nf):
+            s = _media_pattern(i, 42, fi, w, 1).reshape(-1).astype(
+                np.int64) - 128
+            ids.append(i)
+            cis.append(fi)
+            en.append(int(np.abs(s).sum()))
+            zc.append(int(np.count_nonzero(np.diff(s >= 0))))
+            pk.append(int(np.abs(s).max()))
+    return pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "chunk_idx": pa.array(cis, pa.int64()),
+        "energy": pa.array(en, pa.int64()),
+        "zcr": pa.array(zc, pa.int64()),
+        "peak": pa.array(pk, pa.int64()),
+    })
+
+
 GOLDENS = {
     "winnow_fingerprints": g_winnow,
     "neardup_minhash_lsh": g_minhash_pairs,
@@ -381,6 +413,7 @@ GOLDENS = {
     "approx_distinct_tokens": g_approx_distinct,
     "media_decode": g_media_decode,
     "media_frame_sample": g_media_frames,
+    "audio_features": g_audio_features,
 }
 
 

@@ -323,6 +323,30 @@ def test_media_decode_features_are_tile_means():
     assert np.allclose(f, np.array(want, np.float32), atol=1e-6)
 
 
+def test_audio_features_match_direct_synthesis():
+    """Audio features come from DECODED chunks: verify against the raw
+    waveform pattern, and corrupt payloads yield the null chunk_idx=-1
+    row (same schedule as media_decode)."""
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        _frame_pixels, audio_features_batch, synth_audio_table)
+    out = audio_features_batch(synth_audio_table(16, corrupt_every=13))
+    rows = out.to_pylist()
+    # item 1, chunk 2 — independent computation from the pattern
+    w = 256 + 31 % 768
+    s = _frame_pixels(1, 42, 2, w, 1).reshape(-1).astype(np.int64) - 128
+    got = next(r for r in rows
+               if r["item_id"] == 1 and r["chunk_idx"] == 2)
+    assert got["energy"] == int(np.abs(s).sum())
+    assert got["zcr"] == int(np.count_nonzero(np.diff(s >= 0)))
+    assert got["peak"] == int(np.abs(s).max())
+    bad = [r for r in rows if r["item_id"] == 12]
+    assert bad == [{"item_id": 12, "chunk_idx": -1, "energy": None,
+                    "zcr": None, "peak": None}]
+    # chunk counts per clean item follow the 6 + i % 10 schedule
+    n1 = sum(1 for r in rows if r["item_id"] == 1)
+    assert n1 == 6 + 1 % 10
+
+
 def test_media_decode_error_row():
     from org_dharts_dia_tesseract_ray.functions.multimodal import MediaDecoder
     bad = pa.table({
