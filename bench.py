@@ -287,7 +287,10 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              "corpus_assembly",
              # high-cardinality partition-vectorized operators (~147k keys)
              "lineitem_sessions", "lineitem_asof_lastship",
-             "lineitem_price_quantiles"]
+             "lineitem_price_quantiles",
+             # round-4 late additions (iterator predicates, font attrs,
+             # audio modality)
+             "word_predicates", "extract_font_attrs", "audio_features"]
     qs = entry_mod.queries()
     out = {}
 

@@ -230,15 +230,34 @@ class _SegmentingParser(HTMLParser):
                     masks.append(None)
                     total += len(text)
             else:
-                cmask: list[int] = []
+                # Run-based token masks: ``cur`` is a short list of
+                # (text, mask) RUNS — a token's mask is the OR of the runs
+                # its [start, end) overlaps, found by walking run end
+                # offsets alongside the (ordered) token matches.  O(runs +
+                # tokens), never one mask per character: with the font
+                # bits, <b>/<i>/<em> put most realistic paragraphs on this
+                # path.  (_append_text never emits empty runs, so zero-
+                # length-run masks can't leak in.)
+                ends: list[int] = []
+                rmasks: list[int] = []
+                pos = 0
                 for s, m in cur:
-                    cmask.extend([m] * len(s))
+                    pos += len(s)
+                    ends.append(pos)
+                    rmasks.append(m)
                 toks: list[str] = []
                 tmasks: list[int] = []
+                ri = 0
                 for mt in _NONWS_RE.finditer(raw):
-                    mm = 0
-                    for c in range(mt.start(), mt.end()):
-                        mm |= cmask[c]
+                    a = mt.start()
+                    while ends[ri] <= a:
+                        ri += 1
+                    mm = rmasks[ri]
+                    j = ri
+                    b_end = mt.end()
+                    while ends[j] < b_end:
+                        j += 1
+                        mm |= rmasks[j]
                     toks.append(mt.group())
                     tmasks.append(mm)
                 if toks:

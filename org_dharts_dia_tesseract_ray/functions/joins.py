@@ -37,33 +37,27 @@ import pyarrow.compute as pc
 from ..util import default_num_partitions, key_change_mask, partition_ids
 
 
-#: per-worker-process cache of fetched broadcast dimensions, keyed by
-#: ObjectRef — task-mode stages re-enter the same worker processes, so the
-#: (zero-copy) ray.get happens once per process, not once per batch.
-#: Bounded: dimension payloads are small by contract, but refs from many
-#: queries in one long session must not pin the object store forever.
-_BCAST_CACHE: dict = {}
-_BCAST_CACHE_MAX = 8
-
-
 def broadcast_lookup(ds, dim_ds, *, key: str, dim_key: str,
                      carry: dict[str, str], concurrency=None):
     """Broadcast (map-side) dimension join — the small-side pattern.
 
-    The dimension table is collected ONCE, built into Arrow lookup arrays,
-    ``ray.put`` into the object store, and read zero-copy by every worker
-    process (cached per process); each batch is enriched with one
+    The dimension table is collected ONCE, built into Arrow lookup arrays
+    and ``ray.put`` into the object store; each batch is enriched with one
     vectorized ``index_in`` + ``take`` — no shuffle at all.  Valid while
     the dimension fits a node (the reference's analogue: its ``tessdata``
     model broadcast to every factory, ImageAnalyzerFactory.java:85-104).
 
-    Runs as ordinary tasks, not an actor pool: the per-process state is a
-    single zero-copy fetch, and the measured task-vs-actor gap for
-    cheap-init stages (BASELINE.md §lessons) makes a dedicated pool pure
-    startup overhead.  ``concurrency`` is accepted for call-site
-    compatibility and passed through when given.
+    Runs as ordinary tasks, not an actor pool: the measured task-vs-actor
+    gap for cheap-init stages (BASELINE.md §lessons) makes a dedicated
+    pool pure startup overhead.  The per-batch ``ray.get`` is a zero-copy
+    plasma read of the already-local broadcast object (same convention as
+    ``lm_score.score_unigram``) — a worker-side cache dict would NOT
+    survive anyway: the harness ships this module by value, so each
+    deserialized task closure gets a fresh copy of module globals.
 
-    ``carry`` maps dimension column → output column name.
+    ``carry`` maps dimension column → output column name.  ``concurrency``
+    caps the task pool when given (legacy autoscaling tuples collapse to
+    their upper bound — tuple concurrency is an actor-pool-only form).
     """
     import ray
 
@@ -74,17 +68,14 @@ def broadcast_lookup(ds, dim_ds, *, key: str, dim_key: str,
     ref = ray.put((dim_keys, dim_cols))
 
     def enrich(b: pa.Table) -> pa.Table:
-        ent = _BCAST_CACHE.get(ref)
-        if ent is None:
-            if len(_BCAST_CACHE) >= _BCAST_CACHE_MAX:
-                _BCAST_CACHE.clear()
-            ent = _BCAST_CACHE.setdefault(ref, ray.get(ref))
-        keys, cols = ent
+        keys, cols = ray.get(ref)      # zero-copy local plasma read
         idx = pc.index_in(b[key].cast(keys.type), value_set=keys)
         for out, arr in cols.items():
             b = b.append_column(out, arr.take(idx))
         return b
 
+    if isinstance(concurrency, tuple):
+        concurrency = concurrency[-1]
     kwargs = {"concurrency": concurrency} if concurrency else {}
     return ds.map_batches(enrich, batch_format="pyarrow",
                           zero_copy_batch=True, **kwargs)

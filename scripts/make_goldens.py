@@ -67,6 +67,7 @@ def extract_serial(rows: list[dict]) -> tuple[pa.Table, pa.Table]:
             span_cols["is_subscript"].append(s.is_subscript)
             span_cols["is_superscript"].append(s.is_superscript)
             span_cols["is_dropcap"].append(s.is_dropcap)
+            span_cols["font_mask"].append(s.font_mask)
 
     doc_schema = pa.schema([f for f in EXTRACTED_SCHEMA if f.name != "spans"])
     extracted = pa.Table.from_pydict(doc_cols, schema=doc_schema)
