@@ -24,9 +24,12 @@ from .types import BlockType, ExtractResult, PayloadKind
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
 _BT_RE = re.compile(rb"BT(.*?)ET", re.S)
-# (string) Tj   |   (string) '   — single text-showing ops
-_TJ_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*(?:Tj|')|\[(?:[^\]\\]|\\.)*\]\s*TJ", re.S)
-_STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)", re.S)
+# (string) Tj | (string) ' | <hex> Tj/' — single text-showing ops — and
+# [ ... ] TJ arrays (whose elements may be literal OR hex strings)
+_TJ_RE = re.compile(
+    rb"(?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s*(?:Tj|')"
+    rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ", re.S)
+_STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>", re.S)
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -63,6 +66,16 @@ def _unescape(raw: bytes) -> bytes:
 
 def _decode_pdf_string(raw: bytes) -> str:
     # PDFDocEncoding ≈ latin-1 for the printable range; deterministic.
+    if raw[:1] == b"<":
+        # hex string: whitespace ignored, odd digit count padded with 0
+        # (PDF 32000-1:2008 §7.3.4.3)
+        hx = re.sub(rb"\s+", b"", raw[1:-1])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+        except ValueError:
+            return ""
     return _unescape(raw[1:-1]).decode("latin-1")
 
 

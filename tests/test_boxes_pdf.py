@@ -43,6 +43,33 @@ def test_pdf_payload_deterministic_and_extractable():
         assert r.n_blocks == 1
 
 
+def test_pdf_hex_strings_and_tj_arrays():
+    """PDF hex strings (<...> Tj, whitespace-tolerant, odd-digit padding)
+    and mixed literal/hex TJ arrays decode like their literal equivalents
+    (PDF 32000-1:2008 §7.3.4.3)."""
+    from org_dharts_dia_tesseract_ray.extract.api import extract_one
+
+    def pdf(content: bytes) -> bytes:
+        return (b"%PDF-1.4\n1 0 obj\n<< /Length " +
+                str(len(content)).encode() + b" >>\nstream\n" + content +
+                b"\nendstream\nendobj\n%%EOF\n")
+
+    # "Hello" as hex, split by whitespace; odd-count "4" pads to "@"
+    r = extract_one(pdf(b"BT <4865 6C6C6F> Tj ET"), "en")
+    assert r.payload_kind == "pdf" and r.text == "Hello"
+    r = extract_one(pdf(b"BT <48656C6C6F4> Tj ET"), "en")
+    assert r.text == "Hello@"                  # odd digit -> trailing 0 pad
+    # mixed TJ array: literal, kern number (ignored), hex
+    r = extract_one(pdf(b"BT [(He) -250 <6C6C6F>] TJ ET"), "en")
+    assert r.text == "Hello"
+    # hex with ' (move-to-next-line-and-show) operator
+    r = extract_one(pdf(b"BT (A) Tj <42> ' ET"), "en")
+    assert r.text == "A\nB"
+    # empty hex string contributes nothing -> no text objects -> error row
+    r = extract_one(pdf(b"BT <> Tj ET"), "en")
+    assert r.payload_kind == "error"
+
+
 def test_mixed_wrap_routes_pdf():
     import pyarrow.parquet as pq
 
