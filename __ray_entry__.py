@@ -1556,12 +1556,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     rewrite, then the r03-green remainder."""
     _register_by_value()
     return {
-        # --- changed in round 4 (oracle or engine touched this round) ---
+        # --- changed LATE round 4 (new operators; extractor font_mask +
+        # run-based word masks + widened spans schema; PDF hex strings;
+        # task-mode broadcast joins; media corruption-helper refactor) —
+        # every query whose engine path was touched this session sits
+        # inside the driver's 50-query window ---
         "word_predicates": _q_word_predicates,
         "extract_font_attrs": _q_extract_font_attrs,
         "audio_features": _q_audio_features,
-        "quality_buckets": _q_quality_buckets,
+        "extract_roundtrip": _q_extract_roundtrip,
+        "extract_spans": _q_extract_spans,
+        "extract_subsup": _q_extract_subsup,
+        "extract_mixed_pdf": _q_extract_mixed_pdf,
+        "pages_dedup_extract": _q_pages_dedup_extract,
+        "extract_boxes": _q_extract_boxes,
+        "extract_metrics_by_lang": _q_extract_metrics,
+        "extract_mode_text_only": _mode_query("text_only"),
+        "extract_mode_single_block": _mode_query("single_block"),
+        "extract_charfilter_digits": _mode_query("charfilter_digits"),
+        "extract_selector_article": _mode_query("selector_article"),
+        "extract_custom_rule": _q_extract_custom_rule,
+        "extract_unlv": _q_extract_unlv,
+        "extract_hocr": _q_extract_hocr,
+        "checkpoint_resume": _q_checkpoint_resume,
         "revenue_by_region": _q_revenue_by_region,
+        "events_enrich_customer": _q_events_enrich_customer,
+        "media_decode": _q_media_decode,
+        "media_frame_sample": _q_media_frames,
+        # --- changed earlier in round 4 (oracle or engine touched) ---
+        "quality_buckets": _q_quality_buckets,
         "dup_substr_spans": _q_dup_substr_spans,
         "dedup_substrings": _q_dedup_substrings,
         "pack_sequences": _q_pack_sequences,
@@ -1570,9 +1593,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_simhash": _q_neardup_simhash,
         "neardup_jaccard_brute": _q_neardup_jaccard_brute,
         "pagerank": _q_pagerank,
-        "checkpoint_resume": _q_checkpoint_resume,
-        "extract_unlv": _q_extract_unlv,
-        "extract_hocr": _q_extract_hocr,
         # --- rewritten in r3, only r02 driver evidence (VERDICT r3 #2) ---
         "dedup_exact": _q_dedup_exact,
         "neardup_minhash_lsh": _q_neardup_minhash,
@@ -1583,8 +1603,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
         "embeddings_pca": _q_embeddings_pca,
-        "media_decode": _q_media_decode,
-        "media_frame_sample": _q_media_frames,
         # windows/events family — unreached by the truncated r03 run
         "events_windowed": _q_events_windowed,
         "events_sliding_window": _q_events_sliding,
@@ -1611,19 +1629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_10pct": _q_sample_10pct,
         "train_val_test_split": _q_split,
         "stratified_sample": _q_stratified,
-        # --- r03-green, unchanged since — tail ---
-        "extract_roundtrip": _q_extract_roundtrip,
-        "extract_spans": _q_extract_spans,
-        "extract_mixed_pdf": _q_extract_mixed_pdf,
-        "pages_dedup_extract": _q_pages_dedup_extract,
-        "extract_boxes": _q_extract_boxes,
-        "extract_metrics_by_lang": _q_extract_metrics,
-        "extract_mode_text_only": _mode_query("text_only"),
-        "extract_mode_single_block": _mode_query("single_block"),
-        "extract_charfilter_digits": _mode_query("charfilter_digits"),
-        "extract_selector_article": _mode_query("selector_article"),
-        "extract_custom_rule": _q_extract_custom_rule,
-        "extract_subsup": _q_extract_subsup,
+        # --- r03-green, code path unchanged since — tail ---
         "token_stats": _q_token_stats,
         "quality_score": _q_quality,
         "url_normalize": _q_url_normalize,
