@@ -68,6 +68,59 @@ def test_span_invariants(soup):
             assert "\n" not in r.text[s.start:s.end]
 
 
+_MASK_TAGS = {"sub": 1, "sup": 2, "b": 4, "strong": 4, "i": 8, "em": 8,
+              "u": 16, "ins": 16, "code": 32, "kbd": 32}
+_PIECE_TEXT = st.text(alphabet="ab1 ", min_size=1, max_size=8)
+_PIECE = st.one_of(
+    _PIECE_TEXT.map(lambda t: (t, 0)),
+    st.tuples(_PIECE_TEXT, st.sampled_from(sorted(_MASK_TAGS))).map(
+        lambda x: (x[0], _MASK_TAGS[x[1]], x[1])),
+    st.tuples(_PIECE_TEXT, st.sampled_from(sorted(_MASK_TAGS)),
+              st.sampled_from(sorted(_MASK_TAGS))).map(
+        lambda x: (x[0], _MASK_TAGS[x[1]] | _MASK_TAGS[x[2]], x[1], x[2])),
+)
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_PIECE, min_size=0, max_size=12))
+def test_word_masks_match_per_char_oracle(pieces):
+    """The run-based token-mask computation in end_line must agree with an
+    independent per-CHARACTER oracle built from the ground-truth markup
+    structure — including tokens glued across runs with different masks
+    ('ab<b>cd</b>ef' → one token, bold) and nested tags."""
+    import re
+
+    html = []
+    for p in pieces:
+        t = p[0]
+        for tag in p[2:]:
+            html.append(f"<{tag}>")
+        html.append(t)
+        for tag in reversed(p[2:]):
+            html.append(f"</{tag}>")
+    payload = ("<html><body><p>" + "".join(html)
+               + "</p></body></html>").encode("utf-8")
+    r = extract_one(payload, "en", None, CFG)
+
+    raw = "".join(p[0] for p in pieces)
+    cmask: list = []
+    for p in pieces:
+        cmask.extend([p[1]] * len(p[0]))
+    want = []
+    for mt in re.finditer(r"\S+", raw):
+        mm = 0
+        for c in range(mt.start(), mt.end()):
+            mm |= cmask[c]
+        want.append((mt.group(), mm))
+
+    got = [(r.text[s.start:s.end],
+            (s.font_mask << 2) | (1 if s.is_subscript else 0)
+            | (2 if s.is_superscript else 0))
+           for s in r.spans if s.level == "word" and s.start < s.end]
+    assert got == want
+
+
 @settings(max_examples=100, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.binary(min_size=0, max_size=300))
