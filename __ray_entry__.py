@@ -975,6 +975,33 @@ def _q_audio_features(sf_dir: str):
         synth_audio_table(64, corrupt_every=13)))
 
 
+def _q_media_resize(sf_dir: str):
+    """Resize leg of the multimodal contract: decode frame 0 and emit the
+    16x12 integer box-downsampled thumbnail (raster + CRC32); corrupt
+    payloads yield the decode_error row.  The raster is hex-projected for
+    the compare frame — the driver's hash path can't factorize raw BLOBs
+    (DuckDB returns bytearray), the stage itself stays binary."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        apply_resize, synth_media_table)
+    out = apply_resize(ray.data.from_arrow(
+        synth_media_table(64, corrupt_every=13)))
+
+    def hexpx(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "item_id": b["item_id"], "status": b["status"],
+            "rw": b["rw"], "rh": b["rh"],
+            "pixels_hex": pa.array(
+                [(v or b"").hex() for v in b["pixels"].to_pylist()],
+                pa.string()),
+            "px_crc": b["px_crc"],
+        })
+
+    return out.map_batches(hexpx, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_media_frames(sf_dir: str):
     import ray.data
 
@@ -1583,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_enrich_customer": _q_events_enrich_customer,
         "media_decode": _q_media_decode,
         "media_frame_sample": _q_media_frames,
+        "media_resize": _q_media_resize,
         # --- changed earlier in round 4 (oracle or engine touched) ---
         "quality_buckets": _q_quality_buckets,
         "dup_substr_spans": _q_dup_substr_spans,
@@ -2098,7 +2126,7 @@ GROUP BY r_name""",
                         "embeddings_pca",
                         "ann_ivf_topk", "approx_distinct_tokens",
                         "media_decode", "media_frame_sample",
-                        "audio_features")},
+                        "audio_features", "media_resize")},
         # every queries() entry now carries an oracle; the approximate ones
         # additionally assert recall vs brute force in tests.
     }

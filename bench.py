@@ -289,8 +289,9 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              "lineitem_sessions", "lineitem_asof_lastship",
              "lineitem_price_quantiles",
              # round-4 late additions (iterator predicates, font attrs,
-             # audio modality)
-             "word_predicates", "extract_font_attrs", "audio_features"]
+             # audio modality, resize)
+             "word_predicates", "extract_font_attrs", "audio_features",
+             "media_resize"]
     qs = entry_mod.queries()
     out = {}
 

@@ -384,6 +384,63 @@ def apply_frame_sample(ds, *, every: int = 4):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def resize_frame(frame: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Integer box-downsample of one frame to (out_h, out_w) uint8: mean of
+    each source box, floor division — exact and platform-independent (the
+    SAME integer-tile discipline as :func:`_tile_features`)."""
+    h, w = frame.shape
+    ys = np.linspace(0, h, out_h + 1).astype(np.int64)
+    xs = np.linspace(0, w, out_w + 1).astype(np.int64)
+    out = np.empty((out_h, out_w), np.uint8)
+    f64 = frame.astype(np.int64)
+    for i in range(out_h):
+        row = f64[ys[i]:ys[i + 1]]
+        for j in range(out_w):
+            box = row[:, xs[j]:xs[j + 1]]
+            out[i, j] = int(box.sum()) // max(box.size, 1)
+    return out
+
+
+def resize_batch(batch: pa.Table, *, out_w: int = 16,
+                 out_h: int = 12) -> pa.Table:
+    """Media RESIZE stage: decode frame 0 (CRC-validated) and emit the
+    box-downsampled thumbnail raster as a binary column plus its CRC32 —
+    the resize leg of the decode/feature/resize/frame-sample multimodal
+    contract.  Undecodable payloads yield ``status="decode_error"`` with
+    empty pixels — never exceptions."""
+    ids = np.asarray(batch["item_id"], dtype=np.int64)
+    payloads = batch["payload"].to_pylist()
+    st, px, crcs = [], [], []
+    for r in range(batch.num_rows):
+        res = decode_media(payloads[r] or b"")
+        if res is None:
+            st.append("decode_error")
+            px.append(b"")
+            crcs.append(-1)
+            continue
+        _dims, frames, _crc = res
+        small = resize_frame(frames[0], out_w, out_h)
+        raw = small.tobytes()
+        st.append("ok")
+        px.append(raw)
+        crcs.append(zlib.crc32(raw) & 0xFFFFFFFF)
+    return pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "status": pa.array(st, pa.string()),
+        "rw": pa.array(np.full(len(st), out_w, np.int32)),
+        "rh": pa.array(np.full(len(st), out_h, np.int32)),
+        "pixels": pa.array(px, pa.binary()),
+        "px_crc": pa.array(crcs, pa.int64()),
+    })
+
+
+def apply_resize(ds, *, out_w: int = 16, out_h: int = 12,
+                 batch_size: int = 16):
+    return ds.map_batches(
+        lambda b: resize_batch(b, out_w=out_w, out_h=out_h),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
 def audio_features_batch(batch: pa.Table) -> pa.Table:
     """Audio feature extraction: one output row per decoded CHUNK with
     integer-exact signal features over the centered samples (x − 128):

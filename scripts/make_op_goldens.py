@@ -401,6 +401,42 @@ def g_audio_features() -> pa.Table:
     })
 
 
+def g_media_resize() -> pa.Table:
+    """Expected resize table: box-downsample the inline pattern directly
+    (integer floor-mean boxes, 16x12), never touching the container."""
+    import zlib
+    ids, st, px, crcs = [], [], [], []
+    for i in range(64):
+        w = 32 + (i * 7) % 96
+        h = 24 + (i * 5) % 72
+        ids.append(i)
+        if i % 13 == 12:
+            st.append("decode_error")
+            px.append("")
+            crcs.append(-1)
+            continue
+        f = _media_pattern(i, 42, 0, w, h).astype(np.int64)
+        ys = np.linspace(0, h, 13).astype(np.int64)
+        xs = np.linspace(0, w, 17).astype(np.int64)
+        out = np.empty((12, 16), np.uint8)
+        for r in range(12):
+            for c in range(16):
+                box = f[ys[r]:ys[r + 1], xs[c]:xs[c + 1]]
+                out[r, c] = int(box.sum()) // box.size
+        raw = out.tobytes()
+        st.append("ok")
+        px.append(raw.hex())        # hex-projected: BLOBs break the
+        crcs.append(zlib.crc32(raw) & 0xFFFFFFFF)   # compare-frame hash
+    return pa.table({
+        "item_id": pa.array(ids, pa.int64()),
+        "status": pa.array(st, pa.string()),
+        "rw": pa.array([16] * 64, pa.int32()),
+        "rh": pa.array([12] * 64, pa.int32()),
+        "pixels_hex": pa.array(px, pa.string()),
+        "px_crc": pa.array(crcs, pa.int64()),
+    })
+
+
 GOLDENS = {
     "winnow_fingerprints": g_winnow,
     "neardup_minhash_lsh": g_minhash_pairs,
@@ -414,6 +450,7 @@ GOLDENS = {
     "media_decode": g_media_decode,
     "media_frame_sample": g_media_frames,
     "audio_features": g_audio_features,
+    "media_resize": g_media_resize,
 }
 
 

@@ -347,6 +347,29 @@ def test_audio_features_match_direct_synthesis():
     assert n1 == 6 + 1 % 10
 
 
+def test_media_resize_integer_box_means():
+    """resize_frame: exact integer floor-means per box; resize_batch emits
+    the raster bytes + CRC and the decode_error row for corrupt payloads."""
+    import zlib
+
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        resize_batch, resize_frame, synth_media_table)
+
+    f = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    small = resize_frame(f, 2, 2)
+    # boxes: [[0,1],[4,5]] mean 2.5 -> 2 (floor); [[2,3],[6,7]] -> 4 ...
+    assert small.tolist() == [[2, 4], [10, 12]]
+    out = resize_batch(synth_media_table(14, corrupt_every=13))
+    rows = out.to_pylist()
+    ok = [r for r in rows if r["status"] == "ok"]
+    assert len(ok) == 13 and all(len(r["pixels"]) == 16 * 12 for r in ok)
+    assert all(zlib.crc32(r["pixels"]) & 0xFFFFFFFF == r["px_crc"]
+               for r in ok)
+    bad = [r for r in rows if r["status"] == "decode_error"]
+    assert len(bad) == 1 and bad[0]["pixels"] == b"" \
+        and bad[0]["px_crc"] == -1
+
+
 def test_media_decode_error_row():
     from org_dharts_dia_tesseract_ray.functions.multimodal import MediaDecoder
     bad = pa.table({
