@@ -375,6 +375,16 @@ def _q_extract_hocr(sf_dir: str):
     return apply_hocr(roundtrip_extract(sf_dir))
 
 
+def _q_compression_ratio(sf_dir: str):
+    """Deflate-compression quality signal (Gopher/CCNet-family filter
+    practice): per-document zlib-6 compressed/raw ratio — repetitive or
+    templated text compresses far below prose."""
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        apply_compression_ratio)
+    return apply_compression_ratio(_read(sf_dir, "documents",
+                                         ["doc_id", "text"]))
+
+
 def _q_token_stats(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.text_stats import (
         apply_token_stats)
@@ -1611,6 +1621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "media_frame_sample": _q_media_frames,
         "media_resize": _q_media_resize,
+        "compression_ratio": _q_compression_ratio,
         # --- changed earlier in round 4 (oracle or engine touched) ---
         "quality_buckets": _q_quality_buckets,
         "dup_substr_spans": _q_dup_substr_spans,
@@ -2126,7 +2137,8 @@ GROUP BY r_name""",
                         "embeddings_pca",
                         "ann_ivf_topk", "approx_distinct_tokens",
                         "media_decode", "media_frame_sample",
-                        "audio_features", "media_resize")},
+                        "audio_features", "media_resize",
+                        "compression_ratio")},
         # every queries() entry now carries an oracle; the approximate ones
         # additionally assert recall vs brute force in tests.
     }

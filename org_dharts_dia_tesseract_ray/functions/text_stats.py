@@ -208,6 +208,43 @@ def apply_langid(ds, **kw):
                           batch_format="pyarrow", zero_copy_batch=True)
 
 
+def compression_ratio_batch(batch: pa.Table, *, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            level: int = 6) -> pa.Table:
+    """(id, raw_len, comp_len, comp_ratio) — the deflate-compression
+    quality signal (Gopher/CCNet-family practice: highly repetitive or
+    templated text compresses far below prose; boilerplate/filler filters
+    threshold on the ratio).  zlib level pinned at 6 for byte-reproducible
+    outputs (the make_pdf_payload convention); per-row C calls, the only
+    Python is the loop shell.  Empty text → null ratio."""
+    import zlib
+
+    import numpy as np
+
+    texts = batch[text_col].to_pylist()
+    raw_len, comp_len, ratio = [], [], []
+    for t in texts:
+        raw = (t or "").encode("utf-8")
+        rl = len(raw)
+        cl = len(zlib.compress(raw, level))
+        raw_len.append(rl)
+        comp_len.append(cl)
+        # 4 dp half-away quantization — the repo's float-parity convention
+        ratio.append(None if rl == 0
+                     else float(np.floor(cl / rl * 1e4 + 0.5) / 1e4))
+    return pa.table({
+        id_col: batch[id_col],
+        "raw_len": pa.array(raw_len, pa.int64()),
+        "comp_len": pa.array(comp_len, pa.int64()),
+        "comp_ratio": pa.array(ratio, pa.float64()),
+    })
+
+
+def apply_compression_ratio(ds, **kw):
+    return ds.map_batches(lambda b: compression_ratio_batch(b, **kw),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
 #: strong right-to-left codepoints: Hebrew, Arabic (+ extended ranges and
 #: presentation forms)
 RTL_PATTERN = r"[\x{0590}-\x{08FF}\x{FB1D}-\x{FDFD}\x{FE70}-\x{FEFC}]"

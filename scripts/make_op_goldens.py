@@ -437,6 +437,15 @@ def g_media_resize() -> pa.Table:
     })
 
 
+def g_compression_ratio() -> pa.Table:
+    """Expected compression-ratio table: the pinned per-batch kernel applied
+    serially over the whole table (zlib level 6 is deterministic for a
+    fixed input — the make_pdf_payload convention)."""
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        compression_ratio_batch)
+    return compression_ratio_batch(_docs().select(["doc_id", "text"]))
+
+
 GOLDENS = {
     "winnow_fingerprints": g_winnow,
     "neardup_minhash_lsh": g_minhash_pairs,
@@ -451,6 +460,7 @@ GOLDENS = {
     "media_frame_sample": g_media_frames,
     "audio_features": g_audio_features,
     "media_resize": g_media_resize,
+    "compression_ratio": g_compression_ratio,
 }
 
 

@@ -347,6 +347,24 @@ def test_audio_features_match_direct_synthesis():
     assert n1 == 6 + 1 % 10
 
 
+def test_compression_ratio_signal():
+    """Repetitive text compresses far below varied text; empty text yields
+    a null ratio; lengths are exact."""
+    import zlib
+
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        compression_ratio_batch)
+    rep = "spam ham " * 200
+    var = " ".join(f"w{i}x{i * 7 % 13}" for i in range(400))
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([rep, var, ""], pa.string())})
+    out = compression_ratio_batch(t).to_pylist()
+    assert out[0]["raw_len"] == len(rep.encode())
+    assert out[0]["comp_len"] == len(zlib.compress(rep.encode(), 6))
+    assert out[0]["comp_ratio"] < 0.05 < out[1]["comp_ratio"]
+    assert out[2]["comp_ratio"] is None and out[2]["raw_len"] == 0
+
+
 def test_media_resize_integer_box_means():
     """resize_frame: exact integer floor-means per box; resize_batch emits
     the raster bytes + CRC and the decode_error row for corrupt payloads."""
