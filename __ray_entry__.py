@@ -385,6 +385,11 @@ def _q_compression_ratio(sf_dir: str):
                                          ["doc_id", "text"]))
 
 
+def _tokenize_ids_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.vocab import tokenize_ids_sql
+    return tokenize_ids_sql(_TOKENIZE_V)
+
+
 def _q_token_stats(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.text_stats import (
         apply_token_stats)
@@ -1113,6 +1118,36 @@ _SEQ_LEN = 512
 #: the corpus vocabulary so the OOV path is exercised
 _UNIGRAM_V = 20
 
+#: vocabulary size for the tokenize-to-ids harness query (bigger than
+#: _UNIGRAM_V so real id diversity appears, still small enough for OOV)
+_TOKENIZE_V = 256
+
+
+def _q_tokenize_ids(sf_dir: str):
+    """Tokenization to id sequences: top-V vocab built by the vocab
+    pipeline, broadcast via ray.put, ONE vectorized index_in per batch;
+    ids are rank+1, OOV=0.  The id list is CSV-projected for the compare
+    frame (list columns don't hash) via vectorized cast + binary_join."""
+    from org_dharts_dia_tesseract_ray.functions.lm_score import (
+        build_unigram_model)
+    from org_dharts_dia_tesseract_ray.functions.vocab import tokenize_ids
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = build_unigram_model(ds, vocab_size=_TOKENIZE_V)
+    out = tokenize_ids(_read(sf_dir, "documents", ["doc_id", "text"]),
+                       model)
+
+    def csv(b: pa.Table) -> pa.Table:
+        ids_str = pc.cast(b["ids"], pa.list_(pa.string()))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": b["n_tokens"],
+            "n_oov": b["n_oov"],
+            "ids_csv": pc.binary_join(ids_str, ","),
+        })
+
+    return out.map_batches(csv, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
 
 def _q_unigram_score(sf_dir: str):
     """CCNet-style unigram corpus-frequency scoring: top-V model built by
@@ -1622,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": _q_media_frames,
         "media_resize": _q_media_resize,
         "compression_ratio": _q_compression_ratio,
+        "tokenize_ids": _q_tokenize_ids,
         # --- changed earlier in round 4 (oracle or engine touched) ---
         "quality_buckets": _q_quality_buckets,
         "dup_substr_spans": _q_dup_substr_spans,
@@ -1959,6 +1995,7 @@ def oracle_sql() -> dict[str, str]:
         subsup_words_sql, unlv_sql, word_predicates_sql)
     return {
         "word_predicates": word_predicates_sql(),
+        "tokenize_ids": _tokenize_ids_sql_q(),
         "extract_font_attrs": font_words_sql(),
         "extract_hocr": hocr_sql(),
         "extract_unlv": unlv_sql(),

@@ -291,7 +291,7 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              # round-4 late additions (iterator predicates, font attrs,
              # audio modality, resize)
              "word_predicates", "extract_font_attrs", "audio_features",
-             "media_resize"]
+             "media_resize", "compression_ratio", "tokenize_ids"]
     qs = entry_mod.queries()
     out = {}
 

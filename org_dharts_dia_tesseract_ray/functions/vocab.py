@@ -77,6 +77,80 @@ def vocab_topk(ds, k: int = 100, *, text_col: str = "text", ngram: int = 1):
     return (totals.sort(["n", "token"], descending=[True, False]).limit(k))
 
 
+def tokenize_ids(ds, model: pa.Table, *, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """text → token-id sequences against a broadcast vocabulary — the
+    tokenization step that feeds sequence packing.
+
+    ``model`` is the (token, n) table from :func:`vocab_topk` /
+    ``build_unigram_model`` IN RANK ORDER (n desc, token asc): token id =
+    1 + rank position, id 0 = OOV/UNK.  The model is ``ray.put`` once and
+    read zero-copy per batch; per batch ONE ``index_in`` over the
+    flattened token stream, then the id list is rebuilt on the split's
+    own offsets — no Python token loop.  Output: (id, n_tokens, n_oov,
+    ids list<int32>)."""
+    import ray
+
+    ref = ray.put(model["token"].combine_chunks())
+
+    def encode(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        vocab = ray.get(ref)          # zero-copy local plasma read
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(b[text_col]), WS_PATTERN)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        idx = pc.index_in(flat, value_set=vocab)
+        ids_flat = pc.fill_null(
+            pc.add(idx.cast(pa.int32()), pa.scalar(1, pa.int32())),
+            pa.scalar(0, pa.int32()))
+        if isinstance(ids_flat, pa.ChunkedArray):
+            ids_flat = ids_flat.combine_chunks()
+        parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
+        oov = np.asarray(pc.is_null(idx))
+        n_oov = np.zeros(b.num_rows, np.int64)
+        np.add.at(n_oov, parents[oov], 1)
+        ids = pa.ListArray.from_arrays(toks.offsets, ids_flat)
+        return pa.table({
+            id_col: b[id_col],
+            "n_tokens": pc.list_value_length(toks).cast(pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "ids": ids,
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def tokenize_ids_sql(vocab_size: int, *, table: str = "documents",
+                     text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Oracle: same tokenizer, same (n desc, token asc) rank ids, OOV=0,
+    ids projected to a CSV string (list columns don't hash in the
+    compare frame)."""
+    return f"""
+WITH lists AS (
+  SELECT {id_col},
+         regexp_split_to_array(trim({text_col}), '{WS_PATTERN}') AS toks
+  FROM {table}),
+tok AS (
+  SELECT {id_col}, unnest(toks) AS token,
+         unnest(range(1, length(toks) + 1)) AS i
+  FROM lists),
+model AS (
+  SELECT token, row_number() OVER (ORDER BY n DESC, token) AS tid
+  FROM (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+        GROUP BY token ORDER BY n DESC, token LIMIT {vocab_size}))
+SELECT t.{id_col},
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (m.tid IS NULL) AS BIGINT) AS n_oov,
+       string_agg(CAST(COALESCE(m.tid, 0) AS VARCHAR), ','
+                  ORDER BY t.i) AS ids_csv
+FROM tok t LEFT JOIN model m USING (token)
+GROUP BY t.{id_col}"""
+
+
 def doc_frequency(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """Inverted-index statistics: per token, document frequency + posting
     bounds (n_docs, min/max doc id).

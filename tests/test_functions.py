@@ -347,6 +347,25 @@ def test_audio_features_match_direct_synthesis():
     assert n1 == 6 + 1 % 10
 
 
+def test_tokenize_ids_rank_and_oov(ray_session):
+    """tokenize_ids: id = 1 + rank position in the model, OOV = 0, list
+    rebuilt on the split's own offsets; n_oov counts unknown tokens."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.vocab import tokenize_ids
+    model = pa.table({"token": pa.array(["the", "cat", "sat"], pa.string()),
+                      "n": pa.array([10, 5, 2], pa.int64())})
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["the cat sat on the mat", "sat sat"], pa.string()),
+    }))
+    out = {r["doc_id"]: r
+           for r in tokenize_ids(docs, model).take_all()}
+    assert list(out[1]["ids"]) == [1, 2, 3, 0, 1, 0]
+    assert out[1]["n_tokens"] == 6 and out[1]["n_oov"] == 2
+    assert list(out[2]["ids"]) == [3, 3] and out[2]["n_oov"] == 0
+
+
 def test_compression_ratio_signal():
     """Repetitive text compresses far below varied text; empty text yields
     a null ratio; lengths are exact."""
