@@ -390,6 +390,11 @@ def _tokenize_ids_sql_q() -> str:
     return tokenize_ids_sql(_TOKENIZE_V)
 
 
+def _topk_per_key_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.stats import topk_per_key_sql
+    return topk_per_key_sql(k=3)
+
+
 def _q_token_stats(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.text_stats import (
         apply_token_stats)
@@ -1271,6 +1276,18 @@ def _q_tfidf_top_term(sf_dir: str):
     return tfidf_top_term(_read(sf_dir, "documents", ["doc_id", "text"]), n)
 
 
+def _q_top_docs_per_lang(sf_dir: str):
+    """Distributed window rank: top-3 docs per language by
+    (n_chars desc, doc_id asc) — per-batch combiner prune, ONE hash
+    exchange, per-partition vectorized run arithmetic (row_number
+    PARTITION BY analogue without per-key Python)."""
+    from org_dharts_dia_tesseract_ray.functions.stats import topk_per_key
+    return topk_per_key(_read(sf_dir, "documents",
+                              ["doc_id", "lang", "n_chars"]),
+                        key="lang", value_col="n_chars", id_col="doc_id",
+                        k=3)
+
+
 def _q_skew_topk(sf_dir: str):
     return (_read(sf_dir, "documents", ["doc_id", "n_chars"])
             .sort(["n_chars", "doc_id"], descending=[True, False])
@@ -1658,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "compression_ratio": _q_compression_ratio,
         "tokenize_ids": _q_tokenize_ids,
+        "top_docs_per_lang": _q_top_docs_per_lang,
         # --- changed earlier in round 4 (oracle or engine touched) ---
         "quality_buckets": _q_quality_buckets,
         "dup_substr_spans": _q_dup_substr_spans,
@@ -1996,6 +2014,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "word_predicates": word_predicates_sql(),
         "tokenize_ids": _tokenize_ids_sql_q(),
+        "top_docs_per_lang": _topk_per_key_sql_q(),
         "extract_font_attrs": font_words_sql(),
         "extract_hocr": hocr_sql(),
         "extract_unlv": unlv_sql(),

@@ -291,7 +291,8 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              # round-4 late additions (iterator predicates, font attrs,
              # audio modality, resize)
              "word_predicates", "extract_font_attrs", "audio_features",
-             "media_resize", "compression_ratio", "tokenize_ids"]
+             "media_resize", "compression_ratio", "tokenize_ids",
+             "top_docs_per_lang"]
     qs = entry_mod.queries()
     out = {}
 

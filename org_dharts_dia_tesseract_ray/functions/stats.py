@@ -70,3 +70,80 @@ def grouped_quantiles_sql(key: str = "lang", value_col: str = "n_chars",
         f"AS q{int(q * 100)}"
         for q in quantiles)
     return f"SELECT {key},\n  {cols}\nFROM {table} GROUP BY {key}"
+
+
+def _prune_topk(t: pa.Table, key: str, value_col: str, id_col: str,
+                k: int, *, with_rank: bool = False) -> pa.Table:
+    """Keep the top-``k`` rows per key of one table: sort by
+    (key asc, value desc, id asc), find run boundaries, keep positions
+    < k within each run — one vectorized pass, no per-key Python."""
+    t = t.sort_by([(key, "ascending"), (value_col, "descending"),
+                   (id_col, "ascending")])
+    n = t.num_rows
+    if n == 0:
+        return t.append_column("rank", pa.array([], pa.int64())) \
+            if with_rank else t
+    change = key_change_mask(t[key], n)
+    run_start = np.maximum.accumulate(
+        np.where(change, np.arange(n), -1))
+    pos = np.arange(n) - run_start
+    keep = pos < k
+    out = t.filter(pa.array(keep))
+    if with_rank:
+        out = out.append_column("rank", pa.array(pos[keep] + 1, pa.int64()))
+    return out
+
+
+def topk_per_key(ds, *, key: str, value_col: str, id_col: str, k: int = 3,
+                 num_partitions: int | None = None):
+    """Per-key top-k with rank — the distributed window
+    ``row_number() OVER (PARTITION BY key ORDER BY value DESC, id)`` ≤ k.
+
+    Two-phase, scale-honest: each BATCH is pruned to ≤k rows per key
+    present (the combiner — the exchange carries O(k × keys × batches)
+    rows, never the corpus), then ONE hash exchange co-locates each key's
+    survivors and a per-PARTITION vectorized pass (sort + run-boundary
+    arithmetic, Python call count = P independent of key cardinality)
+    emits the final rows with their rank.  Deterministic tie-break
+    (value desc, id asc) mirrored in the SQL oracle."""
+    P = num_partitions or default_num_partitions()
+
+    in_schema = ds.schema()
+    out_schema = pa.schema([
+        (key, in_schema.types[in_schema.names.index(key)]),
+        (value_col, in_schema.types[in_schema.names.index(value_col)]),
+        (id_col, in_schema.types[in_schema.names.index(id_col)]),
+        ("rank", pa.int64()),
+    ])
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], value_col: b[value_col],
+                      id_col: b[id_col]})
+        t = _prune_topk(t, key, value_col, id_col, k)
+        return t.append_column("__part", partition_ids(t[key], P))
+
+    pruned = ds.map_batches(combine, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def finish(part: pa.Table) -> pa.Table:
+        # empty hash partitions arrive schema-less (the
+        # schema_pinned_join hazard) — emit the typed empty table
+        if part.num_rows == 0 or "__part" not in part.column_names:
+            return out_schema.empty_table()
+        part = part.drop_columns(["__part"])
+        return _prune_topk(part, key, value_col, id_col, k, with_rank=True)
+
+    return pruned.groupby("__part").map_groups(finish,
+                                               batch_format="pyarrow")
+
+
+def topk_per_key_sql(key: str = "lang", value_col: str = "n_chars",
+                     id_col: str = "doc_id", k: int = 3,
+                     table: str = "documents") -> str:
+    return f"""
+SELECT {key}, {value_col}, {id_col}, rank FROM (
+  SELECT {key}, {value_col}, {id_col},
+         row_number() OVER (PARTITION BY {key}
+                            ORDER BY {value_col} DESC, {id_col}) AS rank
+  FROM {table})
+WHERE rank <= {k}"""

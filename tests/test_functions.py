@@ -347,6 +347,31 @@ def test_audio_features_match_direct_synthesis():
     assert n1 == 6 + 1 % 10
 
 
+def test_topk_per_key_matches_brute(ray_session):
+    """topk_per_key vs a pandas brute force on a multi-batch dataset with
+    ties (tie-break value desc, id asc) and ~40 distinct keys."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.stats import topk_per_key
+    n = 4000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "k": pa.array([f"g{i * 7 % 40}" for i in range(n)], pa.string()),
+        "v": pa.array([(i * 13) % 50 for i in range(n)], pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    got = topk_per_key(ds, key="k", value_col="v", id_col="doc_id",
+                       k=3).to_pandas()
+    got = got.sort_values(["k", "rank"]).reset_index(drop=True)
+    df = t.to_pandas().sort_values(
+        ["k", "v", "doc_id"], ascending=[True, False, True])
+    df["rank"] = df.groupby("k").cumcount() + 1
+    want = df[df["rank"] <= 3][["k", "v", "doc_id", "rank"]] \
+        .sort_values(["k", "rank"]).reset_index(drop=True)
+    assert got[["k", "v", "doc_id", "rank"]].values.tolist() \
+        == want.values.tolist()
+
+
 def test_tokenize_ids_rank_and_oov(ray_session):
     """tokenize_ids: id = 1 + rank position in the model, OOV = 0, list
     rebuilt on the split's own offsets; n_oov counts unknown tokens."""
