@@ -1738,7 +1738,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles_sketch": _q_length_quantiles_sketch,
         "lineitem_asof_lastship": _q_lineitem_asof_lastship,
         "events_asof_next_order": _q_events_asof_next_order,
-        "events_enrich_customer": _q_events_enrich_customer,
         "order_shipments_90d": _q_order_shipments_90d,
         "lineitem_pricing": _q_lineitem_pricing,
     }

@@ -68,14 +68,12 @@ def _decode_pdf_string(raw: bytes) -> str:
     # PDFDocEncoding ≈ latin-1 for the printable range; deterministic.
     if raw[:1] == b"<":
         # hex string: whitespace ignored, odd digit count padded with 0
-        # (PDF 32000-1:2008 §7.3.4.3)
+        # (PDF 32000-1:2008 §7.3.4.3).  No error path: the regexes admit
+        # only hex digits/whitespace, and latin-1 accepts every byte.
         hx = re.sub(rb"\s+", b"", raw[1:-1])
         if len(hx) % 2:
             hx += b"0"
-        try:
-            return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
-        except ValueError:
-            return ""
+        return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
     return _unescape(raw[1:-1]).decode("latin-1")
 
 

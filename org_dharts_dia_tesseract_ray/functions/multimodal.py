@@ -387,8 +387,14 @@ def apply_frame_sample(ds, *, every: int = 4):
 def resize_frame(frame: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Integer box-downsample of one frame to (out_h, out_w) uint8: mean of
     each source box, floor division — exact and platform-independent (the
-    SAME integer-tile discipline as :func:`_tile_features`)."""
+    SAME integer-tile discipline as :func:`_tile_features`).
+
+    DOWNSAMPLE-ONLY by contract: a target larger than the source would
+    produce empty boxes; callers (resize_batch) reject such frames as
+    ``too_small`` rows instead."""
     h, w = frame.shape
+    if out_h > h or out_w > w:
+        raise ValueError("resize_frame is downsample-only")
     ys = np.linspace(0, h, out_h + 1).astype(np.int64)
     xs = np.linspace(0, w, out_w + 1).astype(np.int64)
     out = np.empty((out_h, out_w), np.uint8)
@@ -397,7 +403,7 @@ def resize_frame(frame: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
         row = f64[ys[i]:ys[i + 1]]
         for j in range(out_w):
             box = row[:, xs[j]:xs[j + 1]]
-            out[i, j] = int(box.sum()) // max(box.size, 1)
+            out[i, j] = int(box.sum()) // box.size
     return out
 
 
@@ -418,7 +424,14 @@ def resize_batch(batch: pa.Table, *, out_w: int = 16,
             px.append(b"")
             crcs.append(-1)
             continue
-        _dims, frames, _crc = res
+        (w, h, _nf), frames, _crc = res
+        if out_h > h or out_w > w:
+            # downsample-only contract: a frame smaller than the target is
+            # a defined error row, never an exception or zero-fill garbage
+            st.append("too_small")
+            px.append(b"")
+            crcs.append(-1)
+            continue
         small = resize_frame(frames[0], out_w, out_h)
         raw = small.tobytes()
         st.append("ok")

@@ -22,8 +22,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import (default_num_partitions, key_change_mask, partition_ids,
-                    round_half_away)
+from ..util import (default_num_partitions, ds_arrow_schema,
+                    key_change_mask, partition_ids, round_half_away)
 
 
 def grouped_quantiles(ds, *, key: str, value_col: str,
@@ -108,12 +108,10 @@ def topk_per_key(ds, *, key: str, value_col: str, id_col: str, k: int = 3,
     (value desc, id asc) mirrored in the SQL oracle."""
     P = num_partitions or default_num_partitions()
 
-    in_schema = ds.schema()
+    in_schema = ds_arrow_schema(ds)
     out_schema = pa.schema([
-        (key, in_schema.types[in_schema.names.index(key)]),
-        (value_col, in_schema.types[in_schema.names.index(value_col)]),
-        (id_col, in_schema.types[in_schema.names.index(id_col)]),
-        ("rank", pa.int64()),
+        in_schema.field(key), in_schema.field(value_col),
+        in_schema.field(id_col), pa.field("rank", pa.int64()),
     ])
 
     def combine(b: pa.Table) -> pa.Table:

@@ -219,7 +219,7 @@ def compression_ratio_batch(batch: pa.Table, *, text_col: str = "text",
     Python is the loop shell.  Empty text → null ratio."""
     import zlib
 
-    import numpy as np
+    from ..util import round_half_away
 
     texts = batch[text_col].to_pylist()
     raw_len, comp_len, ratio = [], [], []
@@ -230,8 +230,7 @@ def compression_ratio_batch(batch: pa.Table, *, text_col: str = "text",
         raw_len.append(rl)
         comp_len.append(cl)
         # 4 dp half-away quantization — the repo's float-parity convention
-        ratio.append(None if rl == 0
-                     else float(np.floor(cl / rl * 1e4 + 0.5) / 1e4))
+        ratio.append(None if rl == 0 else round_half_away(cl / rl))
     return pa.table({
         id_col: batch[id_col],
         "raw_len": pa.array(raw_len, pa.int64()),

@@ -97,8 +97,16 @@ def tokenize_ids(ds, model: pa.Table, *, text_col: str = "text",
         import numpy as np
 
         vocab = ray.get(ref)          # zero-copy local plasma read
+        # null text → '' (one empty-string OOV token after the split) so
+        # the row SURVIVES with a defined encoding — mirrored by the
+        # oracle's COALESCE; a validity-less ListArray rebuild would
+        # otherwise silently turn null lists into empty ones and drop the
+        # doc from the SQL side only
+        tcol = b[text_col]
+        if tcol.null_count:
+            tcol = pc.fill_null(tcol, "")
         toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(b[text_col]), WS_PATTERN)
+            pc.utf8_trim_whitespace(tcol), WS_PATTERN)
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         flat = pc.list_flatten(toks)
@@ -132,7 +140,8 @@ def tokenize_ids_sql(vocab_size: int, *, table: str = "documents",
     return f"""
 WITH lists AS (
   SELECT {id_col},
-         regexp_split_to_array(trim({text_col}), '{WS_PATTERN}') AS toks
+         regexp_split_to_array(trim(COALESCE({text_col}, '')),
+                               '{WS_PATTERN}') AS toks
   FROM {table}),
 tok AS (
   SELECT {id_col}, unnest(toks) AS token,

@@ -389,6 +389,14 @@ def test_tokenize_ids_rank_and_oov(ray_session):
     assert list(out[1]["ids"]) == [1, 2, 3, 0, 1, 0]
     assert out[1]["n_tokens"] == 6 and out[1]["n_oov"] == 2
     assert list(out[2]["ids"]) == [3, 3] and out[2]["n_oov"] == 0
+    # null text survives as one empty-string OOV token (the COALESCE('')
+    # contract mirrored by the SQL oracle) — the row is never dropped
+    nd = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([9], pa.int64()),
+        "text": pa.array([None], pa.string())}))
+    row = tokenize_ids(nd, model).take_all()[0]
+    assert list(row["ids"]) == [0] and row["n_tokens"] == 1 \
+        and row["n_oov"] == 1
 
 
 def test_compression_ratio_signal():
@@ -430,6 +438,13 @@ def test_media_resize_integer_box_means():
     bad = [r for r in rows if r["status"] == "decode_error"]
     assert len(bad) == 1 and bad[0]["pixels"] == b"" \
         and bad[0]["px_crc"] == -1
+    # downsample-only contract: frames smaller than the target (audio
+    # chunks are 1 px tall) become too_small rows, never exceptions
+    from org_dharts_dia_tesseract_ray.functions.multimodal import (
+        synth_audio_table)
+    small = resize_batch(synth_audio_table(2)).to_pylist()
+    assert all(r["status"] == "too_small" and r["pixels"] == b""
+               for r in small)
 
 
 def test_media_decode_error_row():
