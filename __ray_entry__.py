@@ -395,6 +395,12 @@ def _topk_per_key_sql_q() -> str:
     return topk_per_key_sql(k=3)
 
 
+def _lang_balanced_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        lang_balanced_sample_sql)
+    return lang_balanced_sample_sql()
+
+
 def _q_token_stats(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.text_stats import (
         apply_token_stats)
@@ -1288,6 +1294,16 @@ def _q_top_docs_per_lang(sf_dir: str):
                         k=3)
 
 
+def _q_lang_balanced_sample(sf_dir: str):
+    """Multilingual rebalancing: every language downsampled to the smallest
+    language's share via integer basis-point rates from one tiny groupby +
+    the deterministic content-bucket rule (partitioning-invariant)."""
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        lang_balanced_sample)
+    return lang_balanced_sample(_read(sf_dir, "documents",
+                                      ["doc_id", "lang", "text"]))
+
+
 def _q_skew_topk(sf_dir: str):
     return (_read(sf_dir, "documents", ["doc_id", "n_chars"])
             .sort(["n_chars", "doc_id"], descending=[True, False])
@@ -1676,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": _q_compression_ratio,
         "tokenize_ids": _q_tokenize_ids,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "lang_balanced_sample": _q_lang_balanced_sample,
         # --- changed earlier in round 4 (oracle or engine touched) ---
         "quality_buckets": _q_quality_buckets,
         "dup_substr_spans": _q_dup_substr_spans,
@@ -2014,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
         "word_predicates": word_predicates_sql(),
         "tokenize_ids": _tokenize_ids_sql_q(),
         "top_docs_per_lang": _topk_per_key_sql_q(),
+        "lang_balanced_sample": _lang_balanced_sql_q(),
         "extract_font_attrs": font_words_sql(),
         "extract_hocr": hocr_sql(),
         "extract_unlv": unlv_sql(),

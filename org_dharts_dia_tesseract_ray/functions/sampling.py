@@ -175,3 +175,54 @@ SELECT {id_col},
        WHEN {b} < {val_percent + test_percent} THEN 'test'
        ELSE 'train' END AS split
 FROM {table}"""
+
+
+def lang_balanced_sample(ds, *, group_col: str = "lang",
+                         text_col: str = "text", id_col: str = "doc_id",
+                         scale: int = 10000):
+    """Rebalance a skewed corpus to EQUAL per-group share by downsampling
+    every group to the smallest group's size (in expectation) — the
+    language-rebalancing step of multilingual data mixing.
+
+    Per-group keep rates are integer basis points ``min_count * scale //
+    count`` from ONE tiny groupby (bounded by group cardinality, ~200
+    langs at web scale — driver-side like the IVF centroids); rows keep
+    iff their content bucket < rate, so the sample stays deterministic
+    and partitioning-invariant like every sampler here.  The rate dict is
+    closure-captured (bytes, not a shuffle); use ``ray.put`` if a group
+    vocabulary ever outgrows task-arg size."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    rows = (ds.groupby(group_col)
+            .aggregate(Count(on=id_col, alias_name="n")).take_all())
+    counts = {r[group_col]: int(r["n"]) for r in rows}
+    if not counts:
+        return ds.limit(0)
+    mn = min(counts.values())
+    rates = {g: mn * scale // n for g, n in counts.items()}
+
+    def f(b: pa.Table) -> pa.Table:
+        t = hash_bucket_batch(b, text_col=text_col, n_buckets=scale)
+        bp = np.array([rates.get(g, 0) for g in t[group_col].to_pylist()],
+                      np.int64)
+        keep = np.asarray(t["bucket"]) < bp
+        return t.filter(pa.array(keep)).select([id_col, group_col])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_balanced_sample_sql(*, group_col: str = "lang",
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             table: str = "documents",
+                             scale: int = 10000) -> str:
+    return f"""
+WITH c AS (SELECT {group_col}, CAST(count(*) AS BIGINT) AS n
+           FROM {table} GROUP BY {group_col}),
+m AS (SELECT min(n) AS mn FROM c),
+r AS (SELECT {group_col}, CAST(mn * {scale} // n AS BIGINT) AS bp
+      FROM c, m)
+SELECT d.{id_col}, d.{group_col}
+FROM {table} d JOIN r USING ({group_col})
+WHERE {bucket_sql_expr(text_col, scale)} < r.bp"""

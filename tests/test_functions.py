@@ -347,7 +347,32 @@ def test_audio_features_match_direct_synthesis():
     assert n1 == 6 + 1 % 10
 
 
-def test_topk_per_key_matches_brute(ray_session):
+def test_lang_balanced_sample_rates(ray_session):
+    """Per-group keep rates = min_count*scale//count; the sample is
+    deterministic (re-run identical) and the minority group keeps ~all."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        lang_balanced_sample)
+    n = 3000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(["big"] * 2700 + ["small"] * 300, pa.string()),
+        "text": pa.array([f"doc {i} body" for i in range(n)], pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    s1 = sorted(r["doc_id"] for r in
+                lang_balanced_sample(ds).take_all())
+    s2 = sorted(r["doc_id"] for r in
+                lang_balanced_sample(ds).take_all())
+    assert s1 == s2                              # deterministic
+    langs = pa.table({"doc_id": pa.array(s1, pa.int64())}) \
+        .join(t, keys="doc_id")["lang"].to_pylist()
+    n_small = sum(1 for x in langs if x == "small")
+    n_big = len(langs) - n_small
+    # rate_small = 10000//1 bp = keep all; rate_big = 300*10000//2700 bp
+    assert n_small == 300
+    assert 200 < n_big < 450                     # ~11.1% of 2700, hash noise
     """topk_per_key vs a pandas brute force on a multi-batch dataset with
     ties (tie-break value desc, id asc) and ~40 distinct keys."""
     import ray.data
