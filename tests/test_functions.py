@@ -373,6 +373,9 @@ def test_lang_balanced_sample_rates(ray_session):
     # rate_small = 10000//1 bp = keep all; rate_big = 300*10000//2700 bp
     assert n_small == 300
     assert 200 < n_big < 450                     # ~11.1% of 2700, hash noise
+
+
+def test_topk_per_key_matches_brute(ray_session):
     """topk_per_key vs a pandas brute force on a multi-batch dataset with
     ties (tie-break value desc, id asc) and ~40 distinct keys."""
     import ray.data
