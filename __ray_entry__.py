@@ -401,6 +401,12 @@ def _lang_balanced_sql_q() -> str:
     return lang_balanced_sample_sql()
 
 
+def _bigram_score_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.lm_score import (
+        bigram_score_sql)
+    return bigram_score_sql(_UNIGRAM_V)
+
+
 def _q_token_stats(sf_dir: str):
     from org_dharts_dia_tesseract_ray.functions.text_stats import (
         apply_token_stats)
@@ -1173,6 +1179,18 @@ def _q_unigram_score(sf_dir: str):
                          model)
 
 
+def _q_bigram_score(sf_dir: str):
+    """Adjacent-bigram corpus-frequency scoring (the KenLM-direction
+    generalization of unigram_score): top-V bigram model broadcast,
+    integer-exact per-doc sums via the aligned-slice n-gram kernel."""
+    from org_dharts_dia_tesseract_ray.functions.lm_score import (
+        build_unigram_model, score_ngrams)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = build_unigram_model(ds, vocab_size=_UNIGRAM_V, ngram=2)
+    return score_ngrams(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        model, n=2)
+
+
 def _q_quality_buckets(sf_dir: str):
     """CCNet head/middle/tail terciles of the unigram corpus-frequency
     score: sketch-derived thresholds (exact at oracle scale) + broadcast
@@ -1693,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_ids": _q_tokenize_ids,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_balanced_sample": _q_lang_balanced_sample,
+        "bigram_score": _q_bigram_score,
         # --- changed earlier in round 4 (oracle or engine touched) ---
         "quality_buckets": _q_quality_buckets,
         "dup_substr_spans": _q_dup_substr_spans,
@@ -2032,6 +2051,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenize_ids": _tokenize_ids_sql_q(),
         "top_docs_per_lang": _topk_per_key_sql_q(),
         "lang_balanced_sample": _lang_balanced_sql_q(),
+        "bigram_score": _bigram_score_sql_q(),
         "extract_font_attrs": font_words_sql(),
         "extract_hocr": hocr_sql(),
         "extract_unlv": unlv_sql(),

@@ -292,7 +292,7 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              # audio modality, resize)
              "word_predicates", "extract_font_attrs", "audio_features",
              "media_resize", "compression_ratio", "tokenize_ids",
-             "top_docs_per_lang", "lang_balanced_sample"]
+             "top_docs_per_lang", "lang_balanced_sample", "bigram_score"]
     qs = entry_mod.queries()
     out = {}
 

@@ -37,12 +37,14 @@ from .text_stats import WS_PATTERN
 
 
 def build_unigram_model(ds, *, vocab_size: int = 65536,
-                        text_col: str = "text") -> pa.Table:
+                        text_col: str = "text", ngram: int = 1) -> pa.Table:
     """Top-``vocab_size`` (token, n) corpus-frequency table, deterministic
-    tie-break — a bounded driver-side model like the IVF centroids."""
+    tie-break — a bounded driver-side model like the IVF centroids.
+    ``ngram=2`` builds the adjacent-bigram model for :func:`score_ngrams`."""
     from .vocab import vocab_topk
 
-    rows = vocab_topk(ds, k=vocab_size, text_col=text_col).take_all()
+    rows = vocab_topk(ds, k=vocab_size, text_col=text_col,
+                      ngram=ngram).take_all()
     if not rows:
         return pa.table({"token": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64())})
@@ -101,6 +103,80 @@ def score_unigram(ds, model: pa.Table, *, text_col: str = "text",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def score_ngrams(ds, model: pa.Table, *, n: int = 2,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_grams, n_oov, sum_freq) per document over adjacent word
+    ``n``-grams — the bigram generalization of :func:`score_unigram`
+    (same integer-exact corpus-frequency signal, one step closer to the
+    KenLM-style context-conditional score).  ``model`` comes from
+    ``build_unigram_model(..., ngram=n)``; shares the
+    :func:`vocab.doc_ngrams_batch` aligned-slice kernel."""
+    import ray
+
+    from .vocab import doc_ngrams_batch
+
+    ref = ray.put(model)
+
+    def score(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)          # zero-copy local plasma read
+        grams, parents, n_docs = doc_ngrams_batch(b[text_col], n)
+        par = np.asarray(parents, dtype=np.int64)
+        n_grams = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_grams, par, 1)
+        idx = pc.index_in(grams, value_set=m["token"])
+        oov = np.asarray(pc.is_null(idx))
+        n_oov = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_oov, par[oov], 1)
+        freqs = np.asarray(m["n"])
+        pos = np.asarray(pc.fill_null(idx, 0), dtype=np.int64)
+        gram_freq = np.where(oov, 0, freqs[pos] if len(freqs) else 0)
+        sum_freq = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(sum_freq, par, gram_freq)
+        return pa.table({
+            id_col: b[id_col],
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+            "sum_freq": pa.array(sum_freq, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def bigram_score_sql(vocab_size: int, *, table: str = "documents",
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`score_ngrams` at n=2: same adjacent-bigram
+    construction (list lambdas), same top-V tie-break, same integer sums;
+    docs with <2 tokens appear with zeros via the LEFT JOIN."""
+    return f"""
+WITH l AS (
+  SELECT {id_col},
+         regexp_split_to_array(trim({text_col}), '{WS_PATTERN}') AS toks
+  FROM {table}),
+g AS (
+  SELECT {id_col},
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM l),
+cnt AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY gram),
+model AS (
+  SELECT gram, n FROM cnt ORDER BY n DESC, gram LIMIT {vocab_size}),
+scored AS (
+  SELECT g.{id_col},
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) FILTER (m.gram IS NULL) AS BIGINT) AS n_oov,
+         CAST(COALESCE(SUM(m.n), 0) AS BIGINT) AS sum_freq
+  FROM g LEFT JOIN model m USING (gram)
+  GROUP BY g.{id_col})
+SELECT d.{id_col},
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(s.n_oov, 0) AS n_oov,
+       COALESCE(s.sum_freq, 0) AS sum_freq
+FROM {table} d LEFT JOIN scored s USING ({id_col})"""
 
 
 def unigram_score_sql(vocab_size: int = 65536, *,

@@ -347,6 +347,28 @@ def test_audio_features_match_direct_synthesis():
     assert n1 == 6 + 1 % 10
 
 
+def test_bigram_score_matches_manual(ray_session):
+    """score_ngrams(n=2): model counts summed over adjacent bigrams,
+    short docs (<2 tokens) yield all-zero rows."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.lm_score import (
+        build_unigram_model, score_ngrams)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a b c", "a b", "solo"], pa.string()),
+    }))
+    model = build_unigram_model(docs, vocab_size=2, ngram=2)
+    # bigram counts: "a b"=3, "b a"=1, "b c"=1 → top-2 = {"a b":3, "b a":1}
+    out = {r["doc_id"]: r for r in score_ngrams(docs, model).take_all()}
+    # doc1 bigrams: a b, b a, a b, b c → 4 grams, oov=1 (b c), sum=3+1+3=7
+    assert out[1]["n_grams"] == 4 and out[1]["n_oov"] == 1 \
+        and out[1]["sum_freq"] == 7
+    assert out[2]["n_grams"] == 1 and out[2]["sum_freq"] == 3
+    assert out[3]["n_grams"] == 0 and out[3]["n_oov"] == 0 \
+        and out[3]["sum_freq"] == 0
+
+
 def test_lang_balanced_sample_rates(ray_session):
     """Per-group keep rates = min_count*scale//count; the sample is
     deterministic (re-run identical) and the minority group keeps ~all."""
