@@ -54,6 +54,26 @@ def build_unigram_model(ds, *, vocab_size: int = 65536,
     })
 
 
+def _score_grams(m: pa.Table, grams, parents, n_docs: int):
+    """Shared scoring kernel over a flattened gram/token stream: per-doc
+    (occurrence count, OOV count, int64-exact model-frequency sum) via ONE
+    ``index_in`` + three ``np.add.at`` reductions.  Both scorers call this
+    — one implementation of the empty-model and OOV semantics."""
+    par = np.asarray(parents, dtype=np.int64)
+    count = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(count, par, 1)
+    idx = pc.index_in(grams, value_set=m["token"])
+    oov = np.asarray(pc.is_null(idx))
+    n_oov = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(n_oov, par[oov], 1)
+    freqs = np.asarray(m["n"])
+    pos = np.asarray(pc.fill_null(idx, 0), dtype=np.int64)
+    gram_freq = np.where(oov, 0, freqs[pos] if len(freqs) else 0)
+    sum_freq = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(sum_freq, par, gram_freq)
+    return count, n_oov, sum_freq
+
+
 def score_unigram(ds, model: pa.Table, *, text_col: str = "text",
                   id_col: str = "doc_id"):
     """(id, n_tokens, n_oov, sum_freq, mean_freq) per document.
@@ -65,26 +85,14 @@ def score_unigram(ds, model: pa.Table, *, text_col: str = "text",
     """
     import ray
 
+    from .vocab import doc_ngrams_batch
+
     ref = ray.put(model)
 
     def score(b: pa.Table) -> pa.Table:
         m = ray.get(ref)          # zero-copy local plasma read
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(b[text_col]), WS_PATTERN)
-        n_docs = len(toks)
-        flat = pc.list_flatten(toks)
-        parents = np.asarray(pc.list_parent_indices(toks), dtype=np.int64)
-        n_tokens = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(n_tokens, parents, 1)
-        idx = pc.index_in(flat, value_set=m["token"])
-        oov = np.asarray(pc.is_null(idx))
-        n_oov = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(n_oov, parents[oov], 1)
-        freqs = np.asarray(m["n"])
-        pos = np.asarray(pc.fill_null(idx, 0), dtype=np.int64)
-        tok_freq = np.where(oov, 0, freqs[pos] if len(freqs) else 0)
-        sum_freq = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(sum_freq, parents, tok_freq)
+        flat, parents, n_docs = doc_ngrams_batch(b[text_col], 1)
+        n_tokens, n_oov, sum_freq = _score_grams(m, flat, parents, n_docs)
         nz = pa.array(n_tokens > 0)
         mean = pc.divide(
             pc.round(pc.multiply(
@@ -122,18 +130,7 @@ def score_ngrams(ds, model: pa.Table, *, n: int = 2,
     def score(b: pa.Table) -> pa.Table:
         m = ray.get(ref)          # zero-copy local plasma read
         grams, parents, n_docs = doc_ngrams_batch(b[text_col], n)
-        par = np.asarray(parents, dtype=np.int64)
-        n_grams = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(n_grams, par, 1)
-        idx = pc.index_in(grams, value_set=m["token"])
-        oov = np.asarray(pc.is_null(idx))
-        n_oov = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(n_oov, par[oov], 1)
-        freqs = np.asarray(m["n"])
-        pos = np.asarray(pc.fill_null(idx, 0), dtype=np.int64)
-        gram_freq = np.where(oov, 0, freqs[pos] if len(freqs) else 0)
-        sum_freq = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(sum_freq, par, gram_freq)
+        n_grams, n_oov, sum_freq = _score_grams(m, grams, parents, n_docs)
         return pa.table({
             id_col: b[id_col],
             "n_grams": pa.array(n_grams, pa.int64()),
