@@ -228,7 +228,11 @@ def test_fast_tokenizer_fuzz_parity():
              "</main>", "é", "<P>", "</P>", "</&amp;>", "</>", "</ p>",
              '<p title="x>', "&#65;", "&#x42;", "&quot;", "O", "Xy",
              "<x='y>", "<x ='y>", "<p foo=\"a\"bar='c>d'>",
-             "<p =\">junk\">", "<!>", "<q z='a>b'>"]
+             "<p =\">junk\">", "<!>", "<q z='a>b'>",
+             # font-attribute tags (round-4 word-mask branch): unbalanced
+             # and nested forms must stay front-end-identical too
+             "<b>", "</b>", "<i>", "</i>", "<em>", "</em>", "<code>",
+             "</code>", "<u>", "</u>", "<strong>bold", "<b><i>bi</i></b>"]
     rng = random.Random(424242)
     for _ in range(1500):
         doc = "".join(rng.choice(frags) for _ in range(rng.randint(1, 28)))
