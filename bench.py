@@ -15,6 +15,9 @@ and the number reported is steady-state throughput).
 (num_cpus=8 then 32) on identical input and reports both throughputs plus
 scaling efficiency = (T8/T32)/(32/8) — the sandbox protocol for the
 north-rule two-cluster-size criterion (see BASELINE.md).
+
+``--big`` runs the headline pipeline alone over 4× the corpus (1.2 M docs
+at sf0.1) — the streaming-stability / sustained-throughput evidence row.
 """
 
 from __future__ import annotations
@@ -344,6 +347,28 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
 def main() -> None:
     scaling = "--scaling" in sys.argv
     child = os.environ.get("GRAFT_BENCH_SCALING_CHILD") == "1"
+
+    if "--big" in sys.argv:
+        # sustained-throughput variant: 4x the default corpus (1.2 M docs
+        # at sf0.1), headline pipeline only — the streaming-stability
+        # evidence row in BASELINE.md, reproducible with one command
+        eff_cores = probe_effective_cores()
+        _init_ray()
+        headline = run_headline(SF_DIR, REPLICATE * 4, passes=2,
+                                probe=True)
+        print(json.dumps({
+            "metric": "extract_throughput_docs_per_sec",
+            "value": headline["docs_per_sec"],
+            "unit": "sec",
+            "queries": {"headline_extract_big": headline},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "effective_cores": eff_cores,
+            "replicate": REPLICATE * 4,
+        }))
+        import ray
+        ray.shutdown()
+        return
 
     if scaling and not child:
         lo, hi = SCALING_CPUS
