@@ -347,6 +347,37 @@ def test_audio_features_match_direct_synthesis():
     assert n1 == 6 + 1 % 10
 
 
+def test_new_operators_empty_input(ray_session):
+    """Empty-corpus behavior of the late-round-4 operators: no exceptions,
+    zero rows (the empty-block schema hazard class) — the state a filtered
+    partition hits at scale."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.lm_score import (
+        build_unigram_model, score_ngrams)
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        lang_balanced_sample)
+    from org_dharts_dia_tesseract_ray.functions.stats import topk_per_key
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        apply_compression_ratio)
+    from org_dharts_dia_tesseract_ray.functions.vocab import tokenize_ids
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    model = build_unigram_model(empty, vocab_size=4)
+    assert model.num_rows == 0
+    assert tokenize_ids(empty, model).count() == 0
+    assert score_ngrams(empty, model).count() == 0
+    assert apply_compression_ratio(empty).count() == 0
+    assert lang_balanced_sample(empty).count() == 0
+    assert topk_per_key(empty, key="lang", value_col="n_chars",
+                        id_col="doc_id", k=3).count() == 0
+
+
 def test_bigram_score_matches_manual(ray_session):
     """score_ngrams(n=2): model counts summed over adjacent bigrams,
     short docs (<2 tokens) yield all-zero rows."""
