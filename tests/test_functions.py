@@ -1673,9 +1673,13 @@ def test_bloom_probe_positions_properties():
         assert np.array_equal(p1, p2)               # deterministic
         assert p1.shape == (len(keys), k)
         assert (p1 >= 0).all() and (p1 < bits).all()
-        # distinct keys rarely share their FULL probe set
-        uniq = {tuple(r) for r in p1}
-        assert len(uniq) >= len(set(str(x) for x in keys)) * 0.9
+        # distinct keys rarely share their FULL probe set — only a valid
+        # property at k >= 2: with a single probe, two keys colliding in
+        # one position is a legitimate 1/bits event hypothesis CAN find
+        # (it did: two strings sharing their k=1 slot at bits=4096)
+        if k >= 2:
+            uniq = {tuple(r) for r in p1}
+            assert len(uniq) >= len(set(str(x) for x in keys)) * 0.9
 
     inner()
 
