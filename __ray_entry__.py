@@ -1462,6 +1462,62 @@ def _q_events_enrich_customer(sf_dir: str):
                                    "c_mktsegment": "c_mktsegment"})
 
 
+def _q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER join (distributed, schema-pinned): every customer with
+    their order count; customers with no orders survive with a null count
+    — the SQL LEFT JOIN shape over an aggregate right side (the exact
+    configuration Dataset.join dies on: empty schema-less blocks)."""
+    from org_dharts_dia_tesseract_ray.util import (default_num_partitions,
+                                                   schema_pinned_join)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    counts = (_read(sf_dir, "orders", ["o_custkey"])
+              .groupby("o_custkey").count())
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b["o_custkey"],
+                         "n_orders": b["count()"]})
+
+    counts = counts.map_batches(rename, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return schema_pinned_join(
+        cust, counts, on=("c_custkey",),
+        num_partitions=default_num_partitions(),
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_mktsegment", pa.string())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("n_orders", pa.int64())]),
+        join_type="left outer")
+
+
+def _q_customers_no_orders(sf_dir: str):
+    """LEFT ANTI join (distributed NOT EXISTS): customers with no order
+    since 2000-01-01 — lapsed-customer detection.  Per-batch key dedup is
+    the combiner — the exchange carries distinct keys per batch, never the
+    orders table."""
+    import datetime
+
+    from org_dharts_dia_tesseract_ray.util import (default_num_partitions,
+                                                   schema_pinned_join)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    cutoff = datetime.datetime(2000, 1, 1)
+
+    def distinct_recent_keys(b: pa.Table) -> pa.Table:
+        keys = b.filter(pc.greater_equal(
+            b["o_orderdate"],
+            pa.scalar(cutoff, b["o_orderdate"].type)))["o_custkey"]
+        return pa.table({"c_custkey": pc.unique(keys.combine_chunks())})
+
+    seen = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        distinct_recent_keys, batch_format="pyarrow", zero_copy_batch=True)
+    return schema_pinned_join(
+        cust, seen, on=("c_custkey",),
+        num_partitions=default_num_partitions(),
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_name", pa.string())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+        join_type="left anti")
+
+
 def _q_order_shipments_90d(sf_dir: str):
     """Range join: per order, how many of its lineitems shipped within
     90 days of the order date."""
@@ -1685,6 +1741,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # every query whose engine path was touched this session sits
         # inside the driver's 50-query window ---
         "word_predicates": _q_word_predicates,
+        "customer_order_counts": _q_customer_order_counts,
+        "customers_no_orders": _q_customers_no_orders,
         "extract_font_attrs": _q_extract_font_attrs,
         "audio_features": _q_audio_features,
         "extract_roundtrip": _q_extract_roundtrip,
@@ -2048,6 +2106,17 @@ def oracle_sql() -> dict[str, str]:
         subsup_words_sql, unlv_sql, word_predicates_sql)
     return {
         "word_predicates": word_predicates_sql(),
+        "customer_order_counts": """
+SELECT c.c_custkey, c.c_mktsegment, o.n_orders
+FROM customer c
+LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey""",
+        "customers_no_orders": """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')""",
         "tokenize_ids": _tokenize_ids_sql_q(),
         "top_docs_per_lang": _topk_per_key_sql_q(),
         "lang_balanced_sample": _lang_balanced_sql_q(),

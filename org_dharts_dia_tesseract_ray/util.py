@@ -201,9 +201,10 @@ def ds_arrow_schema(ds) -> pa.Schema:
 def schema_pinned_join(left, right, *, on, num_partitions: int,
                        left_schema: pa.Schema, right_schema: pa.Schema,
                        join_type: str = "inner"):
-    """Distributed inner join that is IMMUNE to schema-less empty blocks —
-    the replacement for ``Dataset.join`` wherever a side is (or may be) a
-    groupby/aggregate output.
+    """Distributed join (``inner`` / ``left outer`` / ``left anti``) that is
+    IMMUNE to schema-less empty blocks — the replacement for
+    ``Dataset.join`` wherever a side is (or may be) a groupby/aggregate
+    output.
 
     Why not ``Dataset.join``: a hash-shuffled groupby output materializes
     empty partitions as zero-COLUMN blocks (the executor's "new schema: ."
@@ -228,15 +229,25 @@ def schema_pinned_join(left, right, *, on, num_partitions: int,
     ``left_schema`` / ``right_schema`` are the statically-known schemas
     (never derived by executing the inputs).  Non-key column names must be
     disjoint; key columns are cast to the left side's types.
+
+    Join-type semantics (all SQL-standard, all Acero-local per partition):
+
+    - ``inner`` — matching rows only;
+    - ``left outer`` — every left row survives; unmatched rows carry nulls
+      in the right-only columns (null keys never match, as in SQL);
+    - ``left anti`` — left rows WITHOUT a match, left columns only (the
+      ``NOT EXISTS`` shape; null-key left rows are unmatched, so they pass).
     """
     import numpy as np
 
-    if join_type != "inner":
-        raise NotImplementedError("only inner joins are needed/offered")
+    if join_type not in ("inner", "left outer", "left anti"):
+        raise NotImplementedError(
+            "join_type must be 'inner', 'left outer' or 'left anti'")
     on = tuple(on)
     lnames = list(left_schema.names)
     ltypes = {n: left_schema.field(n).type for n in lnames}
-    r_only = [n for n in right_schema.names if n not in on]
+    r_only = ([] if join_type == "left anti"
+              else [n for n in right_schema.names if n not in on])
     rtypes = {n: right_schema.field(n).type for n in right_schema.names}
     overlap = (set(lnames) - set(on)) & set(r_only)
     if overlap:
@@ -278,9 +289,17 @@ def schema_pinned_join(left, right, *, on, num_partitions: int,
         side = _np.asarray(part["__side"])
         lt = part.filter(pa.array(side == 0)).select(lnames)
         rt = part.filter(pa.array(side == 1)).select(list(on) + r_only)
-        if lt.num_rows == 0 or rt.num_rows == 0:
+        if lt.num_rows == 0:
             return out_schema.empty_table()
-        out = lt.join(rt, keys=list(on), join_type="inner",
+        if rt.num_rows == 0:
+            if join_type == "inner":
+                return out_schema.empty_table()
+            if join_type == "left anti":
+                return lt          # nothing to match against: all survive
+            for n in r_only:       # left outer: typed all-null right side
+                lt = lt.append_column(n, pa.nulls(lt.num_rows, rtypes[n]))
+            return lt.select(out_schema.names)
+        out = lt.join(rt, keys=list(on), join_type=join_type,
                       use_threads=False)
         return out.select(out_schema.names)
 

@@ -927,6 +927,84 @@ def test_schema_pinned_join_empty_side(ray_session):
     assert out.count() == 0
 
 
+def test_schema_pinned_join_left_outer(ray_session):
+    """Left outer: every left row survives; unmatched rows carry typed
+    nulls; null left keys never match but still survive; duplicate right
+    keys multiply — SQL LEFT JOIN semantics exactly."""
+    import ray.data as _rd
+
+    from org_dharts_dia_tesseract_ray.util import schema_pinned_join
+
+    left = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, None, 3], pa.int64()),
+        "a": pa.array(["w", "x", "y", "z"])}))
+    right = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, None], pa.int64()),
+        "b": pa.array([10, 11, 99], pa.int64())}))
+    out = schema_pinned_join(
+        left, right, on=("k",), num_partitions=16,
+        left_schema=pa.schema([("k", pa.int64()), ("a", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("b", pa.int64())]),
+        join_type="left outer",
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    # k=1 matches twice, k=2 / null-k / k=3 survive with null b
+    assert list(out["a"]) == ["w", "w", "x", "y", "z"]
+    assert sorted(out[out["a"] == "w"]["b"]) == [10, 11]
+    assert out[out["a"] != "w"]["b"].isna().all()
+
+
+def test_schema_pinned_join_left_anti(ray_session):
+    """Left anti: NOT-EXISTS shape — unmatched left rows only, left columns
+    only; null-key left rows are unmatched by definition, so they pass."""
+    import ray.data as _rd
+
+    from org_dharts_dia_tesseract_ray.util import schema_pinned_join
+
+    left = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, None, 3], pa.int64()),
+        "a": pa.array(["w", "x", "y", "z"])}))
+    right = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, None], pa.int64()),
+        "b": pa.array([10, 11, 99], pa.int64())}))
+    out = schema_pinned_join(
+        left, right, on=("k",), num_partitions=16,
+        left_schema=pa.schema([("k", pa.int64()), ("a", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("b", pa.int64())]),
+        join_type="left anti",
+    ).to_pandas().sort_values("a").reset_index(drop=True)
+    assert list(out.columns) == ["k", "a"]
+    assert list(out["a"]) == ["x", "y", "z"]
+
+
+def test_schema_pinned_join_left_outer_empty_right(ray_session):
+    """Left outer / anti against a right side that aggregates to zero rows:
+    all left rows survive (outer carries typed nulls)."""
+    import ray.data as _rd
+    from ray.data.aggregate import Sum
+
+    from org_dharts_dia_tesseract_ray.util import schema_pinned_join
+
+    left = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "x": pa.array([1, 2, 3], pa.int64())}))
+
+    def empty_right():
+        return (_rd.from_arrow(pa.table({
+            "k": pa.array([9], pa.int64()), "v": pa.array([1], pa.int64())}))
+            .filter(expr="v > 100")
+            .groupby("k").aggregate(Sum("v", alias_name="n")))
+
+    kw = dict(on=("k",), num_partitions=16,
+              left_schema=pa.schema([("k", pa.int64()), ("x", pa.int64())]),
+              right_schema=pa.schema([("k", pa.int64()), ("n", pa.int64())]))
+    outer = schema_pinned_join(left, empty_right(), join_type="left outer",
+                               **kw).to_pandas()
+    assert len(outer) == 3 and outer["n"].isna().all()
+    anti = schema_pinned_join(left, empty_right(), join_type="left anti",
+                              **kw).to_pandas()
+    assert len(anti) == 3 and list(anti.columns) == ["k", "x"]
+
+
 def test_asof_join_null_semantics(ray_session):
     """ASOF null semantics: a null left timestamp matches NOTHING (it must
     not coalesce to epoch 0); right rows with null ts or null value are
