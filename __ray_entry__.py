@@ -395,6 +395,12 @@ def _topk_per_key_sql_q() -> str:
     return topk_per_key_sql(k=3)
 
 
+def _running_total_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        running_total_sql)
+    return running_total_sql()
+
+
 def _lang_balanced_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.sampling import (
         lang_balanced_sample_sql)
@@ -1518,6 +1524,27 @@ def _q_customers_no_orders(sf_dir: str):
         join_type="left anti")
 
 
+def _q_events_running_total(sf_dir: str):
+    """Distributed per-key running total: cumulative spend per user in
+    event order — SUM() OVER (PARTITION BY user ORDER BY ts, id); integer
+    cents so the cumsum is exact at any scale."""
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        running_total_per_key)
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"], "ts": b["ts"],
+            "event_id": b["event_id"],
+            "value_c": pc.round(pc.multiply(
+                b["value"], pa.scalar(100.0))).cast(pa.int64())})
+
+    ev = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return running_total_per_key(ev, key="user_id", order_col="ts",
+                                 id_col="event_id", value_col="value_c",
+                                 out_col="running_c")
+
+
 def _q_order_shipments_90d(sf_dir: str):
     """Range join: per order, how many of its lineitems shipped within
     90 days of the order date."""
@@ -1743,6 +1770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_predicates": _q_word_predicates,
         "customer_order_counts": _q_customer_order_counts,
         "customers_no_orders": _q_customers_no_orders,
+        "events_running_total": _q_events_running_total,
         "extract_font_attrs": _q_extract_font_attrs,
         "audio_features": _q_audio_features,
         "extract_roundtrip": _q_extract_roundtrip,
@@ -2117,6 +2145,7 @@ SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01')""",
+        "events_running_total": _running_total_sql_q(),
         "tokenize_ids": _tokenize_ids_sql_q(),
         "top_docs_per_lang": _topk_per_key_sql_q(),
         "lang_balanced_sample": _lang_balanced_sql_q(),

@@ -145,3 +145,79 @@ SELECT {key}, {value_col}, {id_col}, rank FROM (
                             ORDER BY {value_col} DESC, {id_col}) AS rank
   FROM {table})
 WHERE rank <= {k}"""
+
+
+def running_total_per_key(ds, *, key: str, order_col: str, id_col: str,
+                          value_col: str, out_col: str = "running_total",
+                          num_partitions: int | None = None):
+    """Per-key cumulative sum in event order — the distributed window
+    ``SUM(value) OVER (PARTITION BY key ORDER BY order_col, id_col ROWS
+    UNBOUNDED PRECEDING)`` (running spend per user, cumulative tokens per
+    source, …).
+
+    One hash exchange co-locates each key, then a per-PARTITION vectorized
+    pass (ONE sort + ONE ``np.cumsum`` with run-boundary rebasing — Python
+    call count = P, independent of key cardinality) emits every input row
+    with its running total.  The exchange necessarily carries the slim
+    projected table once: per-row window output has no combiner (every row's
+    answer depends on its full key-prefix), so O(rows) through the shuffle
+    is the information-theoretic floor — project to the 4 needed columns
+    before calling.
+
+    ``value_col`` must be int64 (fixed-point — quantize floats to cents
+    BEFORE calling, the lineitem_pricing scale lesson: integer sums are
+    shuffle-order-independent and exact at any scale).  Nulls in
+    ``value_col`` are treated as 0 (corpus contract: values non-null; SQL
+    would propagate nulls instead — divergence only on null inputs).
+    Deterministic tie-break (order_col, then id_col) mirrored in the SQL
+    oracle."""
+    P = num_partitions or default_num_partitions()
+
+    in_schema = ds_arrow_schema(ds)
+    cols = [key, order_col, id_col, value_col]
+    out_schema = pa.schema(
+        [in_schema.field(c) for c in cols] + [pa.field(out_col, pa.int64())])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = pa.table({c: b[c] for c in cols})
+        return t.append_column("__part", partition_ids(t[key], P))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def finish(part: pa.Table) -> pa.Table:
+        # empty hash partitions arrive schema-less (the
+        # schema_pinned_join hazard) — emit the typed empty table
+        if part.num_rows == 0 or "__part" not in part.column_names:
+            return out_schema.empty_table()
+        t = part.drop_columns(["__part"]).sort_by(
+            [(key, "ascending"), (order_col, "ascending"),
+             (id_col, "ascending")])
+        v = np.asarray(pc.fill_null(t[value_col], 0).cast(pa.int64()),
+                       dtype=np.int64)
+        cs = np.cumsum(v)
+        starts = np.flatnonzero(key_change_mask(t[key], t.num_rows))
+        lens = np.diff(np.r_[starts, t.num_rows])
+        base = np.where(starts == 0, 0, cs[starts - 1])
+        run = cs - np.repeat(base, lens)
+        return t.append_column(out_col, pa.array(run, pa.int64()))
+
+    return parted.groupby("__part").map_groups(finish,
+                                               batch_format="pyarrow")
+
+
+def running_total_sql(key: str = "user_id", order_col: str = "ts",
+                      id_col: str = "event_id", value_col: str = "value",
+                      out_col: str = "running_c",
+                      table: str = "events") -> str:
+    # CAST the window SUM back to BIGINT: DuckDB window SUM(BIGINT) returns
+    # HUGEINT, which the comparison frame reads as float (the pack_sequences
+    # round-3 red-row lesson)
+    cents = f"CAST(round({value_col} * 100) AS BIGINT)"
+    return f"""
+SELECT {key}, {order_col}, {id_col}, {cents} AS value_c,
+       CAST(SUM({cents}) OVER (PARTITION BY {key}
+                               ORDER BY {order_col}, {id_col}
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS {out_col}
+FROM {table}"""

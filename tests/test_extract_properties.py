@@ -429,3 +429,52 @@ def test_sessionize_matches_brute(ray_session, case, gap_minutes):
             int(r.session_end.value) // 1000)
            for r in out.itertuples()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# running total per key vs brute force (functions/stats.running_total_per_key)
+
+@st.composite
+def _running_case(draw):
+    n = draw(st.integers(1, 25))
+    keys = draw(st.lists(st.sampled_from([0, 1, 2]), min_size=n, max_size=n))
+    order = draw(st.lists(st.integers(0, 8), min_size=n, max_size=n))
+    vals = draw(st.lists(st.integers(-50, 50), min_size=n, max_size=n))
+    return keys, order, vals
+
+
+@given(_running_case())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_running_total_matches_brute(ray_session, case):
+    """Property: running_total_per_key == per-key brute force (sorted by
+    (order, id), cumulative sum), including duplicate order values within
+    a key (tie-broken by id) and negative values."""
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        running_total_per_key)
+    keys, order, vals = case
+    n = len(keys)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "o": pa.array(order, pa.int64()),
+        "i": pa.array(list(range(n)), pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    }))
+    out = (running_total_per_key(ds, key="k", order_col="o", id_col="i",
+                                 value_col="v", out_col="rt",
+                                 num_partitions=3)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+
+    want = {}
+    for k in set(keys):
+        acc = 0
+        for o, i in sorted((order[i], i) for i in range(n) if keys[i] == k):
+            acc += vals[i]
+            want[i] = acc
+    assert len(out) == n
+    got = {int(r.i): int(r.rt) for r in out.itertuples()}
+    assert got == want
