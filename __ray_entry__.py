@@ -407,6 +407,12 @@ def _lang_balanced_sql_q() -> str:
     return lang_balanced_sample_sql()
 
 
+def _temperature_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        temperature_sample_sql)
+    return temperature_sample_sql()
+
+
 def _bigram_score_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.lm_score import (
         bigram_score_sql)
@@ -1318,6 +1324,16 @@ def _q_top_docs_per_lang(sf_dir: str):
                         k=3)
 
 
+def _q_temperature_sample(sf_dir: str):
+    """Temperature-scaled multilingual resampling (T=2): kept counts
+    proportional to sqrt(count) — the n^(1/T) mixing rule between natural
+    proportions and equal share."""
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        temperature_sample)
+    return temperature_sample(_read(sf_dir, "documents",
+                                    ["doc_id", "lang", "text"]))
+
+
 def _q_lang_balanced_sample(sf_dir: str):
     """Multilingual rebalancing: every language downsampled to the smallest
     language's share via integer basis-point rates from one tiny groupby +
@@ -1797,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenize_ids": _q_tokenize_ids,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_balanced_sample": _q_lang_balanced_sample,
+        "temperature_sample": _q_temperature_sample,
         "bigram_score": _q_bigram_score,
         # --- changed earlier in round 4 (oracle or engine touched) ---
         "quality_buckets": _q_quality_buckets,
@@ -2149,6 +2166,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
         "tokenize_ids": _tokenize_ids_sql_q(),
         "top_docs_per_lang": _topk_per_key_sql_q(),
         "lang_balanced_sample": _lang_balanced_sql_q(),
+        "temperature_sample": _temperature_sql_q(),
         "bigram_score": _bigram_score_sql_q(),
         "extract_font_attrs": font_words_sql(),
         "extract_hocr": hocr_sql(),

@@ -212,6 +212,69 @@ def lang_balanced_sample(ds, *, group_col: str = "lang",
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def temperature_sample(ds, *, group_col: str = "lang",
+                       text_col: str = "text", id_col: str = "doc_id",
+                       temperature: float = 2.0, scale: int = 10000):
+    """Temperature-scaled resampling: downsample groups so kept counts are
+    proportional to ``count ** (1/T)`` — the multilingual-mixing rule
+    (T=1 keeps natural proportions, T→∞ approaches equal share;
+    :func:`lang_balanced_sample` is the T=∞ endpoint).
+
+    Per-group keep rates ``floor(scale * (min_count / count) ** (1/T))``
+    come from ONE tiny groupby (the smallest group keeps 100%, larger
+    groups are throttled toward it); rows keep iff their content bucket <
+    rate — deterministic and partitioning-invariant like every sampler
+    here.  At T=2 the rate is computed with ``sqrt`` (IEEE correctly
+    rounded, so the DuckDB oracle reproduces it bit-exactly); other
+    temperatures go through ``pow``, whose last-ulp behavior is libm-
+    specific — fine for sampling, but only T=2 is oracle-pinned."""
+    import math
+
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    rows = (ds.groupby(group_col)
+            .aggregate(Count(on=id_col, alias_name="n")).take_all())
+    counts = {r[group_col]: int(r["n"]) for r in rows}
+    if not counts:
+        return ds.limit(0)
+    mn = min(counts.values())
+    if temperature == 2.0:
+        rates = {g: math.floor(scale * math.sqrt(mn / n))
+                 for g, n in counts.items()}
+    else:
+        rates = {g: math.floor(scale * (mn / n) ** (1.0 / temperature))
+                 for g, n in counts.items()}
+
+    def f(b: pa.Table) -> pa.Table:
+        t = hash_bucket_batch(b, text_col=text_col, n_buckets=scale)
+        bp = np.array([rates.get(g, 0) for g in t[group_col].to_pylist()],
+                      np.int64)
+        keep = np.asarray(t["bucket"]) < bp
+        return t.filter(pa.array(keep)).select([id_col, group_col])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def temperature_sample_sql(*, group_col: str = "lang",
+                           text_col: str = "text", id_col: str = "doc_id",
+                           table: str = "documents",
+                           scale: int = 10000) -> str:
+    # the T=2 oracle: sqrt is IEEE correctly rounded in both engines, so
+    # floor(scale * sqrt(mn/n)) is bit-identical to the Python rate
+    return f"""
+WITH c AS (SELECT {group_col}, CAST(count(*) AS BIGINT) AS n
+           FROM {table} GROUP BY {group_col}),
+m AS (SELECT min(n) AS mn FROM c),
+r AS (SELECT {group_col},
+             CAST(floor({scale} * sqrt(CAST(mn AS DOUBLE) / n)) AS BIGINT)
+               AS bp
+      FROM c, m)
+SELECT d.{id_col}, d.{group_col}
+FROM {table} d JOIN r USING ({group_col})
+WHERE {bucket_sql_expr(text_col, scale)} < r.bp"""
+
+
 def lang_balanced_sample_sql(*, group_col: str = "lang",
                              text_col: str = "text",
                              id_col: str = "doc_id",

@@ -428,6 +428,37 @@ def test_lang_balanced_sample_rates(ray_session):
     assert 200 < n_big < 450                     # ~11.1% of 2700, hash noise
 
 
+def test_temperature_sample_rates(ray_session):
+    """T=2 keep rates = floor(scale*sqrt(mn/n)): minority group keeps all,
+    majority keeps ~sqrt share; deterministic re-run; empty input → 0."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        temperature_sample)
+    n = 3000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "lang": pa.array(["big"] * 2700 + ["small"] * 300, pa.string()),
+        "text": pa.array([f"doc {i} body" for i in range(n)], pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    s1 = sorted(r["doc_id"] for r in temperature_sample(ds).take_all())
+    s2 = sorted(r["doc_id"] for r in temperature_sample(ds).take_all())
+    assert s1 == s2                              # deterministic
+    n_small = sum(1 for d in s1 if d >= 2700)
+    n_big = len(s1) - n_small
+    # rate_small = floor(1e4*sqrt(1)) = keep all;
+    # rate_big = floor(1e4*sqrt(300/2700)) = 3333 bp → ~900 of 2700
+    assert n_small == 300
+    assert 750 < n_big < 1050                    # ~33.3% of 2700, hash noise
+
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert temperature_sample(empty).count() == 0
+
+
 def test_topk_per_key_matches_brute(ray_session):
     """topk_per_key vs a pandas brute force on a multi-batch dataset with
     ties (tie-break value desc, id asc) and ~40 distinct keys."""
