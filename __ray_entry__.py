@@ -401,6 +401,11 @@ def _running_total_sql_q() -> str:
     return running_total_sql()
 
 
+def _percent_rank_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.stats import percent_rank_sql
+    return percent_rank_sql()
+
+
 def _lang_balanced_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.sampling import (
         lang_balanced_sample_sql)
@@ -1540,6 +1545,17 @@ def _q_customers_no_orders(sf_dir: str):
         join_type="left anti")
 
 
+def _q_length_percent_rank(sf_dir: str):
+    """Distributed PERCENT_RANK window: each document's length percentile
+    within its language — the feature corpus filtering thresholds are
+    calibrated on."""
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        percent_rank_per_key)
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return percent_rank_per_key(docs, key="lang", value_col="n_chars",
+                                id_col="doc_id")
+
+
 def _q_events_running_total(sf_dir: str):
     """Distributed per-key running total: cumulative spend per user in
     event order — SUM() OVER (PARTITION BY user ORDER BY ts, id); integer
@@ -1787,6 +1803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": _q_customer_order_counts,
         "customers_no_orders": _q_customers_no_orders,
         "events_running_total": _q_events_running_total,
+        "length_percent_rank": _q_length_percent_rank,
         "extract_font_attrs": _q_extract_font_attrs,
         "audio_features": _q_audio_features,
         "extract_roundtrip": _q_extract_roundtrip,
@@ -2163,6 +2180,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01')""",
         "events_running_total": _running_total_sql_q(),
+        "length_percent_rank": _percent_rank_sql_q(),
         "tokenize_ids": _tokenize_ids_sql_q(),
         "top_docs_per_lang": _topk_per_key_sql_q(),
         "lang_balanced_sample": _lang_balanced_sql_q(),

@@ -221,3 +221,65 @@ SELECT {key}, {order_col}, {id_col}, {cents} AS value_c,
                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS {out_col}
 FROM {table}"""
+
+
+def percent_rank_per_key(ds, *, key: str, value_col: str, id_col: str,
+                         out_col: str = "pr",
+                         num_partitions: int | None = None):
+    """Per-key percentile rank — the distributed window
+    ``PERCENT_RANK() OVER (PARTITION BY key ORDER BY value)``:
+    ``(rank - 1) / (n - 1)`` with ties sharing their group's MIN rank and
+    single-row groups scoring 0.0 (SQL-standard semantics).  The relative
+    quality/length position of every document within its language is the
+    percentile feature corpus filtering thresholds are calibrated on.
+
+    Same shape as :func:`running_total_per_key`: ONE hash exchange, then a
+    per-partition vectorized pass (sort + run/tie boundary arithmetic —
+    Python call count = P).  The division is the same
+    int64→float64 ``rank0 / (n-1)`` the SQL engine performs, so outputs
+    are bit-identical to the oracle."""
+    P = num_partitions or default_num_partitions()
+
+    in_schema = ds_arrow_schema(ds)
+    cols = [id_col, key, value_col]
+    out_schema = pa.schema(
+        [in_schema.field(c) for c in cols]
+        + [pa.field(out_col, pa.float64())])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = pa.table({c: b[c] for c in cols})
+        return t.append_column("__part", partition_ids(t[key], P))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def finish(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "__part" not in part.column_names:
+            return out_schema.empty_table()
+        t = part.drop_columns(["__part"]).sort_by(
+            [(key, "ascending"), (value_col, "ascending")])
+        n = t.num_rows
+        kchange = key_change_mask(t[key], n)
+        kstarts = np.flatnonzero(kchange)
+        klens = np.diff(np.r_[kstarts, n])
+        idx = np.arange(n) - np.repeat(kstarts, klens)
+        vchange = key_change_mask(t[value_col], n) | kchange
+        tg_starts = np.flatnonzero(vchange)
+        tg_lens = np.diff(np.r_[tg_starts, n])
+        rank0 = np.repeat(idx[tg_starts], tg_lens)
+        denom = np.repeat(klens, klens) - 1
+        pr = np.where(denom > 0, rank0 / np.maximum(denom, 1), 0.0)
+        return t.append_column(out_col, pa.array(pr, pa.float64()))
+
+    return parted.groupby("__part").map_groups(finish,
+                                               batch_format="pyarrow")
+
+
+def percent_rank_sql(key: str = "lang", value_col: str = "n_chars",
+                     id_col: str = "doc_id", out_col: str = "pr",
+                     table: str = "documents") -> str:
+    return f"""
+SELECT {id_col}, {key}, {value_col},
+       percent_rank() OVER (PARTITION BY {key} ORDER BY {value_col})
+         AS {out_col}
+FROM {table}"""

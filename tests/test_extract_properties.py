@@ -478,3 +478,49 @@ def test_running_total_matches_brute(ray_session, case):
     assert len(out) == n
     got = {int(r.i): int(r.rt) for r in out.itertuples()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# percent rank per key vs brute force (functions/stats.percent_rank_per_key)
+
+@st.composite
+def _prank_case(draw):
+    n = draw(st.integers(1, 25))
+    keys = draw(st.lists(st.sampled_from([0, 1, 2]), min_size=n, max_size=n))
+    vals = draw(st.lists(st.integers(0, 6), min_size=n, max_size=n))
+    return keys, vals
+
+
+@given(_prank_case())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_percent_rank_matches_brute(ray_session, case):
+    """Property: percent_rank_per_key == SQL-standard (rank-1)/(n-1) with
+    min-rank ties and 0.0 singletons — heavy ties by construction."""
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        percent_rank_per_key)
+    keys, vals = case
+    n = len(keys)
+    ds = ray.data.from_arrow(pa.table({
+        "i": pa.array(list(range(n)), pa.int64()),
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    }))
+    out = (percent_rank_per_key(ds, key="k", value_col="v", id_col="i",
+                                num_partitions=3)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+
+    want = {}
+    for k in set(keys):
+        grp = sorted((vals[i], i) for i in range(n) if keys[i] == k)
+        m = len(grp)
+        for pos, (v, i) in enumerate(grp):
+            rank0 = next(p for p, (v2, _) in enumerate(grp) if v2 == v)
+            want[i] = rank0 / (m - 1) if m > 1 else 0.0
+    assert len(out) == n
+    got = {int(r.i): float(r.pr) for r in out.itertuples()}
+    assert got == want
