@@ -406,6 +406,12 @@ def _percent_rank_sql_q() -> str:
     return percent_rank_sql()
 
 
+def _chunk_windows_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.chunking import (
+        chunk_documents_sql)
+    return chunk_documents_sql(window=64, stride=48)
+
+
 def _lang_balanced_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.sampling import (
         lang_balanced_sample_sql)
@@ -1545,6 +1551,16 @@ def _q_customers_no_orders(sf_dir: str):
         join_type="left anti")
 
 
+def _q_chunk_windows(sf_dir: str):
+    """Sliding-window chunking: overlapping 64-token windows at stride 48
+    per document — the embedding/RAG sharding step (shuffle-free,
+    vectorized flat-gather explode)."""
+    from org_dharts_dia_tesseract_ray.functions.chunking import (
+        chunk_documents)
+    return chunk_documents(_read(sf_dir, "documents", ["doc_id", "text"]),
+                           window=64, stride=48)
+
+
 def _q_length_percent_rank(sf_dir: str):
     """Distributed PERCENT_RANK window: each document's length percentile
     within its language — the feature corpus filtering thresholds are
@@ -1804,6 +1820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": _q_customers_no_orders,
         "events_running_total": _q_events_running_total,
         "length_percent_rank": _q_length_percent_rank,
+        "chunk_windows": _q_chunk_windows,
         "extract_font_attrs": _q_extract_font_attrs,
         "audio_features": _q_audio_features,
         "extract_roundtrip": _q_extract_roundtrip,
@@ -2185,6 +2202,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01')""",
         "events_running_total": _running_total_sql_q(),
         "length_percent_rank": _percent_rank_sql_q(),
+        "chunk_windows": _chunk_windows_sql_q(),
         "tokenize_ids": _tokenize_ids_sql_q(),
         "top_docs_per_lang": _topk_per_key_sql_q(),
         "lang_balanced_sample": _lang_balanced_sql_q(),

@@ -524,3 +524,60 @@ def test_percent_rank_matches_brute(ray_session, case):
     assert len(out) == n
     got = {int(r.i): float(r.pr) for r in out.itertuples()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunking vs brute force (functions/chunking)
+
+@st.composite
+def _chunk_case(draw):
+    n_docs = draw(st.integers(1, 8))
+    texts = draw(st.lists(
+        st.lists(st.text(alphabet="abc", min_size=1, max_size=3),
+                 min_size=0, max_size=30).map(" ".join),
+        min_size=n_docs, max_size=n_docs))
+    window = draw(st.integers(1, 8))
+    stride = draw(st.integers(1, 8))
+    return texts, window, min(stride, window)
+
+
+@given(_chunk_case())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_chunk_documents_matches_brute(ray_session, case):
+    """Property: chunk_documents == per-doc brute force (windows at
+    0, s, 2s, …, stop at first window reaching the end; last may be
+    short), and stride-sized prefixes of consecutive chunks reconstruct
+    the document."""
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.chunking import (
+        chunk_documents)
+    texts, w, s = case
+    n = len(texts)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = (chunk_documents(ds, window=w, stride=s)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+
+    want = []
+    for i, txt in enumerate(texts):
+        toks = txt.strip().split()
+        if txt.strip() == "":
+            toks = [""]          # split('') == [''] on both engines
+        start = 0
+        cid = 0
+        while True:
+            end = min(start + w, len(toks))
+            want.append((i, cid, start, end, " ".join(toks[start:end])))
+            if end == len(toks):
+                break
+            start += s
+            cid += 1
+    got = [(int(r.doc_id), int(r.chunk_id), int(r.tok_start),
+            int(r.tok_end), r.chunk_text) for r in out.itertuples()]
+    assert got == want
