@@ -406,6 +406,11 @@ def _percent_rank_sql_q() -> str:
     return percent_rank_sql()
 
 
+def _lag_delta_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.stats import lag_delta_sql
+    return lag_delta_sql()
+
+
 def _chunk_windows_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.chunking import (
         chunk_documents_sql)
@@ -1551,6 +1556,16 @@ def _q_customers_no_orders(sf_dir: str):
         join_type="left anti")
 
 
+def _q_events_interarrival(sf_dir: str):
+    """Distributed LAG window: per-user inter-arrival gap in microseconds
+    (null for each user's first event) — burst/recency session features."""
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        lag_delta_per_key)
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return lag_delta_per_key(ev, key="user_id", order_col="ts",
+                             id_col="event_id", out_col="delta_us")
+
+
 def _q_chunk_windows(sf_dir: str):
     """Sliding-window chunking: overlapping 64-token windows at stride 48
     per document — the embedding/RAG sharding step (shuffle-free,
@@ -1820,6 +1835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": _q_customers_no_orders,
         "events_running_total": _q_events_running_total,
         "length_percent_rank": _q_length_percent_rank,
+        "events_interarrival": _q_events_interarrival,
         "chunk_windows": _q_chunk_windows,
         "extract_font_attrs": _q_extract_font_attrs,
         "audio_features": _q_audio_features,
@@ -2202,6 +2218,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01')""",
         "events_running_total": _running_total_sql_q(),
         "length_percent_rank": _percent_rank_sql_q(),
+        "events_interarrival": _lag_delta_sql_q(),
         "chunk_windows": _chunk_windows_sql_q(),
         "tokenize_ids": _tokenize_ids_sql_q(),
         "top_docs_per_lang": _topk_per_key_sql_q(),

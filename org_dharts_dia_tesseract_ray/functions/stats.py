@@ -22,7 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import (default_num_partitions, ds_arrow_schema,
+from ..util import (as_array, default_num_partitions, ds_arrow_schema,
                     key_change_mask, partition_ids, round_half_away)
 
 
@@ -282,4 +282,63 @@ def percent_rank_sql(key: str = "lang", value_col: str = "n_chars",
 SELECT {id_col}, {key}, {value_col},
        percent_rank() OVER (PARTITION BY {key} ORDER BY {value_col})
          AS {out_col}
+FROM {table}"""
+
+
+def lag_delta_per_key(ds, *, key: str, order_col: str, id_col: str,
+                      out_col: str = "delta",
+                      num_partitions: int | None = None):
+    """Per-key delta to the previous row in event order — the distributed
+    ``value - LAG(value) OVER (PARTITION BY key ORDER BY order_col, id)``
+    window with ``value = order_col`` itself: inter-arrival gaps (session
+    features, burst detection, crawl recency).  First row per key → null,
+    exactly as SQL LAG.
+
+    Same one-exchange / per-partition-vectorized shape as
+    :func:`running_total_per_key`; ``order_col`` may be any integer or
+    temporal type (temporal deltas come back as int64 in the column's
+    native unit, e.g. microseconds for ``timestamp[us]``)."""
+    P = num_partitions or default_num_partitions()
+
+    in_schema = ds_arrow_schema(ds)
+    cols = [key, order_col, id_col]
+    out_schema = pa.schema(
+        [in_schema.field(c) for c in cols] + [pa.field(out_col, pa.int64())])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = pa.table({c: b[c] for c in cols})
+        return t.append_column("__part", partition_ids(t[key], P))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def finish(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "__part" not in part.column_names:
+            return out_schema.empty_table()
+        t = part.drop_columns(["__part"]).sort_by(
+            [(key, "ascending"), (order_col, "ascending"),
+             (id_col, "ascending")])
+        n = t.num_rows
+        v = np.asarray(as_array(t[order_col]).cast(pa.int64()),
+                       dtype=np.int64)
+        delta = np.empty(n, dtype=np.int64)
+        delta[0] = 0
+        delta[1:] = v[1:] - v[:-1]
+        first = key_change_mask(t[key], n)
+        return t.append_column(
+            out_col, pa.array(delta, pa.int64(), mask=first))
+
+    return parted.groupby("__part").map_groups(finish,
+                                               batch_format="pyarrow")
+
+
+def lag_delta_sql(key: str = "user_id", order_col: str = "ts",
+                  id_col: str = "event_id", out_col: str = "delta_us",
+                  table: str = "events") -> str:
+    return f"""
+SELECT {key}, {order_col}, {id_col},
+       CAST(epoch_us({order_col})
+            - LAG(epoch_us({order_col}))
+              OVER (PARTITION BY {key} ORDER BY {order_col}, {id_col})
+            AS BIGINT) AS {out_col}
 FROM {table}"""

@@ -581,3 +581,41 @@ def test_chunk_documents_matches_brute(ray_session, case):
     got = [(int(r.doc_id), int(r.chunk_id), int(r.tok_start),
             int(r.tok_end), r.chunk_text) for r in out.itertuples()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# lag delta per key vs brute force (functions/stats.lag_delta_per_key)
+
+@given(_running_case())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_lag_delta_matches_brute(ray_session, case):
+    """Property: lag_delta_per_key == per-key brute force (sorted by
+    (order, id); first row per key null), with duplicate order values."""
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        lag_delta_per_key)
+    keys, order, _ = case
+    n = len(keys)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "o": pa.array(order, pa.int64()),
+        "i": pa.array(list(range(n)), pa.int64()),
+    }))
+    out = (lag_delta_per_key(ds, key="k", order_col="o", id_col="i",
+                             out_col="d", num_partitions=3)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+
+    want = {}
+    for k in set(keys):
+        prev = None
+        for o, i in sorted((order[i], i) for i in range(n) if keys[i] == k):
+            want[i] = None if prev is None else o - prev
+            prev = o
+    assert len(out) == n
+    got = {int(r.i): (None if r.d != r.d else int(r.d))
+           for r in out.itertuples()}
+    assert got == want
