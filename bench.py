@@ -295,7 +295,12 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              # audio modality, resize)
              "word_predicates", "extract_font_attrs", "audio_features",
              "media_resize", "compression_ratio", "tokenize_ids",
-             "top_docs_per_lang", "lang_balanced_sample", "bigram_score"]
+             "top_docs_per_lang", "lang_balanced_sample", "bigram_score",
+             # third-session additions (window functions, outer/anti joins,
+             # temperature resampling, embedding-prep chunking)
+             "customer_order_counts", "customers_no_orders",
+             "events_running_total", "length_percent_rank",
+             "temperature_sample", "chunk_windows"]
     qs = entry_mod.queries()
     out = {}
 
