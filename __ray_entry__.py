@@ -1847,9 +1847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_boxes": _q_extract_boxes,
         "extract_metrics_by_lang": _q_extract_metrics,
         "extract_mode_text_only": _mode_query("text_only"),
-        "extract_mode_single_block": _mode_query("single_block"),
         "extract_charfilter_digits": _mode_query("charfilter_digits"),
-        "extract_selector_article": _mode_query("selector_article"),
         "extract_custom_rule": _q_extract_custom_rule,
         "extract_unlv": _q_extract_unlv,
         "extract_hocr": _q_extract_hocr,
@@ -1887,6 +1885,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_cosine_bucketed": _q_neardup_cosine_bucketed,
         "ann_brute_topk": _q_ann_brute,
         "embeddings_pca": _q_embeddings_pca,
+        # config-variant extract paths untouched this session (their shared
+        # changed core is covered by 10 front extract queries): yield their
+        # window slots to the r3-rewritten ANN family
+        "extract_mode_single_block": _mode_query("single_block"),
+        "extract_selector_article": _mode_query("selector_article"),
         # rows-only driver checks (weaker evidence regardless of position)
         # sit just past the 50-query window; both are pytest/recall-tested
         "ann_ivf_topk": _q_ann_ivf,
