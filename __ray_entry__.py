@@ -411,6 +411,12 @@ def _lag_delta_sql_q() -> str:
     return lag_delta_sql()
 
 
+def _ordered_concat_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        ordered_concat_sql)
+    return ordered_concat_sql()
+
+
 def _chunk_windows_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.chunking import (
         chunk_documents_sql)
@@ -1556,6 +1562,17 @@ def _q_customers_no_orders(sf_dir: str):
         join_type="left anti")
 
 
+def _q_user_event_paths(sf_dir: str):
+    """Distributed ordered string aggregation: per-user event-type path in
+    time order (string_agg ORDER BY analogue) — funnel/navigation
+    sequences."""
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        ordered_concat_per_key)
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return ordered_concat_per_key(ev, key="user_id", order_col="ts",
+                                  id_col="event_id", value_col="event_type")
+
+
 def _q_events_interarrival(sf_dir: str):
     """Distributed LAG window: per-user inter-arrival gap in microseconds
     (null for each user's first event) — burst/recency session features."""
@@ -1836,6 +1853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": _q_events_running_total,
         "length_percent_rank": _q_length_percent_rank,
         "events_interarrival": _q_events_interarrival,
+        "user_event_paths": _q_user_event_paths,
         "chunk_windows": _q_chunk_windows,
         "extract_font_attrs": _q_extract_font_attrs,
         "audio_features": _q_audio_features,
@@ -2222,6 +2240,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
         "events_running_total": _running_total_sql_q(),
         "length_percent_rank": _percent_rank_sql_q(),
         "events_interarrival": _lag_delta_sql_q(),
+        "user_event_paths": _ordered_concat_sql_q(),
         "chunk_windows": _chunk_windows_sql_q(),
         "tokenize_ids": _tokenize_ids_sql_q(),
         "top_docs_per_lang": _topk_per_key_sql_q(),

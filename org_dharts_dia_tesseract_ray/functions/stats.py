@@ -342,3 +342,68 @@ SELECT {key}, {order_col}, {id_col},
               OVER (PARTITION BY {key} ORDER BY {order_col}, {id_col})
             AS BIGINT) AS {out_col}
 FROM {table}"""
+
+
+def ordered_concat_per_key(ds, *, key: str, order_col: str, id_col: str,
+                           value_col: str, sep: str = ">",
+                           out_col: str = "path",
+                           num_partitions: int | None = None):
+    """Order-sensitive string aggregation per key — the distributed
+    ``string_agg(value, sep ORDER BY order_col, id_col) GROUP BY key``:
+    per-user event paths / navigation funnels, per-doc ordered token
+    rollups.  Emits one row per key: ``(key, n_items, out_col)``.
+
+    Same one-exchange shape as the window operators here, but the
+    per-partition pass REDUCES: sort once, slice the value column into
+    per-key runs via ``LargeListArray.from_arrays`` on the run offsets
+    (zero-copy), and ``binary_join`` each run — no per-key Python.
+    Order inside a key is total (order_col, then id_col), so output is
+    partitioning-invariant.  ``value_col`` must be non-null strings
+    (corpus contract)."""
+    P = num_partitions or default_num_partitions()
+
+    in_schema = ds_arrow_schema(ds)
+    out_schema = pa.schema([in_schema.field(key),
+                            pa.field("n_items", pa.int64()),
+                            pa.field(out_col, pa.string())])
+    cols = [key, order_col, id_col, value_col]
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = pa.table({c: b[c] for c in cols})
+        return t.append_column("__part", partition_ids(t[key], P))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def finish(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "__part" not in part.column_names:
+            return out_schema.empty_table()
+        t = part.drop_columns(["__part"]).sort_by(
+            [(key, "ascending"), (order_col, "ascending"),
+             (id_col, "ascending")])
+        n = t.num_rows
+        starts = np.flatnonzero(key_change_mask(t[key], n))
+        offsets = pa.array(np.r_[starts, n], pa.int64())
+        vals = as_array(t[value_col].cast(pa.string()))
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, vals), sep)
+        keys = as_array(t[key]).take(pa.array(starts, pa.int64()))
+        lens = np.diff(np.r_[starts, n])
+        return pa.table({key: keys,
+                         "n_items": pa.array(lens, pa.int64()),
+                         out_col: joined})
+
+    return parted.groupby("__part").map_groups(finish,
+                                               batch_format="pyarrow")
+
+
+def ordered_concat_sql(key: str = "user_id", order_col: str = "ts",
+                       id_col: str = "event_id",
+                       value_col: str = "event_type", sep: str = ">",
+                       out_col: str = "path",
+                       table: str = "events") -> str:
+    return f"""
+SELECT {key}, CAST(count(*) AS BIGINT) AS n_items,
+       string_agg({value_col}, '{sep}' ORDER BY {order_col}, {id_col})
+         AS {out_col}
+FROM {table} GROUP BY {key}"""

@@ -619,3 +619,40 @@ def test_lag_delta_matches_brute(ray_session, case):
     got = {int(r.i): (None if r.d != r.d else int(r.d))
            for r in out.itertuples()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ordered concat per key vs brute force (functions/stats.ordered_concat)
+
+@given(_running_case())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_ordered_concat_matches_brute(ray_session, case):
+    """Property: ordered_concat_per_key == per-key brute force string_agg
+    (sorted by (order, id)), including duplicate order values."""
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        ordered_concat_per_key)
+    keys, order, vals = case
+    n = len(keys)
+    labels = [f"v{abs(v)}" for v in vals]
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "o": pa.array(order, pa.int64()),
+        "i": pa.array(list(range(n)), pa.int64()),
+        "s": pa.array(labels, pa.string()),
+    }))
+    out = (ordered_concat_per_key(ds, key="k", order_col="o", id_col="i",
+                                  value_col="s", num_partitions=3)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    want = {}
+    for k in set(keys):
+        seq = [labels[i] for _, i in
+               sorted((order[i], i) for i in range(n) if keys[i] == k)]
+        want[k] = (len(seq), ">".join(seq))
+    got = {int(r.k): (int(r.n_items), r.path) for r in out.itertuples()}
+    assert got == want

@@ -377,6 +377,22 @@ def test_new_operators_empty_input(ray_session):
     assert topk_per_key(empty, key="lang", value_col="n_chars",
                         id_col="doc_id", k=3).count() == 0
 
+    from org_dharts_dia_tesseract_ray.functions.chunking import (
+        chunk_documents)
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        temperature_sample)
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        lag_delta_per_key, percent_rank_per_key, running_total_per_key)
+    assert temperature_sample(empty).count() == 0
+    assert chunk_documents(empty).count() == 0
+    assert running_total_per_key(empty, key="lang", order_col="n_chars",
+                                 id_col="doc_id",
+                                 value_col="n_chars").count() == 0
+    assert percent_rank_per_key(empty, key="lang", value_col="n_chars",
+                                id_col="doc_id").count() == 0
+    assert lag_delta_per_key(empty, key="lang", order_col="n_chars",
+                             id_col="doc_id").count() == 0
+
 
 def test_bigram_score_matches_manual(ray_session):
     """score_ngrams(n=2): model counts summed over adjacent bigrams,
