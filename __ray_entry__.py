@@ -417,6 +417,11 @@ def _ordered_concat_sql_q() -> str:
     return ordered_concat_sql()
 
 
+def _rollup_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.stats import rollup_counts_sql
+    return rollup_counts_sql()
+
+
 def _chunk_windows_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.chunking import (
         chunk_documents_sql)
@@ -1562,6 +1567,15 @@ def _q_customers_no_orders(sf_dir: str):
         join_type="left anti")
 
 
+def _q_doc_stats_rollup(sf_dir: str):
+    """Multi-grain GROUP BY ROLLUP(lang, source): per-batch combiner, one
+    finest-grain shuffle, coarser grains derived locally — counts and char
+    totals at (lang, source) / (lang) / () grains."""
+    from org_dharts_dia_tesseract_ray.functions.stats import rollup_counts
+    docs = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    return rollup_counts(docs)
+
+
 def _q_user_event_paths(sf_dir: str):
     """Distributed ordered string aggregation: per-user event-type path in
     time order (string_agg ORDER BY analogue) — funnel/navigation
@@ -1854,6 +1868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percent_rank": _q_length_percent_rank,
         "events_interarrival": _q_events_interarrival,
         "user_event_paths": _q_user_event_paths,
+        "doc_stats_rollup": _q_doc_stats_rollup,
         "chunk_windows": _q_chunk_windows,
         "extract_font_attrs": _q_extract_font_attrs,
         "audio_features": _q_audio_features,
@@ -2241,6 +2256,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
         "length_percent_rank": _percent_rank_sql_q(),
         "events_interarrival": _lag_delta_sql_q(),
         "user_event_paths": _ordered_concat_sql_q(),
+        "doc_stats_rollup": _rollup_sql_q(),
         "chunk_windows": _chunk_windows_sql_q(),
         "tokenize_ids": _tokenize_ids_sql_q(),
         "top_docs_per_lang": _topk_per_key_sql_q(),

@@ -407,3 +407,69 @@ SELECT {key}, CAST(count(*) AS BIGINT) AS n_items,
        string_agg({value_col}, '{sep}' ORDER BY {order_col}, {id_col})
          AS {out_col}
 FROM {table} GROUP BY {key}"""
+
+
+def rollup_counts(ds, *, keys=("lang", "source"), value_col: str = "n_chars",
+                  num_partitions: int | None = None):
+    """Multi-grain aggregation — the ``GROUP BY ROLLUP(k1, k2)`` analogue:
+    ``(k1, k2)``, ``(k1, NULL)`` and ``(NULL, NULL)`` grains of
+    ``count(*)`` / ``sum(value)`` in ONE distributed pass.
+
+    Scale shape: per-batch partial aggregation (the combiner — each batch
+    contributes ≤ |k1|×|k2| rows to the exchange, never its row count),
+    ONE small ``groupby(keys)`` shuffle at the FINEST grain, then the
+    coarser grains are derived locally from the finest (exact, since
+    counts/sums are additive) — rolling up never re-touches the corpus.
+    The finest-grain result is bounded by key-combination cardinality
+    (languages × sources — hundreds at web scale), the same boundedness
+    contract as the vocab top-V / PCA d×d driver steps."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    k1, k2 = keys
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = pa.table({k1: b[k1], k2: b[k2], "__v": b[value_col]})
+        g = t.group_by([k1, k2]).aggregate(
+            [("__v", "sum"), ("__v", "count")])
+        return pa.table({k1: g[k1], k2: g[k2],
+                         "__s": g["__v_sum"].cast(pa.int64()),
+                         "__n": g["__v_count"].cast(pa.int64())})
+
+    finest = (ds.map_batches(combine, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby([k1, k2])
+              .aggregate(Sum("__s", alias_name="total"),
+                         Sum("__n", alias_name="n")))
+    rows = finest.take_all()        # bounded: |k1|×|k2| combinations
+    k1t = ds_arrow_schema(ds).field(k1).type
+    k2t = ds_arrow_schema(ds).field(k2).type
+
+    out_k1, out_k2, out_n, out_s = [], [], [], []
+    for r in rows:
+        out_k1.append(r[k1]); out_k2.append(r[k2])
+        out_n.append(int(r["n"])); out_s.append(int(r["total"]))
+    agg1: dict = {}
+    for r in rows:
+        n, s = agg1.get(r[k1], (0, 0))
+        agg1[r[k1]] = (n + int(r["n"]), s + int(r["total"]))
+    for g in sorted(agg1):
+        out_k1.append(g); out_k2.append(None)
+        out_n.append(agg1[g][0]); out_s.append(agg1[g][1])
+    out_k1.append(None); out_k2.append(None)
+    out_n.append(sum(n for n, _ in agg1.values()))
+    # empty input: SQL's grand-total row is (NULL keys, count 0, SUM NULL)
+    out_s.append(sum(s for _, s in agg1.values()) if agg1 else None)
+    return ray.data.from_arrow(pa.table({
+        k1: pa.array(out_k1, k1t), k2: pa.array(out_k2, k2t),
+        "n_docs": pa.array(out_n, pa.int64()),
+        "total_chars": pa.array(out_s, pa.int64())}))
+
+
+def rollup_counts_sql(keys=("lang", "source"), value_col: str = "n_chars",
+                      table: str = "documents") -> str:
+    k1, k2 = keys
+    return f"""
+SELECT {k1}, {k2}, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({value_col}) AS BIGINT) AS total_chars
+FROM {table} GROUP BY ROLLUP({k1}, {k2})"""

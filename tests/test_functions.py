@@ -2265,3 +2265,37 @@ def test_substr_dedup_and_buckets_empty_input_typed(ray_session):
     out = quality_buckets(empty_scored)
     assert out.schema().names == ["doc_id", "mean_freq", "bucket"]
     assert out.count() == 0
+
+
+def test_rollup_counts_matches_manual(ray_session):
+    """rollup_counts == the three ROLLUP grains computed by hand; empty
+    input yields SQL's single grand-total row (count 0, NULL sum)."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.stats import rollup_counts
+
+    t = pa.table({
+        "lang": pa.array(["en", "en", "de", "de", "de"]),
+        "source": pa.array(["a", "b", "a", "a", "b"]),
+        "n_chars": pa.array([10, 20, 1, 2, 4], pa.int64())})
+    out = (rollup_counts(ray.data.from_arrow(t))
+           .to_pandas()
+           .sort_values(["lang", "source"], na_position="first")
+           .reset_index(drop=True))
+    got = [(r.lang if r.lang == r.lang else None,
+            r.source if r.source == r.source else None,
+            int(r.n_docs), int(r.total_chars))
+           for r in out.itertuples()]
+    assert got == [(None, None, 5, 37),
+                   ("de", None, 3, 7), ("de", "a", 2, 3), ("de", "b", 1, 4),
+                   ("en", None, 2, 30), ("en", "a", 1, 10),
+                   ("en", "b", 1, 20)]
+
+    empty = ray.data.from_arrow(pa.table({
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64())}))
+    erows = rollup_counts(empty).take_all()
+    assert len(erows) == 1
+    assert erows[0]["lang"] is None and erows[0]["n_docs"] == 0 \
+        and erows[0]["total_chars"] is None
