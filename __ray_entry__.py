@@ -422,6 +422,12 @@ def _rollup_sql_q() -> str:
     return rollup_counts_sql()
 
 
+def _distinct_count_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        distinct_count_sql)
+    return distinct_count_sql(out_col="n_users")
+
+
 def _chunk_windows_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.chunking import (
         chunk_documents_sql)
@@ -1567,6 +1573,18 @@ def _q_customers_no_orders(sf_dir: str):
         join_type="left anti")
 
 
+def _q_events_distinct_users(sf_dir: str):
+    """Exact distributed COUNT(DISTINCT user) per event type: per-batch
+    distinct-pair combiner, one slim pair exchange, per-partition run
+    count."""
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        distinct_count_per_key)
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    return distinct_count_per_key(ev, key="event_type",
+                                  value_col="user_id",
+                                  out_col="n_users")
+
+
 def _q_doc_stats_rollup(sf_dir: str):
     """Multi-grain GROUP BY ROLLUP(lang, source): per-batch combiner, one
     finest-grain shuffle, coarser grains derived locally — counts and char
@@ -1869,6 +1887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interarrival": _q_events_interarrival,
         "user_event_paths": _q_user_event_paths,
         "doc_stats_rollup": _q_doc_stats_rollup,
+        "events_distinct_users": _q_events_distinct_users,
         "chunk_windows": _q_chunk_windows,
         "extract_font_attrs": _q_extract_font_attrs,
         "audio_features": _q_audio_features,
@@ -2257,6 +2276,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
         "events_interarrival": _lag_delta_sql_q(),
         "user_event_paths": _ordered_concat_sql_q(),
         "doc_stats_rollup": _rollup_sql_q(),
+        "events_distinct_users": _distinct_count_sql_q(),
         "chunk_windows": _chunk_windows_sql_q(),
         "tokenize_ids": _tokenize_ids_sql_q(),
         "top_docs_per_lang": _topk_per_key_sql_q(),

@@ -473,3 +473,68 @@ def rollup_counts_sql(keys=("lang", "source"), value_col: str = "n_chars",
 SELECT {k1}, {k2}, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum({value_col}) AS BIGINT) AS total_chars
 FROM {table} GROUP BY ROLLUP({k1}, {k2})"""
+
+
+def distinct_count_per_key(ds, *, key: str, value_col: str,
+                           out_col: str = "n_distinct",
+                           num_partitions: int | None = None):
+    """Exact per-key distinct count — the distributed
+    ``COUNT(DISTINCT value) GROUP BY key`` (distinct users per event type,
+    distinct hosts per language, …).
+
+    Scale shape: each BATCH is reduced to its distinct (key, value) PAIRS
+    (the combiner — the exchange carries pair cardinality, never row
+    count), ONE hash exchange on the key co-locates each key's pairs, and
+    the per-partition pass sorts once and counts distinct-pair runs with
+    boundary arithmetic — Python call count = P.  For extreme pair
+    cardinality where even distinct pairs are too heavy, the HyperLogLog
+    sketch (`functions/sketch.approx_distinct`) is the approximate
+    sibling; this operator is the exact path."""
+    P = num_partitions or default_num_partitions()
+
+    in_schema = ds_arrow_schema(ds)
+    out_schema = pa.schema([in_schema.field(key),
+                            pa.field(out_col, pa.int64())])
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], value_col: b[value_col]})
+        t = t.group_by([key, value_col]).aggregate([])     # distinct pairs
+        return t.append_column("__part", partition_ids(t[key], P))
+
+    pairs = ds.map_batches(combine, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def finish(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "__part" not in part.column_names:
+            return out_schema.empty_table()
+        t = part.drop_columns(["__part"]).sort_by(
+            [(key, "ascending"), (value_col, "ascending")])
+        n = t.num_rows
+        kchange = key_change_mask(t[key], n)
+        pchange = kchange | key_change_mask(t[value_col], n)
+        kstarts = np.flatnonzero(kchange)
+        pstarts = np.flatnonzero(pchange)
+        # distinct pairs per key = pair-run starts within each key run,
+        # MINUS the null-value run (SQL COUNT(DISTINCT) ignores NULLs but
+        # a key whose values are all null still emits a 0-count group)
+        counts = np.diff(np.r_[np.searchsorted(pstarts, kstarts),
+                               len(pstarts)])
+        null_at = np.asarray(
+            pc.is_null(as_array(t[value_col])))[pstarts]
+        nstarts = pstarts[null_at]
+        counts -= np.diff(np.r_[np.searchsorted(nstarts, kstarts),
+                                len(nstarts)])
+        keys = as_array(t[key]).take(pa.array(kstarts, pa.int64()))
+        return pa.table({key: keys,
+                         out_col: pa.array(counts, pa.int64())})
+
+    return pairs.groupby("__part").map_groups(finish,
+                                              batch_format="pyarrow")
+
+
+def distinct_count_sql(key: str = "event_type", value_col: str = "user_id",
+                       out_col: str = "n_distinct",
+                       table: str = "events") -> str:
+    return f"""
+SELECT {key}, CAST(count(DISTINCT {value_col}) AS BIGINT) AS {out_col}
+FROM {table} GROUP BY {key}"""

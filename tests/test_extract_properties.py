@@ -656,3 +656,44 @@ def test_ordered_concat_matches_brute(ray_session, case):
         want[k] = (len(seq), ">".join(seq))
     got = {int(r.k): (int(r.n_items), r.path) for r in out.itertuples()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# distinct count per key vs brute force (functions/stats.distinct_count)
+
+@st.composite
+def _distinct_case(draw):
+    n = draw(st.integers(1, 30))
+    keys = draw(st.lists(st.sampled_from([0, 1, 2]), min_size=n, max_size=n))
+    vals = draw(st.lists(st.one_of(st.none(), st.integers(0, 5)),
+                         min_size=n, max_size=n))
+    return keys, vals
+
+
+@given(_distinct_case())
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_distinct_count_matches_brute(ray_session, case):
+    """Property: distinct_count_per_key == COUNT(DISTINCT v) semantics —
+    NULL values ignored, but all-null keys still emit a 0-count group."""
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        distinct_count_per_key)
+    keys, vals = case
+    n = len(keys)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    }))
+    out = (distinct_count_per_key(ds, key="k", value_col="v",
+                                  num_partitions=3)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    want = {k: len({vals[i] for i in range(n)
+                    if keys[i] == k and vals[i] is not None})
+            for k in set(keys)}
+    got = {int(r.k): int(r.n_distinct) for r in out.itertuples()}
+    assert got == want
