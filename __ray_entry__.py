@@ -1657,6 +1657,80 @@ def _q_events_running_total(sf_dir: str):
                                  out_col="running_c")
 
 
+def _q_customers_with_recent_orders(sf_dir: str):
+    """LEFT SEMI join (distributed EXISTS): customers with at least one
+    order since 2000-01-01 — matched once, never multiplied (the
+    complement of the anti query)."""
+    import datetime
+
+    from org_dharts_dia_tesseract_ray.util import (default_num_partitions,
+                                                   schema_pinned_join)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    cutoff = datetime.datetime(2000, 1, 1)
+
+    def distinct_recent_keys(b: pa.Table) -> pa.Table:
+        keys = b.filter(pc.greater_equal(
+            b["o_orderdate"],
+            pa.scalar(cutoff, b["o_orderdate"].type)))["o_custkey"]
+        return pa.table({"c_custkey": pc.unique(keys.combine_chunks())})
+
+    seen = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        distinct_recent_keys, batch_format="pyarrow", zero_copy_batch=True)
+    return schema_pinned_join(
+        cust, seen, on=("c_custkey",),
+        num_partitions=default_num_partitions(),
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("c_name", pa.string())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+        join_type="left semi")
+
+
+def _q_customer_activity_shift(sf_dir: str):
+    """FULL OUTER join of two aggregate sides: early-era vs late-era order
+    counts per customer — one-sided customers carry nulls on the other
+    side (200 left-only + 489 right-only rows at sf0.01)."""
+    import datetime
+
+    from org_dharts_dia_tesseract_ray.util import (default_num_partitions,
+                                                   schema_pinned_join)
+
+    def side(cut_lo, cut_hi, out_name):
+        def prep(b: pa.Table) -> pa.Table:
+            m = pa.array([True] * b.num_rows)
+            if cut_lo is not None:
+                m = pc.and_(m, pc.greater_equal(
+                    b["o_orderdate"],
+                    pa.scalar(cut_lo, b["o_orderdate"].type)))
+            if cut_hi is not None:
+                m = pc.and_(m, pc.less(
+                    b["o_orderdate"],
+                    pa.scalar(cut_hi, b["o_orderdate"].type)))
+            return pa.table({"o_custkey": b.filter(m)["o_custkey"]})
+
+        counts = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+                  .map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                  .groupby("o_custkey").count())
+
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table({"o_custkey": b["o_custkey"],
+                             out_name: b["count()"]})
+
+        return counts.map_batches(rename, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    early = side(None, datetime.datetime(1996, 1, 1), "n_early")
+    late = side(datetime.datetime(2001, 1, 1), None, "n_late")
+    return schema_pinned_join(
+        early, late, on=("o_custkey",),
+        num_partitions=default_num_partitions(),
+        left_schema=pa.schema([("o_custkey", pa.int64()),
+                               ("n_early", pa.int64())]),
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("n_late", pa.int64())]),
+        join_type="full outer")
+
+
 def _q_order_shipments_90d(sf_dir: str):
     """Range join: per order, how many of its lineitems shipped within
     90 days of the order date."""
@@ -1883,6 +1957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": _q_customer_order_counts,
         "customers_no_orders": _q_customers_no_orders,
         "events_running_total": _q_events_running_total,
+        "customers_with_recent_orders": _q_customers_with_recent_orders,
+        "customer_activity_shift": _q_customer_activity_shift,
         "length_percent_rank": _q_length_percent_rank,
         "events_interarrival": _q_events_interarrival,
         "user_event_paths": _q_user_event_paths,
@@ -2272,6 +2348,18 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01')""",
         "events_running_total": _running_total_sql_q(),
+        "customers_with_recent_orders": """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01')""",
+        "customer_activity_shift": """
+SELECT o_custkey, e.n_early, l.n_late
+FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_early FROM orders
+      WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY o_custkey) e
+FULL JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_late FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01' GROUP BY o_custkey) l
+USING (o_custkey)""",
         "length_percent_rank": _percent_rank_sql_q(),
         "events_interarrival": _lag_delta_sql_q(),
         "user_event_paths": _ordered_concat_sql_q(),

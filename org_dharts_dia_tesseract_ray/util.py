@@ -201,10 +201,10 @@ def ds_arrow_schema(ds) -> pa.Schema:
 def schema_pinned_join(left, right, *, on, num_partitions: int,
                        left_schema: pa.Schema, right_schema: pa.Schema,
                        join_type: str = "inner"):
-    """Distributed join (``inner`` / ``left outer`` / ``left anti``) that is
-    IMMUNE to schema-less empty blocks — the replacement for
-    ``Dataset.join`` wherever a side is (or may be) a groupby/aggregate
-    output.
+    """Distributed join (``inner`` / ``left outer`` / ``left semi`` /
+    ``left anti`` / ``full outer``) that is IMMUNE to schema-less empty
+    blocks — the replacement for ``Dataset.join`` wherever a side is (or
+    may be) a groupby/aggregate output.
 
     Why not ``Dataset.join``: a hash-shuffled groupby output materializes
     empty partitions as zero-COLUMN blocks (the executor's "new schema: ."
@@ -235,18 +235,22 @@ def schema_pinned_join(left, right, *, on, num_partitions: int,
     - ``inner`` — matching rows only;
     - ``left outer`` — every left row survives; unmatched rows carry nulls
       in the right-only columns (null keys never match, as in SQL);
+    - ``left semi`` — left rows WITH a match, left columns only, never
+      multiplied (the ``EXISTS`` shape);
     - ``left anti`` — left rows WITHOUT a match, left columns only (the
-      ``NOT EXISTS`` shape; null-key left rows are unmatched, so they pass).
+      ``NOT EXISTS`` shape; null-key left rows are unmatched, so they pass);
+    - ``full outer`` — every row from both sides; unmatched rows carry
+      nulls in the other side's columns.
     """
     import numpy as np
 
-    if join_type not in ("inner", "left outer", "left anti"):
-        raise NotImplementedError(
-            "join_type must be 'inner', 'left outer' or 'left anti'")
+    if join_type not in ("inner", "left outer", "left semi", "left anti",
+                         "full outer"):
+        raise NotImplementedError(f"unsupported join_type: {join_type!r}")
     on = tuple(on)
     lnames = list(left_schema.names)
     ltypes = {n: left_schema.field(n).type for n in lnames}
-    r_only = ([] if join_type == "left anti"
+    r_only = ([] if join_type in ("left anti", "left semi")
               else [n for n in right_schema.names if n not in on])
     rtypes = {n: right_schema.field(n).type for n in right_schema.names}
     overlap = (set(lnames) - set(on)) & set(r_only)
@@ -290,13 +294,22 @@ def schema_pinned_join(left, right, *, on, num_partitions: int,
         lt = part.filter(pa.array(side == 0)).select(lnames)
         rt = part.filter(pa.array(side == 1)).select(list(on) + r_only)
         if lt.num_rows == 0:
+            if join_type == "full outer" and rt.num_rows > 0:
+                # right-only partition: keys (already left-typed) + right
+                # columns, nulls in the left-only slots
+                cols = {n: (rt[n] if n in on
+                            else pa.nulls(rt.num_rows, ltypes[n]))
+                        for n in lnames}
+                for n in r_only:
+                    cols[n] = rt[n]
+                return pa.table(cols).select(out_schema.names)
             return out_schema.empty_table()
         if rt.num_rows == 0:
-            if join_type == "inner":
+            if join_type in ("inner", "left semi"):
                 return out_schema.empty_table()
             if join_type == "left anti":
                 return lt          # nothing to match against: all survive
-            for n in r_only:       # left outer: typed all-null right side
+            for n in r_only:       # outer: typed all-null right side
                 lt = lt.append_column(n, pa.nulls(lt.num_rows, rtypes[n]))
             return lt.select(out_schema.names)
         out = lt.join(rt, keys=list(on), join_type=join_type,

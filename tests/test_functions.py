@@ -1023,6 +1023,36 @@ def test_schema_pinned_join_left_anti(ray_session):
     assert list(out["a"]) == ["x", "y", "z"]
 
 
+def test_schema_pinned_join_semi_and_full(ray_session):
+    """Left semi: EXISTS shape — matched left rows only, never multiplied.
+    Full outer: both sides survive, nulls in the other side's columns."""
+    import ray.data as _rd
+
+    from org_dharts_dia_tesseract_ray.util import schema_pinned_join
+
+    left = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, None], pa.int64()),
+        "a": pa.array(["w", "x", "y"])}))
+    right = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 3], pa.int64()),
+        "b": pa.array([10, 11, 30], pa.int64())}))
+    kw = dict(on=("k",), num_partitions=16,
+              left_schema=pa.schema([("k", pa.int64()), ("a", pa.string())]),
+              right_schema=pa.schema([("k", pa.int64()), ("b", pa.int64())]))
+    semi = schema_pinned_join(left, right, join_type="left semi",
+                              **kw).to_pandas()
+    assert list(semi.columns) == ["k", "a"]
+    assert list(semi["a"]) == ["w"]               # matched once, not twice
+    full = (schema_pinned_join(left, right, join_type="full outer", **kw)
+            .to_pandas())
+    # 1 matches twice; 2 and null-k left-only; 3 right-only
+    assert len(full) == 5
+    assert sorted(full[full["a"] == "w"]["b"]) == [10, 11]
+    assert full[full["a"] == "x"]["b"].isna().all()
+    assert full["a"].isna().sum() == 1            # the k=3 right-only row
+    assert int(full[full["a"].isna()]["b"].iloc[0]) == 30
+
+
 def test_schema_pinned_join_left_outer_empty_right(ray_session):
     """Left outer / anti against a right side that aggregates to zero rows:
     all left rows survive (outer carries typed nulls)."""
