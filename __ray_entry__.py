@@ -1971,12 +1971,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": _q_extract_spans,
         "extract_subsup": _q_extract_subsup,
         "extract_mixed_pdf": _q_extract_mixed_pdf,
-        "pages_dedup_extract": _q_pages_dedup_extract,
         "extract_boxes": _q_extract_boxes,
-        "extract_metrics_by_lang": _q_extract_metrics,
-        "extract_mode_text_only": _mode_query("text_only"),
         "extract_charfilter_digits": _mode_query("charfilter_digits"),
-        "extract_custom_rule": _q_extract_custom_rule,
         "extract_unlv": _q_extract_unlv,
         "extract_hocr": _q_extract_hocr,
         "checkpoint_resume": _q_checkpoint_resume,
@@ -2018,6 +2014,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window slots to the r3-rewritten ANN family
         "extract_mode_single_block": _mode_query("single_block"),
         "extract_selector_article": _mode_query("selector_article"),
+        "extract_mode_text_only": _mode_query("text_only"),
+        "extract_metrics_by_lang": _q_extract_metrics,
+        "pages_dedup_extract": _q_pages_dedup_extract,
+        "extract_custom_rule": _q_extract_custom_rule,
         # rows-only driver checks (weaker evidence regardless of position)
         # sit just past the 50-query window; both are pytest/recall-tested
         "ann_ivf_topk": _q_ann_ivf,
