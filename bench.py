@@ -300,7 +300,10 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              # temperature resampling, embedding-prep chunking)
              "customer_order_counts", "customers_no_orders",
              "events_running_total", "length_percent_rank",
-             "temperature_sample", "chunk_windows"]
+             "temperature_sample", "chunk_windows",
+             "customers_with_recent_orders", "customer_activity_shift",
+             "events_interarrival", "user_event_paths",
+             "doc_stats_rollup", "events_distinct_users"]
     qs = entry_mod.queries()
     out = {}
 
