@@ -697,3 +697,57 @@ def test_distinct_count_matches_brute(ray_session, case):
             for k in set(keys)}
     got = {int(r.k): int(r.n_distinct) for r in out.itertuples()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# null partition keys through the window operators (SQL groups nulls as one)
+
+@given(st.lists(st.one_of(st.none(), st.integers(0, 2)),
+                min_size=1, max_size=20),
+       st.lists(st.integers(0, 8), min_size=20, max_size=20),
+       st.lists(st.integers(-9, 9), min_size=20, max_size=20))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_window_ops_null_keys(ray_session, keys, order, vals):
+    """Null partition keys form ONE group (SQL PARTITION BY semantics) in
+    running_total_per_key and ordered_concat_per_key — the null-run
+    contract of key_change_mask end-to-end."""
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        ordered_concat_per_key, running_total_per_key)
+    n = len(keys)
+    order, vals = order[:n], vals[:n]
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "o": pa.array(order, pa.int64()),
+        "i": pa.array(list(range(n)), pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+        "s": pa.array([f"t{abs(v)}" for v in vals], pa.string()),
+    }))
+    rt = (running_total_per_key(ds, key="k", order_col="o", id_col="i",
+                                value_col="v", out_col="rt",
+                                num_partitions=3)
+          .to_pandas().sort_values("i").reset_index(drop=True))
+    want_rt = {}
+    for k in set(keys):
+        acc = 0
+        for o, i in sorted((order[i], i) for i in range(n)
+                           if keys[i] == k):
+            acc += vals[i]
+            want_rt[i] = acc
+    assert {int(r.i): int(r.rt) for r in rt.itertuples()} == want_rt
+
+    oc = ordered_concat_per_key(ds, key="k", order_col="o", id_col="i",
+                                value_col="s",
+                                num_partitions=3).to_pandas()
+    want_oc = {}
+    for k in set(keys):
+        seq = [f"t{abs(vals[i])}" for _, i in
+               sorted((order[i], i) for i in range(n) if keys[i] == k)]
+        want_oc[k] = ">".join(seq)
+    got_oc = {(None if r.k != r.k else int(r.k)): r.path
+              for r in oc.itertuples()}
+    assert got_oc == want_oc
