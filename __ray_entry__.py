@@ -446,6 +446,12 @@ def _temperature_sql_q() -> str:
     return temperature_sample_sql()
 
 
+def _sample_n_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        sample_n_per_key_sql)
+    return sample_n_per_key_sql(n=20)
+
+
 def _bigram_score_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.lm_score import (
         bigram_score_sql)
@@ -1357,6 +1363,16 @@ def _q_top_docs_per_lang(sf_dir: str):
                         k=3)
 
 
+def _q_sample_docs_per_lang(sf_dir: str):
+    """Deterministic at-most-N-per-language sample (smallest content
+    buckets win): balanced eval-set construction on the top-k combiner
+    machinery."""
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        sample_n_per_key)
+    return sample_n_per_key(_read(sf_dir, "documents",
+                                  ["doc_id", "lang", "text"]), n=20)
+
+
 def _q_temperature_sample(sf_dir: str):
     """Temperature-scaled multilingual resampling (T=2): kept counts
     proportional to sqrt(count) — the n^(1/T) mixing rule between natural
@@ -1986,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "lang_balanced_sample": _q_lang_balanced_sample,
         "temperature_sample": _q_temperature_sample,
+        "sample_docs_per_lang": _q_sample_docs_per_lang,
         "bigram_score": _q_bigram_score,
         # --- changed earlier in round 4 (oracle or engine touched) ---
         "quality_buckets": _q_quality_buckets,
@@ -2370,6 +2387,7 @@ USING (o_custkey)""",
         "top_docs_per_lang": _topk_per_key_sql_q(),
         "lang_balanced_sample": _lang_balanced_sql_q(),
         "temperature_sample": _temperature_sql_q(),
+        "sample_docs_per_lang": _sample_n_sql_q(),
         "bigram_score": _bigram_score_sql_q(),
         "extract_font_attrs": font_words_sql(),
         "extract_hocr": hocr_sql(),

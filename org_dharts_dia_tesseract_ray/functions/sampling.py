@@ -212,6 +212,57 @@ def lang_balanced_sample(ds, *, group_col: str = "lang",
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sample_n_per_key(ds, *, group_col: str = "lang",
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 20, scale: int = 10000,
+                     num_partitions: int | None = None):
+    """Deterministic AT-MOST-N-per-group sample — the balanced eval-set /
+    human-review draw: within each group the rows with the SMALLEST
+    content buckets win (ties by id), so the pick is reproducible,
+    partitioning-invariant, and stable under corpus growth (a doc keeps
+    its bucket forever; newly added docs only displace from the tail).
+
+    Rides the top-k combiner machinery (per-batch prune to ≤n per group →
+    ONE slim hash exchange → per-partition run arithmetic): the exchange
+    carries O(n × groups × batches) rows, never the corpus."""
+    from .stats import topk_per_key
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = hash_bucket_batch(b, text_col=text_col, n_buckets=scale)
+        # top-k takes the LARGEST values; invert so smallest buckets win
+        return pa.table({group_col: t[group_col], id_col: t[id_col],
+                         "__negb": pc.subtract(pa.scalar(scale, pa.int64()),
+                                               t["bucket"])})
+
+    slim = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    picked = topk_per_key(slim, key=group_col, value_col="__negb",
+                          id_col=id_col, k=n, num_partitions=num_partitions)
+
+    def unmask(b: pa.Table) -> pa.Table:
+        return pa.table({group_col: b[group_col], id_col: b[id_col],
+                         "bucket": pc.subtract(pa.scalar(scale, pa.int64()),
+                                               b["__negb"]),
+                         "rank": b["rank"]})
+
+    return picked.map_batches(unmask, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def sample_n_per_key_sql(*, group_col: str = "lang",
+                         id_col: str = "doc_id", text_col: str = "text",
+                         n: int = 20, scale: int = 10000,
+                         table: str = "documents") -> str:
+    b = bucket_sql_expr(text_col, scale)
+    return f"""
+SELECT {group_col}, {id_col}, bucket, rank FROM (
+  SELECT {group_col}, {id_col}, bucket,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY bucket, {id_col}) AS rank
+  FROM (SELECT {group_col}, {id_col}, CAST({b} AS BIGINT) AS bucket
+        FROM {table}))
+WHERE rank <= {n}"""
+
+
 def temperature_sample(ds, *, group_col: str = "lang",
                        text_col: str = "text", id_col: str = "doc_id",
                        temperature: float = 2.0, scale: int = 10000):

@@ -2329,3 +2329,36 @@ def test_rollup_counts_matches_manual(ray_session):
     assert len(erows) == 1
     assert erows[0]["lang"] is None and erows[0]["n_docs"] == 0 \
         and erows[0]["total_chars"] is None
+
+
+def test_sample_n_per_key_deterministic(ray_session):
+    """sample_n_per_key: ≤n rows per group, smallest buckets win, stable
+    under reshard AND under corpus growth (old picks only displaced from
+    the tail)."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        sample_n_per_key)
+    n_docs = 2000
+    t = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "lang": pa.array([f"l{i % 3}" for i in range(n_docs)], pa.string()),
+        "text": pa.array([f"body {i}" for i in range(n_docs)], pa.string()),
+    })
+    ds = ray.data.from_arrow(t)
+    s1 = sorted((r["lang"], r["doc_id"]) for r in
+                sample_n_per_key(ds, n=5).take_all())
+    s2 = sorted((r["lang"], r["doc_id"]) for r in
+                sample_n_per_key(ds.repartition(7), n=5).take_all())
+    assert s1 == s2 and len(s1) == 15            # reshard-invariant, 5×3
+    # growth: doubling the corpus never ADDS an old doc to the sample
+    t2 = pa.table({
+        "doc_id": pa.array(range(n_docs, 2 * n_docs), pa.int64()),
+        "lang": pa.array([f"l{i % 3}" for i in range(n_docs)], pa.string()),
+        "text": pa.array([f"extra {i}" for i in range(n_docs)], pa.string()),
+    })
+    grown = ray.data.from_arrow(pa.concat_tables([t, t2]))
+    s3 = {(r["lang"], r["doc_id"]) for r in
+          sample_n_per_key(grown, n=5).take_all()}
+    old_picks = {x for x in s3 if x[1] < n_docs}
+    assert old_picks <= set(s1)
