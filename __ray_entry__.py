@@ -452,6 +452,12 @@ def _sample_n_sql_q() -> str:
     return sample_n_per_key_sql(n=20)
 
 
+def _normalize_text_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        normalize_text_sql)
+    return normalize_text_sql()
+
+
 def _bigram_score_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.lm_score import (
         bigram_score_sql)
@@ -1363,6 +1369,16 @@ def _q_top_docs_per_lang(sf_dir: str):
                         k=3)
 
 
+def _q_normalize_text(sf_dir: str):
+    """Canonical NFC/lowercase/whitespace normalization — the shared
+    preprocessor for exact-dedup digests and matching (bit-identical on
+    both engines)."""
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        apply_normalize_text)
+    return apply_normalize_text(_read(sf_dir, "documents",
+                                      ["doc_id", "text"]))
+
+
 def _q_sample_docs_per_lang(sf_dir: str):
     """Deterministic at-most-N-per-language sample (smallest content
     buckets win): balanced eval-set construction on the top-k combiner
@@ -2003,6 +2019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_balanced_sample": _q_lang_balanced_sample,
         "temperature_sample": _q_temperature_sample,
         "sample_docs_per_lang": _q_sample_docs_per_lang,
+        "normalize_text": _q_normalize_text,
         "bigram_score": _q_bigram_score,
         # --- changed earlier in round 4 (oracle or engine touched) ---
         "quality_buckets": _q_quality_buckets,
@@ -2388,6 +2405,7 @@ USING (o_custkey)""",
         "lang_balanced_sample": _lang_balanced_sql_q(),
         "temperature_sample": _temperature_sql_q(),
         "sample_docs_per_lang": _sample_n_sql_q(),
+        "normalize_text": _normalize_text_sql_q(),
         "bigram_score": _bigram_score_sql_q(),
         "extract_font_attrs": font_words_sql(),
         "extract_hocr": hocr_sql(),

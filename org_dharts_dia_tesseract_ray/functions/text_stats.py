@@ -495,3 +495,56 @@ SELECT a.{id_col}, a.n_words,
             THEN round(b.max_bc / b.n_big * 10000.0) / 10000.0
             ELSE 0.0 END AS top_bigram_frac
 FROM agg a LEFT JOIN bagg b USING ({id_col})"""
+
+
+def normalize_text_batch(batch: pa.Table, *, text_col: str = "text",
+                         id_col: str = "doc_id") -> pa.Table:
+    """Canonical text normalization — the dedup/matching preprocessor:
+    Unicode NFC, lowercase, whitespace runs collapsed to single spaces,
+    trimmed — bit-identical to DuckDB's ``nfc_normalize``/``lower`` so
+    normalized text can feed EXACT digests on either engine.
+
+    NFC caveat (measured, pyarrow 16.1): ``pc.utf8_normalize`` performs
+    the decomposition/compatibility mapping but NEVER composes — NFC of
+    ``e + COMBINING ACUTE`` stays two codepoints, while DuckDB/CPython
+    compose to ``é``.  True NFC therefore runs through
+    ``unicodedata.normalize``, but only for the rows that can need it:
+    ASCII rows (the vast majority of web text) are proven NFC by
+    ``pc.string_is_ascii`` and skip the Python path entirely."""
+    import unicodedata
+
+    import numpy as np
+
+    from ..util import as_array
+    text = as_array(batch[text_col])
+    ascii_mask = np.asarray(pc.fill_null(pc.string_is_ascii(text), True))
+    if not ascii_mask.all():
+        idx = np.flatnonzero(~ascii_mask)
+        fixed = pa.array(
+            [None if s is None else unicodedata.normalize("NFC", s)
+             for s in text.take(pa.array(idx, pa.int64())).to_pylist()],
+            pa.string())
+        # scatter the normalized minority back into the column
+        order = np.empty(len(text), np.int64)
+        order[ascii_mask] = np.arange(int(ascii_mask.sum()))
+        order[~ascii_mask] = len(text) - len(idx) + np.arange(len(idx))
+        text = pc.take(
+            pa.concat_arrays([text.filter(pa.array(ascii_mask)), fixed]),
+            pa.array(order, pa.int64()))
+    norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        pc.utf8_lower(text), r"\s+", " "))
+    return pa.table({id_col: batch[id_col], "norm_text": norm})
+
+
+def apply_normalize_text(ds, **kw):
+    return ds.map_batches(lambda b: normalize_text_batch(b, **kw),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def normalize_text_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    return f"""
+SELECT {id_col},
+       trim(regexp_replace(lower(nfc_normalize({text_col})),
+                           '\\s+', ' ', 'g')) AS norm_text
+FROM {table}"""

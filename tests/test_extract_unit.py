@@ -422,3 +422,19 @@ def test_sniff_advisory_matches_authoritative():
     t = pa.table({"html": pa.array(payloads, pa.binary())})
     adv = sniff_batch(t, kinds=True)["payload_kind"].to_pylist()
     assert adv == [sniff_kind(p) for p in payloads]
+
+
+def test_normalize_text_unicode_cases():
+    """NFC composition, case folding of accented/uppercase text, and
+    whitespace-run collapse — the normalized form feeds exact digests."""
+    import pyarrow as pa
+
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        normalize_text_batch)
+    # "é" as e + COMBINING ACUTE must compose to the precomposed form
+    decomposed = "Café  du\tMonde\n"
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([decomposed, "  A  B  "])})
+    out = normalize_text_batch(t)["norm_text"].to_pylist()
+    assert out[0] == "café du monde"
+    assert out[1] == "a b"
