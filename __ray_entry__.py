@@ -1576,11 +1576,11 @@ def _q_customer_order_counts(sf_dir: str):
         join_type="left outer")
 
 
-def _q_customers_no_orders(sf_dir: str):
-    """LEFT ANTI join (distributed NOT EXISTS): customers with no order
-    since 2000-01-01 — lapsed-customer detection.  Per-batch key dedup is
-    the combiner — the exchange carries distinct keys per batch, never the
-    orders table."""
+def _customers_vs_recent_orders(sf_dir: str, join_type: str):
+    """Shared body of the EXISTS / NOT EXISTS complement pair: customers
+    (left) probed against the distinct keys of orders since 2000-01-01
+    (per-batch key dedup is the combiner — the exchange carries distinct
+    keys per batch, never the orders table)."""
     import datetime
 
     from org_dharts_dia_tesseract_ray.util import (default_num_partitions,
@@ -1602,7 +1602,13 @@ def _q_customers_no_orders(sf_dir: str):
         left_schema=pa.schema([("c_custkey", pa.int64()),
                                ("c_name", pa.string())]),
         right_schema=pa.schema([("c_custkey", pa.int64())]),
-        join_type="left anti")
+        join_type=join_type)
+
+
+def _q_customers_no_orders(sf_dir: str):
+    """LEFT ANTI join (distributed NOT EXISTS): customers with no order
+    since 2000-01-01 — lapsed-customer detection."""
+    return _customers_vs_recent_orders(sf_dir, "left anti")
 
 
 def _q_events_distinct_users(sf_dir: str):
@@ -1692,29 +1698,8 @@ def _q_events_running_total(sf_dir: str):
 def _q_customers_with_recent_orders(sf_dir: str):
     """LEFT SEMI join (distributed EXISTS): customers with at least one
     order since 2000-01-01 — matched once, never multiplied (the
-    complement of the anti query)."""
-    import datetime
-
-    from org_dharts_dia_tesseract_ray.util import (default_num_partitions,
-                                                   schema_pinned_join)
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    cutoff = datetime.datetime(2000, 1, 1)
-
-    def distinct_recent_keys(b: pa.Table) -> pa.Table:
-        keys = b.filter(pc.greater_equal(
-            b["o_orderdate"],
-            pa.scalar(cutoff, b["o_orderdate"].type)))["o_custkey"]
-        return pa.table({"c_custkey": pc.unique(keys.combine_chunks())})
-
-    seen = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
-        distinct_recent_keys, batch_format="pyarrow", zero_copy_batch=True)
-    return schema_pinned_join(
-        cust, seen, on=("c_custkey",),
-        num_partitions=default_num_partitions(),
-        left_schema=pa.schema([("c_custkey", pa.int64()),
-                               ("c_name", pa.string())]),
-        right_schema=pa.schema([("c_custkey", pa.int64())]),
-        join_type="left semi")
+    complement of the anti query; shared body)."""
+    return _customers_vs_recent_orders(sf_dir, "left semi")
 
 
 def _q_customer_activity_shift(sf_dir: str):
@@ -1728,7 +1713,9 @@ def _q_customer_activity_shift(sf_dir: str):
 
     def side(cut_lo, cut_hi, out_name):
         def prep(b: pa.Table) -> pa.Table:
-            m = pa.array([True] * b.num_rows)
+            # typed seed: pa.array([]) is null-typed and pc.and_ has no
+            # (null, bool) kernel — an empty block would crash otherwise
+            m = pa.array([True] * b.num_rows, pa.bool_())
             if cut_lo is not None:
                 m = pc.and_(m, pc.greater_equal(
                     b["o_orderdate"],

@@ -177,39 +177,65 @@ SELECT {id_col},
 FROM {table}"""
 
 
+def _rate_bucket_sample(ds, rate_fn, *, group_col: str,
+                        text_col: str, id_col: str, scale: int):
+    """Shared body of the group-rate samplers: ONE tiny groupby for
+    per-group counts (bounded by group cardinality, ~200 langs at web
+    scale — driver-side like the IVF centroids), ``rate_fn(counts) →
+    {group: basis points}``, then a shuffle-free vectorized filter —
+    rows keep iff their content bucket < their group's rate, so every
+    sampler here is deterministic and partitioning-invariant.  The rate
+    dict is closure-captured (bytes, not a shuffle); use ``ray.put`` if a
+    group vocabulary ever outgrows task-arg size."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..util import ds_arrow_schema
+
+    rows = (ds.groupby(group_col)
+            .aggregate(Count(on=id_col, alias_name="n")).take_all())
+    counts = {r[group_col]: int(r["n"]) for r in rows}
+    in_schema = ds_arrow_schema(ds)
+    out_schema = pa.schema([in_schema.field(id_col),
+                            in_schema.field(group_col)])
+    if not counts:
+        # typed empty table: ds.limit(0) would leak the INPUT schema and
+        # break consumers of the (id, group) output contract
+        return ray.data.from_arrow(out_schema.empty_table())
+    rates = rate_fn(counts)
+    groups = pa.array(list(rates.keys()),
+                      in_schema.field(group_col).type)
+    bps = np.fromiter(rates.values(), np.int64, len(rates))
+
+    def f(b: pa.Table) -> pa.Table:
+        t = hash_bucket_batch(b, text_col=text_col, n_buckets=scale)
+        # vectorized rate lookup: index_in against the group vocabulary
+        # (null/unseen group → rate 0, i.e. dropped)
+        gi = pc.index_in(t[group_col], value_set=groups)
+        gi_np = np.asarray(pc.fill_null(gi, len(bps)))
+        bp = np.r_[bps, np.int64(0)][gi_np]
+        keep = np.asarray(t["bucket"]) < bp
+        return t.filter(pa.array(keep)).select([id_col, group_col])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def lang_balanced_sample(ds, *, group_col: str = "lang",
                          text_col: str = "text", id_col: str = "doc_id",
                          scale: int = 10000):
     """Rebalance a skewed corpus to EQUAL per-group share by downsampling
     every group to the smallest group's size (in expectation) — the
-    language-rebalancing step of multilingual data mixing.
+    language-rebalancing step of multilingual data mixing; the T=∞
+    endpoint of :func:`temperature_sample`.  Keep rates are integer basis
+    points ``min_count * scale // count``."""
+    def rate_fn(counts):
+        mn = min(counts.values())
+        return {g: mn * scale // n for g, n in counts.items()}
 
-    Per-group keep rates are integer basis points ``min_count * scale //
-    count`` from ONE tiny groupby (bounded by group cardinality, ~200
-    langs at web scale — driver-side like the IVF centroids); rows keep
-    iff their content bucket < rate, so the sample stays deterministic
-    and partitioning-invariant like every sampler here.  The rate dict is
-    closure-captured (bytes, not a shuffle); use ``ray.put`` if a group
-    vocabulary ever outgrows task-arg size."""
-    import numpy as np
-    from ray.data.aggregate import Count
-
-    rows = (ds.groupby(group_col)
-            .aggregate(Count(on=id_col, alias_name="n")).take_all())
-    counts = {r[group_col]: int(r["n"]) for r in rows}
-    if not counts:
-        return ds.limit(0)
-    mn = min(counts.values())
-    rates = {g: mn * scale // n for g, n in counts.items()}
-
-    def f(b: pa.Table) -> pa.Table:
-        t = hash_bucket_batch(b, text_col=text_col, n_buckets=scale)
-        bp = np.array([rates.get(g, 0) for g in t[group_col].to_pylist()],
-                      np.int64)
-        keep = np.asarray(t["bucket"]) < bp
-        return t.filter(pa.array(keep)).select([id_col, group_col])
-
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return _rate_bucket_sample(ds, rate_fn, group_col=group_col,
+                               text_col=text_col, id_col=id_col,
+                               scale=scale)
 
 
 def sample_n_per_key(ds, *, group_col: str = "lang",
@@ -281,30 +307,17 @@ def temperature_sample(ds, *, group_col: str = "lang",
     specific — fine for sampling, but only T=2 is oracle-pinned."""
     import math
 
-    import numpy as np
-    from ray.data.aggregate import Count
+    def rate_fn(counts):
+        mn = min(counts.values())
+        if temperature == 2.0:
+            return {g: math.floor(scale * math.sqrt(mn / n))
+                    for g, n in counts.items()}
+        return {g: math.floor(scale * (mn / n) ** (1.0 / temperature))
+                for g, n in counts.items()}
 
-    rows = (ds.groupby(group_col)
-            .aggregate(Count(on=id_col, alias_name="n")).take_all())
-    counts = {r[group_col]: int(r["n"]) for r in rows}
-    if not counts:
-        return ds.limit(0)
-    mn = min(counts.values())
-    if temperature == 2.0:
-        rates = {g: math.floor(scale * math.sqrt(mn / n))
-                 for g, n in counts.items()}
-    else:
-        rates = {g: math.floor(scale * (mn / n) ** (1.0 / temperature))
-                 for g, n in counts.items()}
-
-    def f(b: pa.Table) -> pa.Table:
-        t = hash_bucket_batch(b, text_col=text_col, n_buckets=scale)
-        bp = np.array([rates.get(g, 0) for g in t[group_col].to_pylist()],
-                      np.int64)
-        keep = np.asarray(t["bucket"]) < bp
-        return t.filter(pa.array(keep)).select([id_col, group_col])
-
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return _rate_bucket_sample(ds, rate_fn, group_col=group_col,
+                               text_col=text_col, id_col=id_col,
+                               scale=scale)
 
 
 def temperature_sample_sql(*, group_col: str = "lang",

@@ -402,15 +402,16 @@ def ordered_concat_sql(key: str = "user_id", order_col: str = "ts",
                        value_col: str = "event_type", sep: str = ">",
                        out_col: str = "path",
                        table: str = "events") -> str:
+    sep_lit = sep.replace("'", "''")    # SQL string-literal escaping
     return f"""
 SELECT {key}, CAST(count(*) AS BIGINT) AS n_items,
-       string_agg({value_col}, '{sep}' ORDER BY {order_col}, {id_col})
+       string_agg({value_col}, '{sep_lit}' ORDER BY {order_col}, {id_col})
          AS {out_col}
 FROM {table} GROUP BY {key}"""
 
 
-def rollup_counts(ds, *, keys=("lang", "source"), value_col: str = "n_chars",
-                  num_partitions: int | None = None):
+def rollup_counts(ds, *, keys=("lang", "source"),
+                  value_col: str = "n_chars"):
     """Multi-grain aggregation — the ``GROUP BY ROLLUP(k1, k2)`` analogue:
     ``(k1, k2)``, ``(k1, NULL)`` and ``(NULL, NULL)`` grains of
     ``count(*)`` / ``sum(value)`` in ONE distributed pass.
@@ -430,8 +431,11 @@ def rollup_counts(ds, *, keys=("lang", "source"), value_col: str = "n_chars",
 
     def combine(b: pa.Table) -> pa.Table:
         t = pa.table({k1: b[k1], k2: b[k2], "__v": b[value_col]})
+        # count mode "all" = SQL count(*); the default "only_valid" would
+        # undercount rows whose value is null vs the ROLLUP oracle
         g = t.group_by([k1, k2]).aggregate(
-            [("__v", "sum"), ("__v", "count")])
+            [("__v", "sum"),
+             ("__v", "count", pc.CountOptions(mode="all"))])
         return pa.table({k1: g[k1], k2: g[k2],
                          "__s": g["__v_sum"].cast(pa.int64()),
                          "__n": g["__v_count"].cast(pa.int64())})
@@ -453,7 +457,8 @@ def rollup_counts(ds, *, keys=("lang", "source"), value_col: str = "n_chars",
     for r in rows:
         n, s = agg1.get(r[k1], (0, 0))
         agg1[r[k1]] = (n + int(r["n"]), s + int(r["total"]))
-    for g in sorted(agg1):
+    # nulls sort last (a null group key is legal — SQL ROLLUP groups it)
+    for g in sorted(agg1, key=lambda x: (x is None, x)):
         out_k1.append(g); out_k2.append(None)
         out_n.append(agg1[g][0]); out_s.append(agg1[g][1])
     out_k1.append(None); out_k2.append(None)

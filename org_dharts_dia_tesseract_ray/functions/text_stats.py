@@ -523,7 +523,7 @@ def normalize_text_batch(batch: pa.Table, *, text_col: str = "text",
         fixed = pa.array(
             [None if s is None else unicodedata.normalize("NFC", s)
              for s in text.take(pa.array(idx, pa.int64())).to_pylist()],
-            pa.string())
+            text.type)      # match the column (string OR large_string)
         # scatter the normalized minority back into the column
         order = np.empty(len(text), np.int64)
         order[ascii_mask] = np.arange(int(ascii_mask.sum()))

@@ -2330,6 +2330,23 @@ def test_rollup_counts_matches_manual(ray_session):
     assert erows[0]["lang"] is None and erows[0]["n_docs"] == 0 \
         and erows[0]["total_chars"] is None
 
+    # null group keys and null values: n_docs is count(*) (nulls counted),
+    # total_chars is SUM (nulls skipped), null k1 is its own rolled group
+    nt = pa.table({
+        "lang": pa.array(["en", None, None], pa.string()),
+        "source": pa.array(["a", "a", "a"], pa.string()),
+        "n_chars": pa.array([10, None, 5], pa.int64())})
+    rows = sorted(
+        ((r["lang"], r["source"], r["n_docs"], r["total_chars"])
+         for r in rollup_counts(ray.data.from_arrow(nt)).take_all()),
+        key=str)
+    # count(*) counts null values, SUM skips them; the null-k1 subtotal
+    # and the grand total are distinct rows that happen to share NULL keys
+    # (exactly what SQL ROLLUP emits)
+    assert rows == sorted([("en", "a", 1, 10), ("en", None, 1, 10),
+                           (None, "a", 2, 5), (None, None, 2, 5),
+                           (None, None, 3, 15)], key=str)
+
 
 def test_sample_n_per_key_deterministic(ray_session):
     """sample_n_per_key: ≤n rows per group, smallest buckets win, stable
