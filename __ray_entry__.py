@@ -428,6 +428,11 @@ def _distinct_count_sql_q() -> str:
     return distinct_count_sql(out_col="n_users")
 
 
+def _pivot_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.stats import pivot_counts_sql
+    return pivot_counts_sql()
+
+
 def _chunk_windows_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.chunking import (
         chunk_documents_sql)
@@ -1611,6 +1616,17 @@ def _q_customers_no_orders(sf_dir: str):
     return _customers_vs_recent_orders(sf_dir, "left anti")
 
 
+def _q_events_pivot(sf_dir: str):
+    """Crosstab/PIVOT: one wide row per user with a count column per event
+    type (behavior vectors) — per-batch vectorized pre-pivot combiner +
+    native Sum groupby, no per-key Python."""
+    from org_dharts_dia_tesseract_ray.functions.stats import pivot_counts
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    return pivot_counts(ev, key="user_id", pivot_col="event_type",
+                        categories=("click", "error", "purchase",
+                                    "signup", "view"))
+
+
 def _q_events_distinct_users(sf_dir: str):
     """Exact distributed COUNT(DISTINCT user) per event type: per-batch
     distinct-pair combiner, one slim pair exchange, per-partition run
@@ -1983,6 +1999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": _q_user_event_paths,
         "doc_stats_rollup": _q_doc_stats_rollup,
         "events_distinct_users": _q_events_distinct_users,
+        "events_pivot": _q_events_pivot,
         "chunk_windows": _q_chunk_windows,
         "extract_font_attrs": _q_extract_font_attrs,
         "audio_features": _q_audio_features,
@@ -2386,6 +2403,7 @@ USING (o_custkey)""",
         "user_event_paths": _ordered_concat_sql_q(),
         "doc_stats_rollup": _rollup_sql_q(),
         "events_distinct_users": _distinct_count_sql_q(),
+        "events_pivot": _pivot_sql_q(),
         "chunk_windows": _chunk_windows_sql_q(),
         "tokenize_ids": _tokenize_ids_sql_q(),
         "top_docs_per_lang": _topk_per_key_sql_q(),

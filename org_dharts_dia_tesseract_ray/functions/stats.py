@@ -543,3 +543,57 @@ def distinct_count_sql(key: str = "event_type", value_col: str = "user_id",
     return f"""
 SELECT {key}, CAST(count(DISTINCT {value_col}) AS BIGINT) AS {out_col}
 FROM {table} GROUP BY {key}"""
+
+
+def pivot_counts(ds, *, key: str, pivot_col: str, categories,
+                 prefix: str = "n_"):
+    """Crosstab / PIVOT — one wide row per key with a count column per
+    category: ``key, n_click, n_view, …`` (per-user behavior vectors,
+    per-source label matrices).  The category vocabulary is fixed by the
+    caller (SQL PIVOT needs the same static list; values outside it are
+    ignored).
+
+    Scale shape: each batch pre-pivots locally (ONE vectorized group_by +
+    index_in scatter per batch — the combiner, so the exchange carries
+    keys × batches wide rows, never events), then Ray's native Sum
+    aggregates per column in ONE groupby shuffle.  No map_groups, no
+    per-key Python anywhere."""
+    from ray.data.aggregate import Sum
+
+    cats = list(categories)
+    cat_arr = pa.array(cats, pa.string())
+    out_cols = [f"{prefix}{c}" for c in cats]
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = pa.table({key: b[key], pivot_col: b[pivot_col]})
+        g = t.group_by([key, pivot_col]).aggregate([([], "count_all")])
+        ci = np.asarray(pc.fill_null(
+            pc.index_in(g[pivot_col].cast(pa.string()),
+                        value_set=cat_arr), len(cats)))
+        # distinct keys of this batch, then scatter counts into the wide
+        # (keys × categories) matrix
+        keys = as_array(g[key])
+        uk = pc.unique(keys)
+        ki = np.asarray(pc.index_in(keys, value_set=uk))
+        mat = np.zeros((len(uk), len(cats) + 1), np.int64)
+        mat[ki, ci] = np.asarray(g["count_all"])
+        cols = {key: uk}
+        for j, name in enumerate(out_cols):
+            cols[name] = pa.array(mat[:, j], pa.int64())
+        return pa.table(cols)
+
+    partial = ds.map_batches(combine, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partial.groupby(key).aggregate(
+        *[Sum(c, alias_name=c) for c in out_cols])
+
+
+def pivot_counts_sql(key: str = "user_id", pivot_col: str = "event_type",
+                     categories=("click", "error", "purchase", "signup",
+                                 "view"),
+                     prefix: str = "n_", table: str = "events") -> str:
+    cols = ",\n  ".join(
+        "CAST(sum(CASE WHEN {p} = '{c}' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS {pre}{c}".format(p=pivot_col, c=c, pre=prefix)
+        for c in categories)
+    return f"SELECT {key},\n  {cols}\nFROM {table} GROUP BY {key}"

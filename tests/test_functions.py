@@ -2379,3 +2379,20 @@ def test_sample_n_per_key_deterministic(ray_session):
           sample_n_per_key(grown, n=5).take_all()}
     old_picks = {x for x in s3 if x[1] < n_docs}
     assert old_picks <= set(s1)
+
+
+def test_pivot_counts_matches_manual(ray_session):
+    """pivot_counts == manual crosstab across multiple batches, unknown
+    categories ignored, missing combinations zero."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.stats import pivot_counts
+
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "e": pa.array(["a", "a", "b", "b", "zz", "a"], pa.string())})
+    out = (pivot_counts(ray.data.from_arrow(t).repartition(3),
+                        key="u", pivot_col="e", categories=("a", "b"))
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    got = [(int(r.u), int(r.n_a), int(r.n_b)) for r in out.itertuples()]
+    assert got == [(1, 2, 1), (2, 0, 1), (3, 1, 0)]
