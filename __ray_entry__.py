@@ -433,6 +433,11 @@ def _pivot_sql_q() -> str:
     return pivot_counts_sql()
 
 
+def _ntile_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.stats import ntile_sql
+    return ntile_sql()
+
+
 def _chunk_windows_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.chunking import (
         chunk_documents_sql)
@@ -533,6 +538,30 @@ def _q_pii_redact(sf_dir: str):
 
     return apply_redact_pii(
         ds.map_batches(with_pii, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+
+def _q_extract_contacts(sf_dir: str):
+    """Contact extraction (the PII kernels' extract direction): per-doc
+    email count + FIRST email over documents with deterministically
+    injected addresses (doc_id % 7 rule, same as the redaction query)."""
+    from org_dharts_dia_tesseract_ray.functions.pii import (
+        apply_extract_contacts)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_email(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        ids = b["doc_id"].cast(pa.string())
+        text = pc.if_else(
+            pa.array(did % 7 == 0),
+            pc.binary_join_element_wise(
+                b["text"], " contact user", ids,
+                "@corpus-test.example now", ""),
+            b["text"])
+        return pa.table({"doc_id": b["doc_id"], "text": text})
+
+    return apply_extract_contacts(
+        ds.map_batches(with_email, batch_format="pyarrow",
                        zero_copy_batch=True))
 
 
@@ -1559,15 +1588,28 @@ def _q_customer_order_counts(sf_dir: str):
     their order count; customers with no orders survive with a null count
     — the SQL LEFT JOIN shape over an aggregate right side (the exact
     configuration Dataset.join dies on: empty schema-less blocks)."""
+    from ray.data.aggregate import Sum
+
     from org_dharts_dia_tesseract_ray.util import (default_num_partitions,
                                                    schema_pinned_join)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        # combiner: the count shuffle carries distinct keys per batch
+        # (≤ customers × batches), never the orders table
+        g = b.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return pa.table({"o_custkey": g["o_custkey"],
+                         "__n": g["count_all"].cast(pa.int64())})
+
     counts = (_read(sf_dir, "orders", ["o_custkey"])
-              .groupby("o_custkey").count())
+              .map_batches(partial_counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("o_custkey").aggregate(Sum("__n",
+                                                  alias_name="n_orders")))
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({"c_custkey": b["o_custkey"],
-                         "n_orders": b["count()"]})
+                         "n_orders": b["n_orders"]})
 
     counts = counts.map_batches(rename, batch_format="pyarrow",
                                 zero_copy_batch=True)
@@ -1614,6 +1656,16 @@ def _q_customers_no_orders(sf_dir: str):
     """LEFT ANTI join (distributed NOT EXISTS): customers with no order
     since 2000-01-01 — lapsed-customer detection."""
     return _customers_vs_recent_orders(sf_dir, "left anti")
+
+
+def _q_length_ntile(sf_dir: str):
+    """Distributed NTILE(4): per-language length quartile label per doc —
+    equal-frequency bucketing with exact SQL semantics (first n%k buckets
+    one larger)."""
+    from org_dharts_dia_tesseract_ray.functions.stats import ntile_per_key
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ntile_per_key(docs, key="lang", value_col="n_chars",
+                         id_col="doc_id", n_tiles=4)
 
 
 def _q_events_pivot(sf_dir: str):
@@ -2000,6 +2052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_rollup": _q_doc_stats_rollup,
         "events_distinct_users": _q_events_distinct_users,
         "events_pivot": _q_events_pivot,
+        "length_ntile": _q_length_ntile,
         "chunk_windows": _q_chunk_windows,
         "extract_font_attrs": _q_extract_font_attrs,
         "audio_features": _q_audio_features,
@@ -2089,6 +2142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "url_normalize": _q_url_normalize,
         "pii_redact": _q_pii_redact,
+        "extract_contacts": _q_extract_contacts,
         "line_filter": _q_line_filter,
         "line_dedup": _q_line_dedup,
         "langid": _q_langid,
@@ -2297,6 +2351,21 @@ WITH m AS (
 {body.lstrip()}"""
 
 
+def _extract_contacts_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.pii import (
+        extract_contacts_sql)
+    body = extract_contacts_sql(table="m")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0
+         THEN text || ' contact user' || doc_id
+                   || '@corpus-test.example now'
+         ELSE text END AS text
+  FROM documents)
+{body.lstrip()}"""
+
+
 def _line_filter_sql() -> str:
     from org_dharts_dia_tesseract_ray.functions.linefilter import (
         line_filter_sql)
@@ -2404,6 +2473,7 @@ USING (o_custkey)""",
         "doc_stats_rollup": _rollup_sql_q(),
         "events_distinct_users": _distinct_count_sql_q(),
         "events_pivot": _pivot_sql_q(),
+        "length_ntile": _ntile_sql_q(),
         "chunk_windows": _chunk_windows_sql_q(),
         "tokenize_ids": _tokenize_ids_sql_q(),
         "top_docs_per_lang": _topk_per_key_sql_q(),
@@ -2448,6 +2518,7 @@ FROM documents GROUP BY lang""",
         "repetition_stats": repetition_stats_sql(),
         "url_normalize": _url_normalize_sql(),
         "pii_redact": _pii_sql(),
+        "extract_contacts": _extract_contacts_sql_q(),
         "line_filter": _line_filter_sql(),
         "line_dedup": _line_dedup_sql(),
         "domain_cap": _domain_cap_sql(),

@@ -81,3 +81,34 @@ SELECT {id_col},
   CAST({n_i} AS BIGINT) AS n_ips,
   ({n_e} + {n_p} + {n_i}) > 0 AS has_pii
 FROM {table}"""
+
+
+def extract_contacts_batch(batch: pa.Table, *, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """The extract direction of the PII kernels: per document, the count
+    of email mentions and the FIRST email (null when none) — contact
+    harvesting / seed-list building, same RE2 pattern as the scrubber so
+    extract and redact always agree on what counts as an email."""
+    t = batch[text_col]
+    n = pc.cast(pc.count_substring_regex(t, EMAIL_RE), pa.int64())
+    first = pc.struct_field(
+        pc.extract_regex(t, f"(?P<m>{EMAIL_RE})"), "m")
+    return pa.table({id_col: batch[id_col], "n_emails": n,
+                     "first_email": first})
+
+
+def apply_extract_contacts(ds, **kw):
+    return ds.map_batches(lambda b: extract_contacts_batch(b, **kw),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def extract_contacts_sql(table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    return f"""
+SELECT {id_col},
+       CAST(len(regexp_extract_all({text_col}, '{EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CASE WHEN regexp_matches({text_col}, '{EMAIL_RE}')
+            THEN regexp_extract({text_col}, '{EMAIL_RE}')
+            ELSE NULL END AS first_email
+FROM {table}"""

@@ -597,3 +597,65 @@ def pivot_counts_sql(key: str = "user_id", pivot_col: str = "event_type",
         "AS {pre}{c}".format(p=pivot_col, c=c, pre=prefix)
         for c in categories)
     return f"SELECT {key},\n  {cols}\nFROM {table} GROUP BY {key}"
+
+
+def ntile_per_key(ds, *, key: str, value_col: str, id_col: str,
+                  n_tiles: int = 4, out_col: str = "tile",
+                  num_partitions: int | None = None):
+    """Per-key equal-frequency bucket assignment — the distributed
+    ``NTILE(k) OVER (PARTITION BY key ORDER BY value, id)``: quartile /
+    decile labels per group, the bucketing step of stratified filtering.
+
+    SQL NTILE semantics exactly: n rows split into k buckets of size
+    ``n // k``, the first ``n % k`` buckets one larger, 1-based labels.
+    Same one-exchange / per-partition-vectorized shape as the sibling
+    window operators."""
+    P = num_partitions or default_num_partitions()
+
+    in_schema = ds_arrow_schema(ds)
+    cols = [id_col, key, value_col]
+    out_schema = pa.schema(
+        [in_schema.field(c) for c in cols]
+        + [pa.field(out_col, pa.int64())])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = pa.table({c: b[c] for c in cols})
+        return t.append_column("__part", partition_ids(t[key], P))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def finish(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "__part" not in part.column_names:
+            return out_schema.empty_table()
+        t = part.drop_columns(["__part"]).sort_by(
+            [(key, "ascending"), (value_col, "ascending"),
+             (id_col, "ascending")])
+        n = t.num_rows
+        starts = np.flatnonzero(key_change_mask(t[key], n))
+        lens = np.diff(np.r_[starts, n])
+        pos = np.arange(n) - np.repeat(starts, lens)
+        gn = np.repeat(lens, lens)
+        base = gn // n_tiles
+        rem = gn % n_tiles
+        big = rem * (base + 1)              # rows covered by larger buckets
+        in_big = pos < big
+        tile = np.where(
+            in_big,
+            pos // np.maximum(base + 1, 1),
+            rem + (pos - big) // np.maximum(base, 1)) + 1
+        return t.append_column(out_col, pa.array(tile, pa.int64()))
+
+    return parted.groupby("__part").map_groups(finish,
+                                               batch_format="pyarrow")
+
+
+def ntile_sql(key: str = "lang", value_col: str = "n_chars",
+              id_col: str = "doc_id", n_tiles: int = 4,
+              out_col: str = "tile", table: str = "documents") -> str:
+    return f"""
+SELECT {id_col}, {key}, {value_col},
+       CAST(ntile({n_tiles}) OVER (PARTITION BY {key}
+                                   ORDER BY {value_col}, {id_col})
+            AS BIGINT) AS {out_col}
+FROM {table}"""

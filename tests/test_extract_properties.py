@@ -751,3 +751,42 @@ def test_window_ops_null_keys(ray_session, keys, order, vals):
     got_oc = {(None if r.k != r.k else int(r.k)): r.path
               for r in oc.itertuples()}
     assert got_oc == want_oc
+
+
+# ---------------------------------------------------------------------------
+# ntile per key vs brute force (functions/stats.ntile_per_key)
+
+@given(_prank_case(), st.integers(1, 6))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_ntile_matches_brute(ray_session, case, k):
+    """Property: ntile_per_key == SQL NTILE (first n%k buckets one larger,
+    1-based), under ties and groups smaller than k."""
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.stats import ntile_per_key
+    keys, vals = case
+    n = len(keys)
+    ds = ray.data.from_arrow(pa.table({
+        "i": pa.array(list(range(n)), pa.int64()),
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    }))
+    out = (ntile_per_key(ds, key="k", value_col="v", id_col="i",
+                         n_tiles=k, num_partitions=3)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+
+    want = {}
+    for g in set(keys):
+        grp = sorted((vals[i], i) for i in range(n) if keys[i] == g)
+        m = len(grp)
+        base, rem = divmod(m, k)
+        for pos, (_, i) in enumerate(grp):
+            if pos < rem * (base + 1):
+                want[i] = pos // (base + 1) + 1
+            else:
+                want[i] = rem + (pos - rem * (base + 1)) // base + 1
+    got = {int(r.i): int(r.tile) for r in out.itertuples()}
+    assert got == want
