@@ -2053,6 +2053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_distinct_users": _q_events_distinct_users,
         "events_pivot": _q_events_pivot,
         "length_ntile": _q_length_ntile,
+        "extract_contacts": _q_extract_contacts,
         "chunk_windows": _q_chunk_windows,
         "extract_font_attrs": _q_extract_font_attrs,
         "audio_features": _q_audio_features,
@@ -2066,21 +2067,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_hocr": _q_extract_hocr,
         "checkpoint_resume": _q_checkpoint_resume,
         "revenue_by_region": _q_revenue_by_region,
-        "events_enrich_customer": _q_events_enrich_customer,
         "media_decode": _q_media_decode,
-        "media_frame_sample": _q_media_frames,
         "media_resize": _q_media_resize,
         "compression_ratio": _q_compression_ratio,
         "tokenize_ids": _q_tokenize_ids,
         "top_docs_per_lang": _q_top_docs_per_lang,
-        "lang_balanced_sample": _q_lang_balanced_sample,
         "temperature_sample": _q_temperature_sample,
         "sample_docs_per_lang": _q_sample_docs_per_lang,
         "normalize_text": _q_normalize_text,
         "bigram_score": _q_bigram_score,
         # --- changed earlier in round 4 (oracle or engine touched) ---
         "quality_buckets": _q_quality_buckets,
-        "dup_substr_spans": _q_dup_substr_spans,
         "dedup_substrings": _q_dedup_substrings,
         "pack_sequences": _q_pack_sequences,
         "corpus_assembly": _q_corpus_assembly,
@@ -2103,6 +2100,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # config-variant extract paths untouched this session (their shared
         # changed core is covered by 10 front extract queries): yield their
         # window slots to the r3-rewritten ANN family
+        # each covered by a front sibling sharing its changed code path
+        # (codec: media_decode/resize; broadcast_lookup: revenue_by_region;
+        # substrdedup kernel: dedup_substrings; _rate_bucket_sample body:
+        # temperature_sample)
+        "media_frame_sample": _q_media_frames,
+        "events_enrich_customer": _q_events_enrich_customer,
+        "dup_substr_spans": _q_dup_substr_spans,
+        "lang_balanced_sample": _q_lang_balanced_sample,
         "extract_mode_single_block": _mode_query("single_block"),
         "extract_selector_article": _mode_query("selector_article"),
         "extract_mode_text_only": _mode_query("text_only"),
@@ -2142,7 +2147,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality,
         "url_normalize": _q_url_normalize,
         "pii_redact": _q_pii_redact,
-        "extract_contacts": _q_extract_contacts,
         "line_filter": _q_line_filter,
         "line_dedup": _q_line_dedup,
         "langid": _q_langid,
