@@ -304,7 +304,8 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              "customers_with_recent_orders", "customer_activity_shift",
              "events_interarrival", "user_event_paths",
              "doc_stats_rollup", "events_distinct_users",
-             "sample_docs_per_lang", "normalize_text", "events_pivot"]
+             "sample_docs_per_lang", "normalize_text", "events_pivot",
+             "extract_contacts", "length_ntile"]
     qs = entry_mod.queries()
     out = {}
 
