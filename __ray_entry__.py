@@ -43,12 +43,39 @@ PRICING_CUTOFF = "1998-09-02"
 
 def _register_by_value():
     """Ship the package by value so Ray workers import it regardless of the
-    driver's cwd (the driver may import this module from anywhere)."""
+    driver's cwd (the driver may import this module from anywhere, and
+    workers spawned by a raylet that never saw the repo on PYTHONPATH
+    cannot import it by reference).
+
+    ``register_pickle_by_value`` is NOT recursive — registering only the
+    top package still lets a worker-side ``from ..util import …`` die with
+    ModuleNotFoundError (measured: driver run from /tmp).  So the whole
+    module tree is imported eagerly and every submodule registered.
+
+    Honest limit: by-value shipping re-EXECUTES module code in the worker,
+    so a deferred ``from ..x import y`` inside a UDF body still performs a
+    real import there.  Full cwd-independence therefore needs the repo on
+    the worker's import path — i.e. the driver process runs with
+    cwd=/root/repo (as the correctness driver does) or exports PYTHONPATH
+    before ``ray.init`` (as bench.py does).  This registration remains the
+    best-effort layer for closure-referenced kernels."""
     try:
+        import importlib
+        import pkgutil
+        import sys as _sys
+
         from ray import cloudpickle as rcp
 
         import org_dharts_dia_tesseract_ray as pkg
-        rcp.register_pickle_by_value(pkg)
+        for info in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+            try:
+                importlib.import_module(info.name)
+            except Exception:
+                pass
+        for name, mod in list(_sys.modules.items()):
+            if mod is not None and (name == pkg.__name__ or
+                                    name.startswith(pkg.__name__ + ".")):
+                rcp.register_pickle_by_value(mod)
     except Exception:
         pass
 
