@@ -67,15 +67,22 @@ def _register_by_value():
         from ray import cloudpickle as rcp
 
         import org_dharts_dia_tesseract_ray as pkg
-        for info in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+        rcp.register_pickle_by_value(pkg)   # top package first, always
+        # onerror=ignore: walk_packages RE-RAISES non-ImportError from a
+        # subpackage __init__ otherwise, which would abort registration
+        for info in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + ".",
+                                          onerror=lambda _n: None):
             try:
-                importlib.import_module(info.name)
+                rcp.register_pickle_by_value(
+                    importlib.import_module(info.name))
             except Exception:
                 pass
         for name, mod in list(_sys.modules.items()):
-            if mod is not None and (name == pkg.__name__ or
-                                    name.startswith(pkg.__name__ + ".")):
-                rcp.register_pickle_by_value(mod)
+            if mod is not None and name.startswith(pkg.__name__ + "."):
+                try:
+                    rcp.register_pickle_by_value(mod)
+                except Exception:
+                    pass
     except Exception:
         pass
 

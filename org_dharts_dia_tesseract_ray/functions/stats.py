@@ -640,9 +640,11 @@ def ntile_per_key(ds, *, key: str, value_col: str, id_col: str,
         rem = gn % n_tiles
         big = rem * (base + 1)              # rows covered by larger buckets
         in_big = pos < big
+        # base+1 >= 1 always; only `base` can be 0 (group smaller than k —
+        # all its rows take the in_big branch, so the clamp is never used)
         tile = np.where(
             in_big,
-            pos // np.maximum(base + 1, 1),
+            pos // (base + 1),
             rem + (pos - big) // np.maximum(base, 1)) + 1
         return t.append_column(out_col, pa.array(tile, pa.int64()))
 

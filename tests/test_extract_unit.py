@@ -438,3 +438,21 @@ def test_normalize_text_unicode_cases():
     out = normalize_text_batch(t)["norm_text"].to_pylist()
     assert out[0] == "café du monde"
     assert out[1] == "a b"
+
+
+def test_extract_contacts_edge_cases():
+    """Contact extraction: count + FIRST match; no-match and null text
+    yield null first_email and 0/null-safe counts."""
+    import pyarrow as pa
+
+    from org_dharts_dia_tesseract_ray.functions.pii import (
+        extract_contacts_batch)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "write a@b.co or c@d.org today", "no contact here", "", None])})
+    out = extract_contacts_batch(t).to_pylist()
+    assert out[0] == {"doc_id": 1, "n_emails": 2, "first_email": "a@b.co"}
+    assert out[1] == {"doc_id": 2, "n_emails": 0, "first_email": None}
+    assert out[2] == {"doc_id": 3, "n_emails": 0, "first_email": None}
+    assert out[3]["first_email"] is None
