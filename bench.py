@@ -305,7 +305,8 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              "events_interarrival", "user_event_paths",
              "doc_stats_rollup", "events_distinct_users",
              "sample_docs_per_lang", "normalize_text", "events_pivot",
-             "extract_contacts", "length_ntile"]
+             "extract_contacts", "length_ntile", "events_throttle",
+             "length_histogram"]
     qs = entry_mod.queries()
     out = {}
 

@@ -661,3 +661,41 @@ SELECT {id_col}, {key}, {value_col},
                                    ORDER BY {value_col}, {id_col})
             AS BIGINT) AS {out_col}
 FROM {table}"""
+
+
+def histogram_per_key(ds, *, key: str, value_col: str, bin_width: int,
+                      out_bin: str = "bin", out_count: str = "n"):
+    """Fixed-width histogram per group — ``(key, value // width,
+    count)``: the distribution-profiling primitive behind length/quality
+    threshold tuning.  Non-negative values by contract (integer division
+    truncates toward zero in Arrow but floors in SQL; they agree on
+    non-negatives).
+
+    Scale shape: per-batch (key, bin) partial counts (ONE vectorized
+    group_by — the combiner; the exchange carries keys × bins × batches
+    rows, never the corpus), then native Sum in ONE groupby shuffle."""
+    from ray.data.aggregate import Sum
+
+    def combine(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            key: b[key],
+            out_bin: pc.divide(b[value_col].cast(pa.int64()),
+                               pa.scalar(bin_width, pa.int64()))})
+        g = t.group_by([key, out_bin]).aggregate([([], "count_all")])
+        return pa.table({key: g[key], out_bin: g[out_bin],
+                         "__n": g["count_all"].cast(pa.int64())})
+
+    partial = ds.map_batches(combine, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return partial.groupby([key, out_bin]).aggregate(
+        Sum("__n", alias_name=out_count))
+
+
+def histogram_sql(key: str = "lang", value_col: str = "n_chars",
+                  bin_width: int = 200, out_bin: str = "bin",
+                  out_count: str = "n",
+                  table: str = "documents") -> str:
+    return f"""
+SELECT {key}, CAST({value_col} // {bin_width} AS BIGINT) AS {out_bin},
+       CAST(count(*) AS BIGINT) AS {out_count}
+FROM {table} GROUP BY {key}, {value_col} // {bin_width}"""

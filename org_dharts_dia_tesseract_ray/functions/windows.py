@@ -240,3 +240,70 @@ SELECT {user_col}, CAST(session_no AS BIGINT) AS session_no,
        count(*) AS n_events,
        min({ts_col}) AS session_start, max({ts_col}) AS session_end
 FROM s GROUP BY {user_col}, session_no"""
+
+
+def throttle(ds, *, keys=("user_id", "event_type"), ts_col: str = "ts",
+             id_col: str = "event_id", min_gap_minutes: int = 60,
+             num_partitions: int | None = None):
+    """Rate-limit repeated events: keep a row iff it is the FIRST of its
+    composite key or arrived more than ``min_gap_minutes`` after the
+    previous occurrence (previous ROW, not previous kept — the LAG-based
+    throttle, exactly SQL-expressible; recrawl suppression, alert
+    dedup, at-most-once-per-hour signals).
+
+    Composite-key variant of the window machinery: the hash partition
+    mixes both key columns, the per-partition pass sorts once and derives
+    gaps with run-boundary masks over the key PAIR — Python call count =
+    P, like every window here."""
+    import numpy as np
+
+    from ..util import (as_array, default_num_partitions, ds_arrow_schema,
+                        key_change_mask, partition_ids)
+    P = num_partitions or default_num_partitions()
+    k1, k2 = keys
+    gap_us = min_gap_minutes * US_PER_MIN
+
+    in_schema = ds_arrow_schema(ds)
+    cols = [k1, k2, ts_col, id_col]
+    out_schema = pa.schema([in_schema.field(c) for c in cols])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = pa.table({c: b[c] for c in cols})
+        return t.append_column(
+            "__part", partition_ids(t[k1], P, extra_cols=[t[k2]]))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def finish(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "__part" not in part.column_names:
+            return out_schema.empty_table()
+        t = part.drop_columns(["__part"]).sort_by(
+            [(k1, "ascending"), (k2, "ascending"),
+             (ts_col, "ascending"), (id_col, "ascending")])
+        n = t.num_rows
+        first = key_change_mask(t[k1], n) | key_change_mask(t[k2], n)
+        v = np.asarray(as_array(t[ts_col]).cast(pa.int64()), dtype=np.int64)
+        delta = np.empty(n, dtype=np.int64)
+        delta[0] = 0
+        delta[1:] = v[1:] - v[:-1]
+        keep = first | (delta > gap_us)
+        return t.filter(pa.array(keep))
+
+    return parted.groupby("__part").map_groups(finish,
+                                               batch_format="pyarrow")
+
+
+def throttle_sql(keys=("user_id", "event_type"), ts_col: str = "ts",
+                 id_col: str = "event_id", min_gap_minutes: int = 60,
+                 table: str = "events") -> str:
+    k1, k2 = keys
+    gap_us = min_gap_minutes * US_PER_MIN
+    return f"""
+SELECT {k1}, {k2}, {ts_col}, {id_col} FROM (
+  SELECT {k1}, {k2}, {ts_col}, {id_col},
+         epoch_us({ts_col}) - LAG(epoch_us({ts_col}))
+           OVER (PARTITION BY {k1}, {k2}
+                 ORDER BY {ts_col}, {id_col}) AS d
+  FROM {table})
+WHERE d IS NULL OR d > {gap_us}"""

@@ -790,3 +790,46 @@ def test_ntile_matches_brute(ray_session, case, k):
                 want[i] = rem + (pos - rem * (base + 1)) // base + 1
     got = {int(r.i): int(r.tile) for r in out.itertuples()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# throttle vs brute force (functions/windows.throttle)
+
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 1),
+                          st.integers(0, 300)), min_size=1, max_size=25),
+       st.integers(1, 4))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_throttle_matches_brute(ray_session, rows, gap_min):
+    """Property: throttle == LAG-based brute force (keep first of the
+    composite key or gap > min_gap from the PREVIOUS row), duplicate
+    timestamps tie-broken by id."""
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.windows import (US_PER_MIN,
+                                                                throttle)
+    n = len(rows)
+    us = [m * US_PER_MIN // 2 for _, _, m in rows]   # half-minute grid
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+        "event_type": pa.array([f"t{e}" for _, e, _ in rows], pa.string()),
+        "ts": pa.array(us, pa.timestamp("us")),
+        "event_id": pa.array(list(range(n)), pa.int64()),
+    }))
+    out = (throttle(ds, min_gap_minutes=gap_min, num_partitions=3)
+           .to_pandas())
+    got = sorted(int(r.event_id) for r in out.itertuples())
+
+    gap_us = gap_min * US_PER_MIN
+    want = []
+    for u, e in {(u, e) for u, e, _ in rows}:
+        seq = sorted((us[i], i) for i in range(n)
+                     if rows[i][0] == u and rows[i][1] == e)
+        prev = None
+        for t, i in seq:
+            if prev is None or t - prev > gap_us:
+                want.append(i)
+            prev = t
+    assert got == sorted(want)
