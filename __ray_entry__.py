@@ -450,6 +450,12 @@ def _throttle_sql_q() -> str:
     return throttle_sql(min_gap_minutes=60)
 
 
+def _transitions_sql_q() -> str:
+    from org_dharts_dia_tesseract_ray.functions.windows import (
+        transition_counts_sql)
+    return transition_counts_sql()
+
+
 def _ordered_concat_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.stats import (
         ordered_concat_sql)
@@ -1765,6 +1771,16 @@ def _q_user_event_paths(sf_dir: str):
                                   id_col="event_id", value_col="event_type")
 
 
+def _q_event_transitions(sf_dir: str):
+    """First-order event-type transition counts per user stream (the
+    LEAD-window Markov-matrix aggregate) — funnel edges."""
+    from org_dharts_dia_tesseract_ray.functions.windows import (
+        transition_counts)
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    return transition_counts(ev)
+
+
 def _q_events_throttle(sf_dir: str):
     """LAG-based rate limiting per (user, event_type): keep first-of-key
     or gap > 60 min — recrawl/alert suppression; composite-key window."""
@@ -2112,6 +2128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_percent_rank": _q_length_percent_rank,
         "events_interarrival": _q_events_interarrival,
         "events_throttle": _q_events_throttle,
+        "event_transitions": _q_event_transitions,
         "user_event_paths": _q_user_event_paths,
         "doc_stats_rollup": _q_doc_stats_rollup,
         "events_distinct_users": _q_events_distinct_users,
@@ -2539,6 +2556,7 @@ USING (o_custkey)""",
         "length_percent_rank": _percent_rank_sql_q(),
         "events_interarrival": _lag_delta_sql_q(),
         "events_throttle": _throttle_sql_q(),
+        "event_transitions": _transitions_sql_q(),
         "user_event_paths": _ordered_concat_sql_q(),
         "doc_stats_rollup": _rollup_sql_q(),
         "events_distinct_users": _distinct_count_sql_q(),

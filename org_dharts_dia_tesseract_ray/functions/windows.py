@@ -307,3 +307,75 @@ SELECT {k1}, {k2}, {ts_col}, {id_col} FROM (
                  ORDER BY {ts_col}, {id_col}) AS d
   FROM {table})
 WHERE d IS NULL OR d > {gap_us}"""
+
+
+def transition_counts(ds, *, key: str = "user_id",
+                      label_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id",
+                      num_partitions: int | None = None):
+    """First-order transition counts — how often label A is immediately
+    followed by label B within a key's event stream (the Markov-matrix /
+    funnel-edge aggregate): ``(from_type, to_type, n)``.
+
+    ONE hash exchange co-locates each key's events; the per-partition pass
+    sorts once, pairs each row with its successor inside the key run
+    (vectorized shift + run mask — the LEAD window), and REDUCES to local
+    pair counts, so the final groupby ships at most |labels|² rows per
+    partition."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ..util import (as_array, default_num_partitions, key_change_mask,
+                        partition_ids)
+    P = num_partitions or default_num_partitions()
+    cols = [key, label_col, ts_col, id_col]
+
+    def add_part(b: pa.Table) -> pa.Table:
+        t = pa.table({c: b[c] for c in cols})
+        return t.append_column("__part", partition_ids(t[key], P))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out_schema = pa.schema([("from_type", pa.string()),
+                            ("to_type", pa.string()),
+                            ("__n", pa.int64())])
+
+    def finish(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "__part" not in part.column_names:
+            return out_schema.empty_table()
+        t = part.drop_columns(["__part"]).sort_by(
+            [(key, "ascending"), (ts_col, "ascending"),
+             (id_col, "ascending")])
+        n = t.num_rows
+        labels = as_array(t[label_col])
+        # successor exists iff the NEXT row starts no new key run
+        nxt_same = ~key_change_mask(t[key], n)[1:] if n > 1 else \
+            np.zeros(0, bool)
+        src = labels.slice(0, n - 1).filter(pa.array(nxt_same))
+        dst = labels.slice(1).filter(pa.array(nxt_same))
+        pairs = pa.table({"from_type": src, "to_type": dst})
+        g = pairs.group_by(["from_type", "to_type"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"from_type": g["from_type"],
+                         "to_type": g["to_type"],
+                         "__n": g["count_all"].cast(pa.int64())})
+
+    local = parted.groupby("__part").map_groups(finish,
+                                                batch_format="pyarrow")
+    return local.groupby(["from_type", "to_type"]).aggregate(
+        Sum("__n", alias_name="n"))
+
+
+def transition_counts_sql(key: str = "user_id",
+                          label_col: str = "event_type",
+                          ts_col: str = "ts", id_col: str = "event_id",
+                          table: str = "events") -> str:
+    return f"""
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT {label_col} AS from_type,
+         LEAD({label_col}) OVER (PARTITION BY {key}
+                                 ORDER BY {ts_col}, {id_col}) AS to_type
+  FROM {table})
+WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type"""

@@ -833,3 +833,39 @@ def test_throttle_matches_brute(ray_session, rows, gap_min):
                 want.append(i)
             prev = t
     assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# transition counts vs brute force (functions/windows.transition_counts)
+
+@given(st.lists(st.tuples(st.integers(0, 2), st.integers(0, 2),
+                          st.integers(0, 50)), min_size=1, max_size=25))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_transition_counts_matches_brute(ray_session, rows):
+    """Property: transition_counts == LEAD-window brute force (pairs only
+    within a key's stream, (ts, id) order), with duplicate timestamps."""
+    import pyarrow as pa
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.windows import (
+        transition_counts)
+    n = len(rows)
+    ds = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+        "event_type": pa.array([f"t{e}" for _, e, _ in rows], pa.string()),
+        "ts": pa.array([m * 1000 for _, _, m in rows], pa.timestamp("us")),
+        "event_id": pa.array(list(range(n)), pa.int64()),
+    }))
+    out = transition_counts(ds, num_partitions=3).to_pandas()
+    got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
+
+    want: dict = {}
+    for u in {u for u, _, _ in rows}:
+        seq = [f"t{rows[i][1]}" for _, i in
+               sorted((rows[i][2] * 1000, i) for i in range(n)
+                      if rows[i][0] == u)]
+        for a, b in zip(seq, seq[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
