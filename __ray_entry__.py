@@ -518,6 +518,22 @@ def _normalize_text_sql_q() -> str:
     return normalize_text_sql()
 
 
+def _dedup_normalized_sql_q() -> str:
+    return r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, upper(text) || '  ' AS text
+  FROM documents WHERE doc_id % 5 = 0),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+           AS text
+  FROM aug)
+SELECT min(doc_id) AS doc_id, md5(text) AS fp FROM norm
+GROUP BY md5(text)"""
+
+
 def _bigram_score_sql_q() -> str:
     from org_dharts_dia_tesseract_ray.functions.lm_score import (
         bigram_score_sql)
@@ -1463,6 +1479,37 @@ def _q_normalize_text(sf_dir: str):
                                       ["doc_id", "text"]))
 
 
+def _q_dedup_normalized(sf_dir: str):
+    """Normalize-then-dedup composition: case/whitespace variants
+    (injected for every 5th doc as an extra row) collapse to one survivor
+    per NORMALIZED content digest — the end-use of normalize_text."""
+    from org_dharts_dia_tesseract_ray.functions.dedup import exact_dedup
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        apply_normalize_text)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(b: pa.Table) -> pa.Table:
+        did = np.asarray(b["doc_id"], dtype=np.int64)
+        keep = pa.array(did % 5 == 0)
+        v = b.filter(keep)
+        variants = pa.table({
+            "doc_id": pc.add(v["doc_id"], pa.scalar(10_000_000, pa.int64())),
+            "text": pc.binary_join_element_wise(
+                pc.utf8_upper(v["text"]), "  ", ""),
+        })
+        return pa.concat_tables([b.select(["doc_id", "text"]), variants])
+
+    aug = ds.map_batches(augment, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    norm = apply_normalize_text(aug)
+
+    def as_text(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "text": b["norm_text"]})
+
+    return exact_dedup(norm.map_batches(as_text, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+
+
 def _q_sample_docs_per_lang(sf_dir: str):
     """Deterministic at-most-N-per-language sample (smallest content
     buckets win): balanced eval-set construction on the top-k combiner
@@ -2157,6 +2204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": _q_temperature_sample,
         "sample_docs_per_lang": _q_sample_docs_per_lang,
         "normalize_text": _q_normalize_text,
+        "dedup_normalized": _q_dedup_normalized,
         "bigram_score": _q_bigram_score,
         # --- changed earlier in round 4 (oracle or engine touched) ---
         "quality_buckets": _q_quality_buckets,
@@ -2570,6 +2618,7 @@ USING (o_custkey)""",
         "temperature_sample": _temperature_sql_q(),
         "sample_docs_per_lang": _sample_n_sql_q(),
         "normalize_text": _normalize_text_sql_q(),
+        "dedup_normalized": _dedup_normalized_sql_q(),
         "bigram_score": _bigram_score_sql_q(),
         "extract_font_attrs": font_words_sql(),
         "extract_hocr": hocr_sql(),

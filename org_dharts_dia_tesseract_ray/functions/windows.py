@@ -283,11 +283,19 @@ def throttle(ds, *, keys=("user_id", "event_type"), ts_col: str = "ts",
              (ts_col, "ascending"), (id_col, "ascending")])
         n = t.num_rows
         first = key_change_mask(t[k1], n) | key_change_mask(t[k2], n)
-        v = np.asarray(as_array(t[ts_col]).cast(pa.int64()), dtype=np.int64)
+        ts = as_array(t[ts_col]).cast(pa.int64())
+        # SQL-exact null semantics: a null ts makes the LAG delta NULL for
+        # itself AND its successor, and `d IS NULL OR d > gap` KEEPS both
+        # (nulls sort last per key on both engines).  fill_null avoids the
+        # unsafe null->INT64_MIN numpy cast.
+        null_ts = np.asarray(pc.is_null(ts))
+        v = np.asarray(pc.fill_null(ts, 0), dtype=np.int64)
         delta = np.empty(n, dtype=np.int64)
         delta[0] = 0
         delta[1:] = v[1:] - v[:-1]
-        keep = first | (delta > gap_us)
+        null_delta = null_ts.copy()
+        null_delta[1:] |= null_ts[:-1]
+        keep = first | null_delta | (delta > gap_us)
         return t.filter(pa.array(keep))
 
     return parted.groupby("__part").map_groups(finish,
@@ -337,8 +345,10 @@ def transition_counts(ds, *, key: str = "user_id",
 
     parted = ds.map_batches(add_part, batch_format="pyarrow",
                             zero_copy_batch=True)
-    out_schema = pa.schema([("from_type", pa.string()),
-                            ("to_type", pa.string()),
+    from ..util import ds_arrow_schema
+    label_type = ds_arrow_schema(ds).field(label_col).type
+    out_schema = pa.schema([("from_type", label_type),
+                            ("to_type", label_type),
                             ("__n", pa.int64())])
 
     def finish(part: pa.Table) -> pa.Table:
@@ -352,6 +362,10 @@ def transition_counts(ds, *, key: str = "user_id",
         # successor exists iff the NEXT row starts no new key run
         nxt_same = ~key_change_mask(t[key], n)[1:] if n > 1 else \
             np.zeros(0, bool)
+        # SQL-exact: LEAD(...) IS NOT NULL drops pairs with a null
+        # successor label (a null FROM label is kept and grouped, as in
+        # SQL GROUP BY)
+        nxt_same &= np.asarray(pc.is_valid(labels.slice(1)))
         src = labels.slice(0, n - 1).filter(pa.array(nxt_same))
         dst = labels.slice(1).filter(pa.array(nxt_same))
         pairs = pa.table({"from_type": src, "to_type": dst})

@@ -2396,3 +2396,61 @@ def test_pivot_counts_matches_manual(ray_session):
            .to_pandas().sort_values("u").reset_index(drop=True))
     got = [(int(r.u), int(r.n_a), int(r.n_b)) for r in out.itertuples()]
     assert got == [(1, 2, 1), (2, 0, 1), (3, 1, 0)]
+
+
+def test_histogram_per_key_matches_manual(ray_session):
+    """histogram_per_key == manual fixed-width binning across multiple
+    batches (combiner merge exercised by repartition)."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        histogram_per_key)
+    t = pa.table({
+        "lang": pa.array(["en"] * 5 + ["de"] * 3),
+        "n_chars": pa.array([0, 9, 10, 19, 20, 5, 5, 25], pa.int64())})
+    out = (histogram_per_key(ray.data.from_arrow(t).repartition(3),
+                             key="lang", value_col="n_chars", bin_width=10)
+           .to_pandas().sort_values(["lang", "bin"]).reset_index(drop=True))
+    got = [(r.lang, int(r.bin), int(r.n)) for r in out.itertuples()]
+    assert got == [("de", 0, 2), ("de", 2, 1),
+                   ("en", 0, 2), ("en", 1, 2), ("en", 2, 1)]
+
+
+def test_throttle_and_transitions_null_semantics(ray_session):
+    """SQL-exact null handling: null ts rows (and their successors) are
+    KEPT by throttle; null successor labels drop the pair in
+    transition_counts while null FROM labels group normally."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.windows import (
+        US_PER_MIN, throttle, transition_counts)
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_type": pa.array(["a", None, "b", "a"], pa.string()),
+        "ts": pa.array([0, 10 * US_PER_MIN, None, 11 * US_PER_MIN],
+                       pa.timestamp("us")),
+        "event_id": pa.array([0, 1, 2, 3], pa.int64())})
+    ds = ray.data.from_arrow(ev)
+    # throttle partitions by (user, type): null-ts row 2 in ('b') group is
+    # its group's first -> kept anyway; same-type rows 0/3 of 'a' are 11
+    # min apart -> both kept with gap 10
+    kept = sorted(r["event_id"] for r in
+                  throttle(ds, min_gap_minutes=10,
+                           num_partitions=2).take_all())
+    assert kept == [0, 1, 2, 3]
+    # transitions order by (ts, id) with nulls last: a@0, None@10min,
+    # a@11min, b@null-ts => pairs (a,None) dropped as null TO,
+    # (None,a) kept with null FROM, (a,b) kept
+    got = {(r["from_type"], r["to_type"]): r["n"] for r in
+           transition_counts(ds, num_partitions=2).take_all()}
+    assert got == {(None, "a"): 1, ("a", "b"): 1}
+    # explicit null-successor case
+    ev2 = pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array(["a", None, "b"], pa.string()),
+        "ts": pa.array([0, 1000, 2000], pa.timestamp("us")),
+        "event_id": pa.array([0, 1, 2], pa.int64())})
+    got2 = {(r["from_type"], r["to_type"]): r["n"] for r in
+            transition_counts(ray.data.from_arrow(ev2),
+                              num_partitions=2).take_all()}
+    assert got2 == {(None, "b"): 1}     # (a, NULL) dropped, (NULL, b) kept
