@@ -306,7 +306,7 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              "doc_stats_rollup", "events_distinct_users",
              "sample_docs_per_lang", "normalize_text", "events_pivot",
              "extract_contacts", "length_ntile", "events_throttle",
-             "length_histogram", "event_transitions"]
+             "length_histogram", "event_transitions", "dedup_normalized"]
     qs = entry_mod.queries()
     out = {}
 
