@@ -1045,24 +1045,25 @@ def _q_neardup_simhash(sf_dir: str):
 
 def _q_dup_substr_spans(sf_dir: str):
     """Exact-substring dedup (Lee et al. 2021 analogue): maximal cross-doc
-    duplicated 8-token spans via rolling-hash grams + broadcast dup set
-    (functions/substrdedup; decontam-shaped two-pass plan, no text
-    shuffle)."""
+    duplicated 8-token spans via rolling-hash grams (functions/substrdedup;
+    no text shuffle).  strategy="join" — the 100-TB path: the dup-gram set
+    stays distributed (hash-partitioned semi-join), never collected to the
+    driver (VERDICT r4 item 1; broadcast remains the small-scale option)."""
     from org_dharts_dia_tesseract_ray.functions.substrdedup import (
         duplicated_spans)
     return duplicated_spans(_read(sf_dir, "documents", ["doc_id", "text"]),
-                            w=8)
+                            w=8, strategy="join")
 
 
 def _q_dedup_substrings(sf_dir: str):
     """Removal variant: every token covered by a cross-doc duplicated
     8-gram cut from the text (single-space rejoin; all occurrences cut —
     keep-one canonicalization is a policy layer, as in the reference
-    tooling)."""
+    tooling).  strategy="join" keeps the dup-gram set distributed."""
     from org_dharts_dia_tesseract_ray.functions.substrdedup import (
         dedup_substrings)
     return dedup_substrings(_read(sf_dir, "documents", ["doc_id", "text"]),
-                            w=8)
+                            w=8, strategy="join")
 
 
 def _q_neardup_jaccard_brute(sf_dir: str):

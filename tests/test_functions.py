@@ -2203,15 +2203,16 @@ def test_substr_dedup_crafted(ray_session):
             "short text",
         ], pa.string()),
     })
-    for parts in (1, 5):
+    for parts, strategy in ((1, "broadcast"), (5, "broadcast"),
+                            (1, "join"), (5, "join")):
         ds = ray.data.from_arrow(docs).repartition(parts)
-        spans = (duplicated_spans(ds, w=8).to_pandas()
+        spans = (duplicated_spans(ds, w=8, strategy=strategy).to_pandas()
                  .sort_values(["doc_id", "tok_start"])
                  .reset_index(drop=True))
         # doc 0: shared occupies tokens 4..14 (3 windows merge to one span)
         # doc 2: tokens 0..10; doc 1/3: nothing
         assert spans.values.tolist() == [[0, 4, 14, 3], [2, 0, 10, 3]]
-        clean = (dedup_substrings(ds, w=8).to_pandas()
+        clean = (dedup_substrings(ds, w=8, strategy=strategy).to_pandas()
                  .sort_values("doc_id").reset_index(drop=True))
         assert clean.loc[0, "clean_text"] == uniq[0]
         assert clean.loc[0, "n_removed"] == 10
@@ -2230,11 +2231,13 @@ def test_substr_dedup_no_duplicates_and_nulls(ray_session):
         "text": pa.array(["just some plain words here", None], pa.string()),
     })
     ds = ray.data.from_arrow(docs)
-    assert duplicated_spans(ds, w=8).count() == 0
-    clean = (dedup_substrings(ds, w=8).to_pandas()
-             .sort_values("doc_id").reset_index(drop=True))
-    assert clean["clean_text"].tolist() == ["just some plain words here", ""]
-    assert clean["n_removed"].tolist() == [0, 0]
+    for strategy in ("broadcast", "join"):
+        assert duplicated_spans(ds, w=8, strategy=strategy).count() == 0
+        clean = (dedup_substrings(ds, w=8, strategy=strategy).to_pandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+        assert clean["clean_text"].tolist() == ["just some plain words here",
+                                                ""]
+        assert clean["n_removed"].tolist() == [0, 0]
 
 
 def test_quality_buckets_terciles(ray_session):
