@@ -1756,6 +1756,43 @@ def _q_customers_no_orders(sf_dir: str):
     return _customers_vs_recent_orders(sf_dir, "left anti")
 
 
+def _q_urgent_spend_right_customer(sf_dir: str):
+    """RIGHT OUTER join (completes the schema-pinned join family,
+    VERDICT r4 item 5): per-customer 1-URGENT spend (left, an aggregate —
+    cents-quantized int64 so the distributed Sum is order-exact) RIGHT
+    JOINed to the customer dim — every customer survives; customers with
+    no urgent order carry a null spend."""
+    from ray.data.aggregate import Sum
+
+    from org_dharts_dia_tesseract_ray.util import (default_num_partitions,
+                                                   schema_pinned_join)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def partial_spend(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+        cents = pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"c_custkey": t["o_custkey"], "__c": cents})
+             .group_by("c_custkey").aggregate([("__c", "sum")]))
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "__c": g["__c_sum"].cast(pa.int64())})
+
+    spend = (_read(sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority", "o_totalprice"])
+             .map_batches(partial_spend, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("c_custkey")
+             .aggregate(Sum("__c", alias_name="urgent_cents")))
+    return schema_pinned_join(
+        spend, cust, on=("c_custkey",),
+        num_partitions=default_num_partitions(),
+        left_schema=pa.schema([("c_custkey", pa.int64()),
+                               ("urgent_cents", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64()),
+                                ("c_mktsegment", pa.string())]),
+        join_type="right outer")
+
+
 def _q_length_histogram(sf_dir: str):
     """Fixed-width doc-length histogram per language (200-char bins):
     per-batch partial counts are the combiner, one small Sum shuffle."""
@@ -1881,8 +1918,12 @@ def _q_events_running_total(sf_dir: str):
         return pa.table({
             "user_id": b["user_id"], "ts": b["ts"],
             "event_id": b["event_id"],
-            "value_c": pc.round(pc.multiply(
-                b["value"], pa.scalar(100.0))).cast(pa.int64())})
+            # half_towards_infinity == DuckDB round()'s half-away-from-zero
+            # (pc.round's default half-to-even would diverge on exact-half
+            # cents if value precision ever exceeded 2 decimals)
+            "value_c": pc.round(
+                pc.multiply(b["value"], pa.scalar(100.0)),
+                round_mode="half_towards_infinity").cast(pa.int64())})
 
     ev = ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
     return running_total_per_key(ev, key="user_id", order_col="ts",
@@ -2170,6 +2211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_predicates": _q_word_predicates,
         "customer_order_counts": _q_customer_order_counts,
         "customers_no_orders": _q_customers_no_orders,
+        "urgent_spend_right_customer": _q_urgent_spend_right_customer,
         "events_running_total": _q_events_running_total,
         "customers_with_recent_orders": _q_customers_with_recent_orders,
         "customer_activity_shift": _q_customer_activity_shift,
@@ -2589,6 +2631,14 @@ SELECT c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01')""",
+        "urgent_spend_right_customer": """
+SELECT c.c_custkey, s.urgent_cents, c.c_mktsegment
+FROM (SELECT o_custkey AS c_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS urgent_cents
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_custkey) s
+RIGHT JOIN customer c USING (c_custkey)""",
         "events_running_total": _running_total_sql_q(),
         "customers_with_recent_orders": """
 SELECT c_custkey, c_name FROM customer c

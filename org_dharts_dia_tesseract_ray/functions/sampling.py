@@ -189,13 +189,27 @@ def _rate_bucket_sample(ds, rate_fn, *, group_col: str,
     group vocabulary ever outgrows task-arg size."""
     import numpy as np
     import ray.data
-    from ray.data.aggregate import Count
 
     from ..util import ds_arrow_schema
 
-    rows = (ds.groupby(group_col)
-            .aggregate(Count(on=id_col, alias_name="n")).take_all())
-    counts = {r[group_col]: int(r["n"]) for r in rows}
+    # per-batch Arrow partial counts merged on the driver (bounded by
+    # group cardinality × batches) — NOT a Ray groupby: its sort-based
+    # shuffle raises on mixed null/non-null string keys, and SQL's
+    # GROUP BY counts the NULL group too (its count participates in the
+    # oracle's min(n) even though JOIN USING later drops its rows)
+    def partial_counts(b: pa.Table) -> pa.Table:
+        g = (pa.table({group_col: b[group_col]})
+             .group_by(group_col).aggregate([([], "count_all")]))
+        return pa.table({group_col: g[group_col],
+                         "__n": g["count_all"].cast(pa.int64())})
+
+    counts: dict = {}
+    for bt in (ds.map_batches(partial_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .iter_batches(batch_format="pyarrow")):
+        for g_, n_ in zip(bt[group_col].to_pylist(),
+                          bt["__n"].to_pylist()):
+            counts[g_] = counts.get(g_, 0) + int(n_)
     in_schema = ds_arrow_schema(ds)
     out_schema = pa.schema([in_schema.field(id_col),
                             in_schema.field(group_col)])
@@ -210,9 +224,14 @@ def _rate_bucket_sample(ds, rate_fn, *, group_col: str,
 
     def f(b: pa.Table) -> pa.Table:
         t = hash_bucket_batch(b, text_col=text_col, n_buckets=scale)
-        # vectorized rate lookup: index_in against the group vocabulary
-        # (null/unseen group → rate 0, i.e. dropped)
+        # vectorized rate lookup: index_in against the group vocabulary;
+        # null groups are masked EXPLICITLY (ADVICE r4: index_in matches a
+        # null probe to a null entry in the value set, which would keep
+        # null-group rows the SQL oracle's JOIN ... USING drops) and
+        # unseen groups miss — both → rate 0, i.e. dropped
         gi = pc.index_in(t[group_col], value_set=groups)
+        gi = pc.if_else(pc.is_valid(t[group_col]), gi,
+                        pa.scalar(None, gi.type))
         gi_np = np.asarray(pc.fill_null(gi, len(bps)))
         bp = np.r_[bps, np.int64(0)][gi_np]
         keep = np.asarray(t["bucket"]) < bp

@@ -319,12 +319,25 @@ def lag_delta_per_key(ds, *, key: str, order_col: str, id_col: str,
             [(key, "ascending"), (order_col, "ascending"),
              (id_col, "ascending")])
         n = t.num_rows
-        v = np.asarray(as_array(t[order_col]).cast(pa.int64()),
-                       dtype=np.int64)
+        vcol = as_array(t[order_col]).cast(pa.int64())
+        # null order values (ADVICE r4): an unchecked NaN→int64 cast would
+        # produce INT64_MIN garbage — mirror throttle's guard: fill for
+        # the arithmetic, then null the affected deltas (a null ts yields
+        # NULL, and its successor's LAG is NULL, exactly as SQL)
+        if vcol.null_count:
+            isnull = np.asarray(pc.is_null(vcol))
+            v = np.asarray(pc.fill_null(vcol, 0), dtype=np.int64)
+        else:
+            isnull = None
+            v = np.asarray(vcol, dtype=np.int64)
         delta = np.empty(n, dtype=np.int64)
         delta[0] = 0
         delta[1:] = v[1:] - v[:-1]
         first = key_change_mask(t[key], n)
+        if isnull is not None:
+            bad = isnull.copy()
+            bad[1:] |= isnull[:-1]
+            first = first | bad
         return t.append_column(
             out_col, pa.array(delta, pa.int64(), mask=first))
 
@@ -419,11 +432,12 @@ def rollup_counts(ds, *, keys=("lang", "source"),
     Scale shape: per-batch partial aggregation (the combiner — each batch
     contributes ≤ |k1|×|k2| rows to the exchange, never its row count),
     ONE small ``groupby(keys)`` shuffle at the FINEST grain, then the
-    coarser grains are derived locally from the finest (exact, since
-    counts/sums are additive) — rolling up never re-touches the corpus.
-    The finest-grain result is bounded by key-combination cardinality
-    (languages × sources — hundreds at web scale), the same boundedness
-    contract as the vocab top-V / PCA d×d driver steps."""
+    coarser grains are derived by FURTHER DISTRIBUTED groupbys over the
+    (materialized, object-store-resident) finest grain — exact, since
+    counts/sums are additive, and safe at ANY key cardinality: nothing
+    proportional to |k1|×|k2| ever lands on the driver (only the single
+    grand-total row does).  A group whose values are all null carries a
+    NULL sum through every grain, exactly as SQL ROLLUP."""
     import ray.data
     from ray.data.aggregate import Sum
 
@@ -440,35 +454,48 @@ def rollup_counts(ds, *, keys=("lang", "source"),
                          "__s": g["__v_sum"].cast(pa.int64()),
                          "__n": g["__v_count"].cast(pa.int64())})
 
+    k1t = ds_arrow_schema(ds).field(k1).type
+    k2t = ds_arrow_schema(ds).field(k2).type
+    # materialize() pins the (k1,k2) grain in the OBJECT STORE so the two
+    # derived grains don't re-run the corpus combine — it is the shuffle
+    # output, never a driver collection (any key cardinality is fine)
     finest = (ds.map_batches(combine, batch_format="pyarrow",
                              zero_copy_batch=True)
               .groupby([k1, k2])
               .aggregate(Sum("__s", alias_name="total"),
-                         Sum("__n", alias_name="n")))
-    rows = finest.take_all()        # bounded: |k1|×|k2| combinations
-    k1t = ds_arrow_schema(ds).field(k1).type
-    k2t = ds_arrow_schema(ds).field(k2).type
+                         Sum("__n", alias_name="n"))
+              .materialize())
+    # SQL SUM skips nulls but is NULL when every value is null — Ray's Sum
+    # (ignore_nulls) matches, and staying in Arrow (no int() coercion)
+    # carries that NULL through each grain
+    gt = finest.aggregate(Sum("total", alias_name="total"),
+                          Sum("n", alias_name="n")) or {}
+    grand = pa.table({
+        k1: pa.array([None], k1t), k2: pa.array([None], k2t),
+        "n_docs": pa.array([int(gt.get("n") or 0)], pa.int64()),
+        # empty input: SQL's grand-total row is (NULL keys, count 0, NULL)
+        "total_chars": pa.array([gt.get("total")], pa.int64())})
+    if finest.count() == 0:
+        return ray.data.from_arrow(grand)
 
-    out_k1, out_k2, out_n, out_s = [], [], [], []
-    for r in rows:
-        out_k1.append(r[k1]); out_k2.append(r[k2])
-        out_n.append(int(r["n"])); out_s.append(int(r["total"]))
-    agg1: dict = {}
-    for r in rows:
-        n, s = agg1.get(r[k1], (0, 0))
-        agg1[r[k1]] = (n + int(r["n"]), s + int(r["total"]))
-    # nulls sort last (a null group key is legal — SQL ROLLUP groups it)
-    for g in sorted(agg1, key=lambda x: (x is None, x)):
-        out_k1.append(g); out_k2.append(None)
-        out_n.append(agg1[g][0]); out_s.append(agg1[g][1])
-    out_k1.append(None); out_k2.append(None)
-    out_n.append(sum(n for n, _ in agg1.values()))
-    # empty input: SQL's grand-total row is (NULL keys, count 0, SUM NULL)
-    out_s.append(sum(s for _, s in agg1.values()) if agg1 else None)
-    return ray.data.from_arrow(pa.table({
-        k1: pa.array(out_k1, k1t), k2: pa.array(out_k2, k2t),
-        "n_docs": pa.array(out_n, pa.int64()),
-        "total_chars": pa.array(out_s, pa.int64())}))
+    def fmt_fine(b: pa.Table) -> pa.Table:
+        return pa.table({k1: b[k1], k2: b[k2],
+                         "n_docs": b["n"].cast(pa.int64()),
+                         "total_chars": b["total"].cast(pa.int64())})
+
+    def fmt_grain1(b: pa.Table) -> pa.Table:
+        return pa.table({k1: b[k1], k2: pa.nulls(b.num_rows, k2t),
+                         "n_docs": b["n_docs"].cast(pa.int64()),
+                         "total_chars": b["total_chars"].cast(pa.int64())})
+
+    grain1 = (finest.groupby(k1)
+              .aggregate(Sum("total", alias_name="total_chars"),
+                         Sum("n", alias_name="n_docs"))
+              .map_batches(fmt_grain1, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    fine = finest.map_batches(fmt_fine, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return fine.union(grain1).union(ray.data.from_arrow(grand))
 
 
 def rollup_counts_sql(keys=("lang", "source"), value_col: str = "n_chars",

@@ -201,10 +201,10 @@ def ds_arrow_schema(ds) -> pa.Schema:
 def schema_pinned_join(left, right, *, on, num_partitions: int,
                        left_schema: pa.Schema, right_schema: pa.Schema,
                        join_type: str = "inner"):
-    """Distributed join (``inner`` / ``left outer`` / ``left semi`` /
-    ``left anti`` / ``full outer``) that is IMMUNE to schema-less empty
-    blocks — the replacement for ``Dataset.join`` wherever a side is (or
-    may be) a groupby/aggregate output.
+    """Distributed join (``inner`` / ``left outer`` / ``right outer`` /
+    ``left semi`` / ``left anti`` / ``full outer``) that is IMMUNE to
+    schema-less empty blocks — the replacement for ``Dataset.join``
+    wherever a side is (or may be) a groupby/aggregate output.
 
     Why not ``Dataset.join``: a hash-shuffled groupby output materializes
     empty partitions as zero-COLUMN blocks (the executor's "new schema: ."
@@ -235,6 +235,8 @@ def schema_pinned_join(left, right, *, on, num_partitions: int,
     - ``inner`` — matching rows only;
     - ``left outer`` — every left row survives; unmatched rows carry nulls
       in the right-only columns (null keys never match, as in SQL);
+    - ``right outer`` — mirror: every right row survives; unmatched rows
+      carry nulls in the left-only columns (keys still left-typed);
     - ``left semi`` — left rows WITH a match, left columns only, never
       multiplied (the ``EXISTS`` shape);
     - ``left anti`` — left rows WITHOUT a match, left columns only (the
@@ -244,8 +246,8 @@ def schema_pinned_join(left, right, *, on, num_partitions: int,
     """
     import numpy as np
 
-    if join_type not in ("inner", "left outer", "left semi", "left anti",
-                         "full outer"):
+    if join_type not in ("inner", "left outer", "right outer", "left semi",
+                         "left anti", "full outer"):
         raise NotImplementedError(f"unsupported join_type: {join_type!r}")
     on = tuple(on)
     lnames = list(left_schema.names)
@@ -294,7 +296,7 @@ def schema_pinned_join(left, right, *, on, num_partitions: int,
         lt = part.filter(pa.array(side == 0)).select(lnames)
         rt = part.filter(pa.array(side == 1)).select(list(on) + r_only)
         if lt.num_rows == 0:
-            if join_type == "full outer" and rt.num_rows > 0:
+            if join_type in ("full outer", "right outer") and rt.num_rows > 0:
                 # right-only partition: keys (already left-typed) + right
                 # columns, nulls in the left-only slots
                 cols = {n: (rt[n] if n in on
@@ -305,7 +307,7 @@ def schema_pinned_join(left, right, *, on, num_partitions: int,
                 return pa.table(cols).select(out_schema.names)
             return out_schema.empty_table()
         if rt.num_rows == 0:
-            if join_type in ("inner", "left semi"):
+            if join_type in ("inner", "left semi", "right outer"):
                 return out_schema.empty_table()
             if join_type == "left anti":
                 return lt          # nothing to match against: all survive

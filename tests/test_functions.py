@@ -444,6 +444,50 @@ def test_lang_balanced_sample_rates(ray_session):
     assert 200 < n_big < 450                     # ~11.1% of 2700, hash noise
 
 
+def test_rate_sample_null_group_dropped(ray_session):
+    """ADVICE r4: rows with a NULL group key must be DROPPED (the SQL
+    oracle's JOIN ... USING semantics), not matched to the null entry of
+    the index_in value set."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        lang_balanced_sample, temperature_sample)
+    t = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "lang": pa.array((["en"] * 30 + [None] * 10), pa.string()),
+        "text": pa.array([f"doc {i} body" for i in range(40)], pa.string()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    for fn in (lang_balanced_sample, temperature_sample):
+        out = fn(ds).to_pandas()
+        assert out["lang"].notna().all()
+
+
+def test_lag_delta_null_order_values(ray_session):
+    """ADVICE r4: a null order value must yield a NULL delta for that row
+    AND its successor (SQL: NULL - x and LAG()=NULL), never an unchecked
+    NaN→int64 garbage cast; nulls sort last within the key (DuckDB ASC)."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.stats import (
+        lag_delta_per_key)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([100, None, 300, 50, 60], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 20, 21], pa.int64()),
+    })
+    out = (lag_delta_per_key(ray.data.from_arrow(t), key="user_id",
+                             order_col="ts", id_col="event_id")
+           .to_pandas().sort_values(["user_id", "event_id"])
+           .set_index("event_id"))
+    # user 1 sorts ts ASC nulls last: 100, 300, NULL → deltas NULL, 200,
+    # NULL (null row); user 2: NULL, 10
+    assert out.loc[10, "delta"] != out.loc[10, "delta"]  # NaN
+    assert out.loc[12, "delta"] == 200
+    assert out.loc[11, "delta"] != out.loc[11, "delta"]
+    assert out.loc[21, "delta"] == 10
+
+
 def test_temperature_sample_rates(ray_session):
     """T=2 keep rates = floor(scale*sqrt(mn/n)): minority group keeps all,
     majority keeps ~sqrt share; deterministic re-run; empty input → 0."""
@@ -998,6 +1042,34 @@ def test_schema_pinned_join_left_outer(ray_session):
     assert list(out["a"]) == ["w", "w", "x", "y", "z"]
     assert sorted(out[out["a"] == "w"]["b"]) == [10, 11]
     assert out[out["a"] != "w"]["b"].isna().all()
+
+
+def test_schema_pinned_join_right_outer(ray_session):
+    """Right outer: every right row survives; unmatched rows carry typed
+    nulls in the left-only columns; null right keys never match but still
+    survive; duplicate left keys multiply — SQL RIGHT JOIN exactly."""
+    import ray.data as _rd
+
+    from org_dharts_dia_tesseract_ray.util import schema_pinned_join
+
+    left = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "a": pa.array(["w", "x", "y"])}))
+    right = _rd.from_arrow(pa.table({
+        "k": pa.array([1, 3, None], pa.int64()),
+        "b": pa.array([10, 30, 99], pa.int64())}))
+    out = schema_pinned_join(
+        left, right, on=("k",), num_partitions=16,
+        left_schema=pa.schema([("k", pa.int64()), ("a", pa.string())]),
+        right_schema=pa.schema([("k", pa.int64()), ("b", pa.int64())]),
+        join_type="right outer",
+    ).to_pandas().sort_values(["b", "a"]).reset_index(drop=True)
+    # k=1 matches twice (left dup); k=3 and null-k survive with null a
+    assert len(out) == 4
+    assert sorted(out[out["b"] == 10]["a"]) == ["w", "x"]
+    assert out[out["b"] != 10]["a"].isna().all()
+    assert int(out[out["b"] == 30]["k"].iloc[0]) == 3
+    assert out[out["b"] == 99]["k"].isna().all()
 
 
 def test_schema_pinned_join_left_anti(ray_session):
@@ -2349,6 +2421,44 @@ def test_rollup_counts_matches_manual(ray_session):
     assert rows == sorted([("en", "a", 1, 10), ("en", None, 1, 10),
                            (None, "a", 2, 5), (None, None, 2, 5),
                            (None, None, 3, 15)], key=str)
+
+    # ADVICE r4: a group whose values are ALL null must carry a NULL sum
+    # through every grain (SQL SUM semantics), not crash on int(None)
+    an = pa.table({
+        "lang": pa.array(["fr", "fr", "en"], pa.string()),
+        "source": pa.array(["a", "a", "b"], pa.string()),
+        "n_chars": pa.array([None, None, 7], pa.int64())})
+    rows = sorted(
+        ((r["lang"], r["source"], r["n_docs"], r["total_chars"])
+         for r in rollup_counts(ray.data.from_arrow(an)).take_all()),
+        key=str)
+    assert rows == sorted([("fr", "a", 2, None), ("fr", None, 2, None),
+                           ("en", "b", 1, 7), ("en", None, 1, 7),
+                           (None, None, 3, 7)], key=str)
+
+
+def test_rollup_counts_high_cardinality_distributed(ray_session):
+    """ADVICE r4 guard: rollup over a HIGH-cardinality key pair (every row
+    its own (k1,k2) group) must stay correct — the coarser grains are
+    derived by distributed groupbys, not a driver take_all of the finest
+    grain."""
+    import ray.data
+
+    from org_dharts_dia_tesseract_ray.functions.stats import rollup_counts
+
+    n = 5000
+    t = pa.table({
+        "lang": pa.array([f"k{i}" for i in range(n)], pa.string()),
+        "source": pa.array([f"s{i}" for i in range(n)], pa.string()),
+        "n_chars": pa.array([i for i in range(n)], pa.int64())})
+    out = rollup_counts(ray.data.from_arrow(t).repartition(8))
+    # n finest + n per-k1 subtotals + 1 grand total
+    assert out.count() == 2 * n + 1
+    df = out.to_pandas()
+    grand = df[df["lang"].isna() & df["source"].isna()]
+    assert len(grand) == 1
+    assert int(grand["n_docs"].iloc[0]) == n
+    assert int(grand["total_chars"].iloc[0]) == n * (n - 1) // 2
 
 
 def test_sample_n_per_key_deterministic(ray_session):
