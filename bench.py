@@ -280,12 +280,12 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              "dedup_exact", "dedup_substrings",
              "neardup_minhash_lsh", "neardup_simhash",
              "neardup_cosine", "ann_brute_topk", "ann_ivf_topk",
-             "media_decode", "events_latest_per_user", "events_rollup",
+             "media_decode",
              "lineitem_pricing", "revenue_by_region", "quality_buckets",
              "tfidf_top_term",
              # corpus-assembly / cleanup additions (round 3)
              "pii_redact", "line_filter", "line_dedup", "pack_sequences",
-             "unigram_score", "orders_bloom_new", "heavy_hitters",
+             "orders_bloom_new", "heavy_hitters",
              "length_quantiles_sketch", "pagerank",
              "corpus_assembly",
              # high-cardinality partition-vectorized operators (~147k keys)
@@ -304,8 +304,10 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              "customers_with_recent_orders", "customer_activity_shift",
              "events_interarrival", "user_event_paths",
              "doc_stats_rollup", "events_distinct_users",
-             "sample_docs_per_lang", "normalize_text", "events_pivot",
-             "extract_contacts", "length_ntile", "events_throttle",
+             "urgent_spend_right_customer", "dup_substr_spans",
+             "weighted_mix", "stratified_sample",
+             "normalize_text", "events_pivot",
+             "extract_contacts", "events_throttle",
              "length_histogram", "event_transitions", "dedup_normalized"]
     qs = entry_mod.queries()
     out = {}

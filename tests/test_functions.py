@@ -2567,3 +2567,30 @@ def test_throttle_and_transitions_null_semantics(ray_session):
             transition_counts(ray.data.from_arrow(ev2),
                               num_partitions=2).take_all()}
     assert got2 == {(None, "b"): 1}     # (a, NULL) dropped, (NULL, b) kept
+
+
+def test_deterministic_sample_matches_bucket_rule(ray_session):
+    """r5 registry curation moved sample_10pct out of the oracle window;
+    this pins deterministic_sample to the same content-bucket rule the SQL
+    oracle used (duckdb-equivalent hash expr), reshard-invariant."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        deterministic_sample)
+    from org_dharts_dia_tesseract_ray.functions.sampling import (
+        hash_bucket_batch)
+
+    docs = pa.table({
+        "doc_id": pa.array(list(range(200)), pa.int64()),
+        "text": pa.array([f"document body {i} " * (1 + i % 3)
+                          for i in range(200)], pa.string())})
+    expected_ids = [
+        docs["doc_id"][i].as_py() for i, b in
+        enumerate(hash_bucket_batch(docs, text_col="text",
+                                    n_buckets=100)["bucket"].to_pylist())
+        if b < 10]
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(docs).repartition(parts)
+        got = sorted(r["doc_id"] for r in
+                     deterministic_sample(ds, percent=10).take_all())
+        assert got == sorted(expected_ids)
+    assert 0 < len(expected_ids) < 200
