@@ -801,6 +801,32 @@ def _q_langid(sf_dir: str):
     return apply_langid(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+#: init-language string for the multi-language query — exclusion form
+#: (`~de`: load every default profile except German), the tilde semantics
+#: of ImageAnalyzerFactory.java:85-104.  German docs must then classify by
+#: the remaining profiles or fall to `und` — both sides restrict identically.
+_LANGID_INIT = "~de"
+
+
+def _q_langid_multi(sf_dir: str):
+    """Multi-language init-string language ID (`lang1+lang2` / `~lang`
+    grammar, ImageAnalyzerFactory.java:85-104 + the
+    GetLoadedLanguagesAsVector readback, TessAPI.java decl)."""
+    from org_dharts_dia_tesseract_ray.functions.text_stats import apply_langid
+    return apply_langid(_read(sf_dir, "documents", ["doc_id", "text"]),
+                        init_langs=_LANGID_INIT)
+
+
+def _q_config_dump(sf_dir: str):
+    """Engine-variable introspection dump — the TessBaseAPIPrintVariables
+    analogue (decl-only in the reference) over the digits-fixture
+    configuration (tessdata/configs/digits + api_config)."""
+    from org_dharts_dia_tesseract_ray.config import ExtractConfig
+    cfg = ExtractConfig(char_whitelist="0123456789-.",
+                        variables=(("tessedit_zero_rejection", "T"),))
+    return cfg.dump_variables()
+
+
 #: deterministic RTL payload for the text_direction query (the corpus has
 #: no RTL language, so every 7th doc is swapped for Arabic — the same
 #: injected-fixture trick url_normalize uses for messy urls)
@@ -2071,6 +2097,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed rollup grains; sampler null semantics; lag_delta null
         # handling; running-total half-away rounding) — every query whose
         # engine path was touched this round sits inside the window ---
+        "langid_multi": _q_langid_multi,
+        "config_dump": _q_config_dump,
+        "langid": _q_langid,
         "urgent_spend_right_customer": _q_urgent_spend_right_customer,
         "dedup_substrings": _q_dedup_substrings,
         "dup_substr_spans": _q_dup_substr_spans,
@@ -2189,7 +2218,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "line_filter": _q_line_filter,
         "line_dedup": _q_line_dedup,
-        "langid": _q_langid,
         "text_direction": _q_text_direction,
         "fingerprint_md5": _q_fingerprint,
         "tfidf_top_term": _q_tfidf_top_term,
@@ -2572,6 +2600,26 @@ FROM documents GROUP BY lang""",
         "line_dedup": _line_dedup_sql(),
         "domain_cap": _domain_cap_sql(),
         "langid": langid_sql(),
+        "langid_multi": langid_sql(init_langs=_LANGID_INIT),
+        # PrintVariables dump over the digits-fixture config: the oracle is
+        # a hand-written VALUES literal of the canonical rendering, checking
+        # the dump function's field order, bool→1/0, float repr, NULL
+        # optionals, and variable passthrough against an independent
+        # expectation (golden-literal style, like the op_goldens parquets).
+        "config_dump": """
+SELECT * FROM (VALUES
+  ('mode', 'auto', 'field'),
+  ('selector_tag', NULL, 'field'),
+  ('char_whitelist', '0123456789-.', 'field'),
+  ('char_blacklist', NULL, 'field'),
+  ('max_link_density', '0.5', 'field'),
+  ('long_para_words', '25', 'field'),
+  ('long_para_max_link_density', '0.65', 'field'),
+  ('emit_word_spans', '1', 'field'),
+  ('fast_parser', '1', 'field'),
+  ('block_rules', '0', 'field'),
+  ('tessedit_zero_rejection', 'T', 'variable')
+) AS t(name, "value", source)""",
         "text_direction": f"""
 WITH m AS (
   SELECT doc_id,

@@ -135,3 +135,46 @@ class ExtractConfig:
                     f"unsupported readback type {type!r}: expected "
                     f"str, int, bool, or float")
         return default
+
+    def dump_variables(self):
+        """The effective configuration as a ``(name, value, source)`` Arrow
+        table — the ``TessBaseAPIPrintVariables`` analogue (TessAPI.java:
+        ~560, decl-only in the reference: dumps every engine variable as
+        ``name\\tvalue`` lines to a FILE*).  Here the dump is a TABLE, so it
+        is queryable/joinable like every other engine output.
+
+        Canonical rendering (matches :meth:`get_variable`'s parses): bools
+        as the engine's int-backed ``1``/``0``, floats via ``repr``, unset
+        optionals as NULL; dataclass fields carry ``source='field'``,
+        freeform ``setVariable`` passthroughs ``source='variable'`` (listed
+        after the fields, in registration order).  ``block_rules`` renders
+        as its count — callables have no canonical printable form."""
+        import pyarrow as pa
+        from dataclasses import fields
+
+        def render(v):
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return "1" if v else "0"
+            if isinstance(v, float):
+                return repr(v)
+            return str(v)
+
+        names, values, sources = [], [], []
+        for f in fields(self):
+            if f.name == "variables":
+                continue
+            v = getattr(self, f.name)
+            if f.name == "block_rules":
+                v = len(v)
+            names.append(f.name)
+            values.append(render(v))
+            sources.append("field")
+        for k, v in self.variables:
+            names.append(k)
+            values.append(render(v))
+            sources.append("variable")
+        return pa.table({"name": pa.array(names, pa.string()),
+                         "value": pa.array(values, pa.string()),
+                         "source": pa.array(sources, pa.string())})

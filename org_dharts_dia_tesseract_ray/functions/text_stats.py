@@ -56,10 +56,57 @@ ARABIC_PATTERN = r"[\x{0600}-\x{06FF}]"
 
 UND = "und"
 
+#: script-detected languages (no stopword profile; matched by codepoint
+#: ranges) — part of the loadable language set alongside LANG_STOPWORDS
+SCRIPT_LANGS = ("zh", "ar")
+
 
 def stopword_pattern(lang: str) -> str:
     """Word-boundary alternation regex over the language's stopword list."""
     return r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+
+
+def parse_init_languages(init: str | None) -> tuple[str, ...]:
+    """Parse the reference's init-language string — the
+    ``[~]<lang>[+[~]<lang>]*`` grammar of
+    ``ImageAnalyzerFactory.createFactory(datapath, language, …)``
+    (/root/reference/src/.../ImageAnalyzerFactory.java:85-104: "Multiple
+    languages may be specified, separated by plus characters …  To skip
+    loading a language, prefix its name with a tilde"), and the source of
+    ``TessBaseAPIGetLoadedLanguagesAsVector`` (TessAPI.java:~560, decl-only
+    in the reference).
+
+    Returns the LOADED language tuple in tie-break priority order: positive
+    entries in the order written; when the string contains ONLY exclusions
+    (or is None/empty) the default full set (``LANG_STOPWORDS`` order then
+    ``SCRIPT_LANGS``) stands in for the config-loaded baseline the tilde
+    subtracts from.  Unknown names and an all-excluded result raise
+    ``ValueError`` — the init-failure analogue (a missing traineddata file
+    fails ``TessBaseAPIInit2``).  ``"+".join(result)`` is the
+    ``GetInitLanguagesAsString`` readback."""
+    known = tuple(LANG_STOPWORDS) + SCRIPT_LANGS
+    if not init:
+        return known
+    pos: list[str] = []
+    neg: set[str] = set()
+    for part in init.split("+"):
+        part = part.strip()
+        if not part:
+            raise ValueError(f"empty language in init string {init!r}")
+        name = part[1:] if part.startswith("~") else part
+        if name not in known:
+            raise ValueError(
+                f"unknown language {name!r} in init string {init!r} "
+                f"(loadable: {'+'.join(known)})")
+        if part.startswith("~"):
+            neg.add(name)
+        elif name not in pos:
+            pos.append(name)
+    base = pos if pos else list(known)
+    loaded = tuple(l for l in base if l not in neg)
+    if not loaded:
+        raise ValueError(f"init string {init!r} loads no languages")
+    return loaded
 
 
 # ---------------------------------------------------------------------------
@@ -154,28 +201,41 @@ def quality_batch(batch: pa.Table, *, text_col: str = "text",
 
 
 def langid_batch(batch: pa.Table, *, text_col: str = "text",
-                 id_col: str = "doc_id") -> pa.Table:
+                 id_col: str = "doc_id",
+                 init_langs: str | None = None) -> pa.Table:
     """n-gram/stopword-profile language identification (deterministic).
 
     Script short-circuits (CJK → zh, Arabic script → ar), else the language
     whose stopword profile hits most, first-max tie-break in the fixed
     priority order of :data:`LANG_STOPWORDS`; no hits at all → ``und``.
     Pure RE2 count kernels — the DuckDB oracle replicates it exactly.
+
+    ``init_langs`` restricts the candidate set with the reference's
+    init-string grammar (``"en+fr"`` loads two profiles, ``"~de"`` loads
+    the default set minus German — :func:`parse_init_languages`); a script
+    short-circuit only fires when its language is loaded, and tie-break
+    priority follows the init string's own order, exactly as the engine
+    consults models in load order.
     """
     text = batch[text_col]
+    loaded = parse_init_languages(init_langs)
     cjk = _count_re(text, CJK_PATTERN)
     arab = _count_re(text, ARABIC_PATTERN)
-    langs = list(LANG_STOPWORDS)
-    hits = {l: _count_re(text, stopword_pattern(l)) for l in langs}
-
+    langs = [l for l in loaded if l in LANG_STOPWORDS]
     import numpy as np
-    h = np.stack([np.asarray(hits[l]) for l in langs])     # (L, n)
-    best_idx = h.argmax(axis=0)                             # first max wins
-    best_val = h.max(axis=0)
-    pred = np.array(langs, dtype=object)[best_idx]
-    pred[best_val == 0] = UND
-    pred = np.where(np.asarray(cjk) > 0, "zh", pred)
-    pred = np.where(np.asarray(arab) > 0, "ar", pred)
+    if langs:
+        hits = {l: _count_re(text, stopword_pattern(l)) for l in langs}
+        h = np.stack([np.asarray(hits[l]) for l in langs])  # (L, n)
+        best_idx = h.argmax(axis=0)                          # first max wins
+        best_val = h.max(axis=0)
+        pred = np.array(langs, dtype=object)[best_idx]
+        pred[best_val == 0] = UND
+    else:
+        pred = np.full(batch.num_rows, UND, dtype=object)
+    if "zh" in loaded:
+        pred = np.where(np.asarray(cjk) > 0, "zh", pred)
+    if "ar" in loaded:
+        pred = np.where(np.asarray(arab) > 0, "ar", pred)
     # null text → null prediction (the SQL oracle's CASE yields NULL when
     # every count is NULL; without this mask the NaN hit rows argmax to
     # index 0 and mislabel null docs as the first profile language)
@@ -348,8 +408,10 @@ FROM f"""
 
 
 def langid_sql(table: str = "documents", text_col: str = "text",
-               id_col: str = "doc_id") -> str:
-    langs = list(LANG_STOPWORDS)
+               id_col: str = "doc_id",
+               init_langs: str | None = None) -> str:
+    loaded = parse_init_languages(init_langs)
+    langs = [l for l in loaded if l in LANG_STOPWORDS]
     hits = ",\n    ".join(
         f"len(regexp_extract_all({text_col}, '{stopword_pattern(l)}')) AS h_{l}"
         for l in langs)
@@ -362,22 +424,28 @@ def langid_sql(table: str = "documents", text_col: str = "text",
         conds += [f"h_{l} > h_{m}" for m in langs[:i]]
         cases.append(f"WHEN {' AND '.join(conds) or 'TRUE'} THEN '{l}'")
     case_sql = "\n      ".join(cases)
+    profile_case = (f"""
+    WHEN {" AND ".join(f"h_{l} = 0" for l in langs)} THEN '{UND}'
+    ELSE CASE
+      {case_sql}
+    END""" if langs else f"""
+    WHEN h_cjk IS NULL THEN NULL
+    ELSE '{UND}'""")
+    script_arms = ""
+    if "ar" in loaded:
+        script_arms += "\n    WHEN h_arab > 0 THEN 'ar'"
+    if "zh" in loaded:
+        script_arms += "\n    WHEN h_cjk > 0 THEN 'zh'"
     return f"""
 WITH h AS (
   SELECT {id_col},
     len(regexp_extract_all({text_col}, '{CJK_PATTERN}')) AS h_cjk,
     len(regexp_extract_all({text_col}, '{ARABIC_PATTERN}')) AS h_arab,
-    {hits}
+    {hits or "0 AS h__none"}
   FROM {table}
 )
 SELECT {id_col},
-  CASE
-    WHEN h_arab > 0 THEN 'ar'
-    WHEN h_cjk > 0 THEN 'zh'
-    WHEN {" AND ".join(f"h_{l} = 0" for l in langs)} THEN '{UND}'
-    ELSE CASE
-      {case_sql}
-    END
+  CASE{script_arms}{profile_case}
   END AS pred_lang
 FROM h"""
 

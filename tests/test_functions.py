@@ -2594,3 +2594,112 @@ def test_deterministic_sample_matches_bucket_rule(ray_session):
                      deterministic_sample(ds, percent=10).take_all())
         assert got == sorted(expected_ids)
     assert 0 < len(expected_ids) < 200
+
+
+def test_parse_init_languages_grammar():
+    """The [~]lang[+[~]lang]* init-string grammar
+    (ImageAnalyzerFactory.java:85-104): positive lists load in written
+    order (the tie-break priority), exclusion-only strings subtract from
+    the default set, unknown names and empty results fail init."""
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        LANG_STOPWORDS, SCRIPT_LANGS, parse_init_languages)
+
+    full = tuple(LANG_STOPWORDS) + SCRIPT_LANGS
+    assert parse_init_languages(None) == full
+    assert parse_init_languages("fr+en") == ("fr", "en")     # written order
+    assert parse_init_languages("en+zh") == ("en", "zh")
+    assert parse_init_languages("~de") == tuple(
+        l for l in full if l != "de")
+    assert parse_init_languages("en+fr+~fr") == ("en",)      # mixed form
+    assert "+".join(parse_init_languages("fr+en")) == "fr+en"  # GetInit...
+    for bad in ("xx", "en+", "~en+~de+~es+~fr+~zh+~ar", "en+qq"):
+        with pytest.raises(ValueError):
+            parse_init_languages(bad)
+
+
+def test_langid_multi_restricts_candidates_and_shortcircuits(ray_session):
+    """init_langs gates both the stopword profiles and the script
+    short-circuits, and tie-break priority follows init order."""
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        langid_batch)
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "der die und das ist nicht",          # German stopwords
+            "你好世界",           # CJK
+            "the cat and the dog is in it",       # English
+            None,
+        ], pa.string())})
+    base = {r["doc_id"]: r["pred_lang"]
+            for r in langid_batch(t).to_pylist()}
+    assert base == {1: "de", 2: "zh", 3: "en", 4: None}
+
+    no_de_zh = {r["doc_id"]: r["pred_lang"]
+                for r in langid_batch(t, init_langs="en+es+fr+ar")
+                .to_pylist()}
+    assert no_de_zh[1] != "de" and no_de_zh[2] != "zh"
+    assert no_de_zh[2] == "und"          # CJK text, zh not loaded, no hits
+    assert no_de_zh[3] == "en"
+    assert no_de_zh[4] is None
+
+    # exclusion form drops exactly the tilde'd language
+    no_en = {r["doc_id"]: r["pred_lang"]
+             for r in langid_batch(t, init_langs="~en").to_pylist()}
+    assert no_en[1] == "de" and no_en[2] == "zh" and no_en[3] != "en"
+
+    # tie-break follows init order: a text hitting en and fr equally
+    tie = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["the est"], pa.string())})
+    assert langid_batch(tie, init_langs="en+fr")[1][0].as_py() == "en"
+    assert langid_batch(tie, init_langs="fr+en")[1][0].as_py() == "fr"
+
+
+def test_langid_multi_matches_sql_oracle(ray_session):
+    """langid_sql(init_langs=...) replicates langid_batch exactly over a
+    mixed-language corpus incl. script docs and nulls (both init forms)."""
+    from org_dharts_dia_tesseract_ray.functions.text_stats import (
+        langid_batch, langid_sql)
+
+    texts = ["the cat and the dog", "der die und das",
+             "el la los las es una", "le les des est une",
+             "你好世界", "مرحبا",
+             "zzz qqq", None, "the est", "der el le the"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    for init in ("~de", "fr+en+zh", "en+es+fr+ar", None):
+        got = langid_batch(t, init_langs=init).sort_by("doc_id")
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = con.execute(
+            langid_sql(init_langs=init) + " ORDER BY doc_id").arrow()
+        con.close()
+        assert got.equals(want.cast(got.schema)), init
+
+
+def test_config_dump_variables():
+    """PrintVariables-analogue dump: canonical rendering + typed readback
+    round-trip through get_variable."""
+    from org_dharts_dia_tesseract_ray.config import ExtractConfig
+
+    cfg = ExtractConfig(char_whitelist="0123456789-.",
+                        emit_word_spans=False,
+                        variables=(("tessedit_zero_rejection", "T"),
+                                   ("classify_bln_numeric_mode", "1")))
+    d = cfg.dump_variables()
+    rows = {r["name"]: (r["value"], r["source"]) for r in d.to_pylist()}
+    assert rows["mode"] == ("auto", "field")
+    assert rows["selector_tag"] == (None, "field")
+    assert rows["char_whitelist"] == ("0123456789-.", "field")
+    assert rows["emit_word_spans"] == ("0", "field")
+    assert rows["max_link_density"] == ("0.5", "field")
+    assert rows["block_rules"] == ("0", "field")
+    assert rows["tessedit_zero_rejection"] == ("T", "variable")
+    assert rows["classify_bln_numeric_mode"] == ("1", "variable")
+    assert "variables" not in rows
+    # order: fields (declaration order) then variables (registration order)
+    assert d["name"].to_pylist()[0] == "mode"
+    assert d["name"].to_pylist()[-2:] == ["tessedit_zero_rejection",
+                                          "classify_bln_numeric_mode"]
+    # readback agrees with the dump
+    assert cfg.get_variable("classify_bln_numeric_mode", type=bool) is True
