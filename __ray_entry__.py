@@ -817,6 +817,26 @@ def _q_langid_multi(sf_dir: str):
                         init_langs=_LANGID_INIT)
 
 
+def _q_extract_links(sf_dir: str):
+    """Link-graph construction: pages → (src, pos, href, resolved) edges —
+    the first stage of the pagerank pipeline the graph operators consume."""
+    from org_dharts_dia_tesseract_ray.functions.links import (
+        apply_extract_links)
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        pages_from_documents)
+    return apply_extract_links(pages_from_documents(sf_dir))
+
+
+def _q_extract_meta(sf_dir: str):
+    """Head-metadata projection (title / description / canonical) over the
+    meta-wrapped corpus — the crawl-index fields."""
+    from org_dharts_dia_tesseract_ray.functions.links import (
+        apply_extract_meta)
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        pages_from_documents)
+    return apply_extract_meta(pages_from_documents(sf_dir, meta=True))
+
+
 def _q_config_dump(sf_dir: str):
     """Engine-variable introspection dump — the TessBaseAPIPrintVariables
     analogue (decl-only in the reference) over the digits-fixture
@@ -2097,6 +2117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed rollup grains; sampler null semantics; lag_delta null
         # handling; running-total half-away rounding) — every query whose
         # engine path was touched this round sits inside the window ---
+        "extract_links": _q_extract_links,
+        "extract_meta": _q_extract_meta,
         "langid_multi": _q_langid_multi,
         "config_dump": _q_config_dump,
         "langid": _q_langid,
@@ -2506,9 +2528,12 @@ def oracle_sql() -> dict[str, str]:
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
         roundtrip_spans_sql, roundtrip_sql)
     from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
-        boxes_sql, font_words_sql, hocr_sql, mixed_pdf_sql, mode_sql,
-        subsup_words_sql, unlv_sql, word_predicates_sql)
+        boxes_sql, font_words_sql, hocr_sql, links_sql, meta_sql,
+        mixed_pdf_sql, mode_sql, subsup_words_sql, unlv_sql,
+        word_predicates_sql)
     return {
+        "extract_links": links_sql(),
+        "extract_meta": meta_sql(),
         "word_predicates": word_predicates_sql(),
         "customer_order_counts": """
 SELECT c.c_custkey, c.c_mktsegment, o.n_orders

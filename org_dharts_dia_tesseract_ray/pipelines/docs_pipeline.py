@@ -126,6 +126,25 @@ def wrap_documents_batch_fontattrs(batch: pa.Table) -> pa.Table:
     return t.set_column(2, "html", pa.array(html, pa.binary()))
 
 
+#: template variant whose head carries the crawl-index metadata fields —
+#: the fixture for the extract_meta head projection (title is in the base
+#: template already)
+_TEMPLATE_META = _TEMPLATE.replace(
+    '<meta charset="utf-8">',
+    '<meta charset="utf-8">'
+    '<meta name="description" content="Document {id} of the corpus">'
+    '<link rel="canonical" href="https://corpus.test/doc/{id}">')
+
+
+def wrap_documents_batch_meta(batch: pa.Table) -> pa.Table:
+    t = wrap_documents_batch(batch)
+    ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    html = [_TEMPLATE_META.format(id=i, text=x).encode("utf-8")
+            for i, x in zip(ids, texts)]
+    return t.set_column(2, "html", pa.array(html, pa.binary()))
+
+
 def wrap_documents_batch_dup(batch: pa.Table) -> pa.Table:
     """TWO captures per url: the original page at warc_ts, and a revised
     page ('rev2 ' prefixed body) one hour later — the Common-Crawl
@@ -151,7 +170,7 @@ def wrap_documents_batch_dup(batch: pa.Table) -> pa.Table:
 
 def pages_from_documents(sf_dir: str, *, mixed_pdf: bool = False,
                          subsup: bool = False, dup_captures: bool = False,
-                         font_attrs: bool = False):
+                         font_attrs: bool = False, meta: bool = False):
     """documents.parquet → pages Dataset (lazy, streaming)."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
@@ -159,6 +178,7 @@ def pages_from_documents(sf_dir: str, *, mixed_pdf: bool = False,
           else wrap_documents_batch_subsup if subsup
           else wrap_documents_batch_dup if dup_captures
           else wrap_documents_batch_fontattrs if font_attrs
+          else wrap_documents_batch_meta if meta
           else wrap_documents_batch)
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -167,6 +187,68 @@ def roundtrip_extract(sf_dir: str, cfg=None, **kwargs):
     """Flagship pipeline over the wrapped corpus → combined extracted Dataset."""
     from .extract_pipeline import extract_pages
     return extract_pages(pages_from_documents(sf_dir), cfg, **kwargs)
+
+
+def _template_sql_expr(template: str, table_alias: str = "") -> str:
+    """Rebuild a wrap template as a DuckDB string expression — the SQL
+    oracle's html is DERIVED from the same Python constant the wrap uses,
+    so the two sides cannot drift."""
+    import re as _re
+
+    prefix = f"{table_alias}." if table_alias else ""
+    parts = _re.split(r"\{(id|text)\}", template)
+    out = []
+    for i, p in enumerate(parts):
+        if i % 2 == 0:
+            if p:
+                out.append("'" + p.replace("'", "''") + "'")
+        else:
+            out.append(f"{prefix}doc_id" if p == "id" else f"{prefix}text")
+    return " || ".join(out)
+
+
+def links_sql(table: str = "documents") -> str:
+    """Oracle for extract_links over the wrapped corpus: DuckDB
+    regexp_extract_all + parallel unnest replicate the operator's
+    two-split plan (same RE2 engine, same resolved-url CASE)."""
+    html = _template_sql_expr(_TEMPLATE)
+    return f"""
+WITH p AS (
+  SELECT 'https://corpus.test/doc/' || doc_id AS src, {html} AS html
+  FROM {table}
+), e AS (
+  SELECT src, regexp_extract_all(html, 'href="([^"]*)"', 1) AS hs FROM p
+), u AS (
+  SELECT src,
+         unnest(generate_series(0, len(hs) - 1)) AS pos,
+         unnest(hs) AS href
+  FROM e
+)
+SELECT src, pos, href,
+  CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+       WHEN href LIKE '//%' THEN NULL
+       WHEN href LIKE '/%'
+         THEN regexp_extract(src, '^(https?://[^/]+)', 1) || href
+       ELSE NULL END AS resolved
+FROM u"""
+
+
+def meta_sql(table: str = "documents") -> str:
+    """Oracle for extract_meta over the meta-wrapped corpus (independent
+    RE2 replica of the head projection)."""
+    html = _template_sql_expr(_TEMPLATE_META)
+    return f"""
+WITH p AS (
+  SELECT 'https://corpus.test/doc/' || doc_id AS url, {html} AS html
+  FROM {table}
+)
+SELECT url,
+  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+  regexp_extract(html, '<meta name="description" content="([^"]*)"', 1)
+    AS meta_description,
+  regexp_extract(html, '<link rel="canonical" href="([^"]*)"', 1)
+    AS canonical
+FROM p"""
 
 
 def mode_sql(mode: str, table: str = "documents") -> str:

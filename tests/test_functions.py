@@ -2703,3 +2703,61 @@ def test_config_dump_variables():
                                           "classify_bln_numeric_mode"]
     # readback agrees with the dump
     assert cfg.get_variable("classify_bln_numeric_mode", type=bool) is True
+
+
+def test_extract_links_contract_edge_cases():
+    """Resolution + regex-parity contract of the link extractor: absolute
+    pass-through, root-relative resolution, protocol-relative/mailto/
+    relative -> NULL resolved, unterminated href dropped (RE2 parity),
+    null payload -> no rows, invalid utf-8 degrades instead of raising."""
+    from org_dharts_dia_tesseract_ray.functions.links import (
+        extract_links_batch)
+
+    html = (b'<a href="https://other.example/x">a</a>'
+            b'<a href="/rel">b</a>'
+            b'<a href="//cdn.example/y">c</a>'
+            b'<a href="mailto:x@example.com">d</a>'
+            b'<a href="relative/path">e</a>'
+            b'<a href="unterminated')
+    t = pa.table({
+        "url": pa.array(["http://src.example:8080/page", "http://n.example/",
+                         "http://b.example/"], pa.string()),
+        "html": pa.array([html, None, b"<p>\xff\xfe no links</p>"],
+                         pa.binary())})
+    got = extract_links_batch(t).to_pylist()
+    assert [r["href"] for r in got] == [
+        "https://other.example/x", "/rel", "//cdn.example/y",
+        "mailto:x@example.com", "relative/path"]
+    assert [r["pos"] for r in got] == [0, 1, 2, 3, 4]
+    assert [r["resolved"] for r in got] == [
+        "https://other.example/x", "http://src.example:8080/rel",
+        None, None, None]
+    assert all(r["src"] == "http://src.example:8080/page" for r in got)
+
+
+def test_extract_links_matches_sql_oracle_and_meta(ray_session):
+    """Operator vs the independent DuckDB regexp replica on the wrapped
+    corpus, plus the meta head-projection — both value-identical."""
+    from org_dharts_dia_tesseract_ray.functions.links import (
+        extract_links_batch, extract_meta_batch)
+    from org_dharts_dia_tesseract_ray.pipelines.docs_pipeline import (
+        links_sql, meta_sql, wrap_documents_batch, wrap_documents_batch_meta)
+
+    docs = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array([f"body text {i} with 'quotes' and <tags>"
+                          for i in range(40)], pa.string()),
+        "lang": pa.array(["en"] * 40, pa.string())})
+    con = duckdb.connect()
+    con.register("documents", docs)
+
+    got = extract_links_batch(wrap_documents_batch(docs)).sort_by(
+        [("src", "ascending"), ("pos", "ascending")])
+    want = con.execute(links_sql() + " ORDER BY src, pos").arrow()
+    assert got.equals(want.cast(got.schema))
+
+    gotm = extract_meta_batch(
+        wrap_documents_batch_meta(docs)).sort_by("url")
+    wantm = con.execute(meta_sql() + " ORDER BY url").arrow()
+    con.close()
+    assert gotm.equals(wantm.cast(gotm.schema))
