@@ -8,24 +8,24 @@ cookie banners, nav menus) repeat across millions of documents that are
 each globally unique as a whole.  Unit granularity is the separator
 (``"\\n"`` for lines, ``"\\n\\n"`` for paragraphs).
 
-Scale design — the text is shuffled exactly ONCE (the final doc-id join);
-everything global moves as slim fixed-width rows:
+Scale design — the text is shuffled exactly ONCE (the final doc-id
+co-shuffle) and there are TWO exchanges total; everything global moves
+as slim fixed-width rows:
 
-1. **winners pass** (slim): one explode over the corpus emits
+1. **winners exchange** (slim): one explode over the corpus emits
    ``(unit_hash: u64, packed: doc_id·2^20 + pos)`` — 16 bytes per unit
-   occurrence, never the unit text — and a ``Min(packed)`` groupby picks
-   each distinct unit's first occurrence.  The winner rows ARE the
-   survivor list: ``packed`` decodes back to (doc, pos) with no second
-   pass over the corpus.
-2. **position packing** (slim): survivors hash-partition by doc id; one
-   vectorized pass per partition folds each doc's surviving positions
-   into a sorted int64 binary blob (run-boundary offsets, no per-key
-   Python — a blob because Acero rejects list-typed join payloads).
-3. **reassembly** (the one text shuffle): docs join their position list
-   by doc id (:func:`util.schema_pinned_join` — the survivor side is
-   aggregate-derived, the exact empty-block join hazard that helper
-   exists for), then one vectorized pass re-splits each doc and takes
-   the kept positions (flattened list arithmetic, no Python per doc).
+   occurrence, never the unit text — pre-collapsed per batch (Arrow
+   ``group_by`` min combiner), hash-partitioned on the unit hash, and
+   reduced per partition with a vectorized Arrow min (Ray's native
+   sort-aggregate measured ~76 µs/row on slim keys — the idiom here is
+   ~10×).  The reduce decodes winners straight back to ``(doc, pos)``
+   rows; no second pass over the corpus.
+2. **reassembly co-shuffle** (the one text exchange): docs and their
+   surviving positions meet in an id-keyed tagged-union co-shuffle; the
+   per-partition merge sorts winners to (doc, pos), maps them onto the
+   partition's docs with one ``searchsorted``, re-splits each doc and
+   takes the kept positions (flattened list arithmetic, no Python per
+   doc).
 
 A document whose every unit first occurred elsewhere is dropped entirely
 (inner-join semantics — the document deduplicated away), matching the
@@ -49,9 +49,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import (as_array, default_num_partitions, key_change_mask,
-                    partition_ids, ragged_arange, schema_pinned_join,
-                    _string_hash64)
+from ..util import (as_array, default_num_partitions, partition_ids,
+                    ragged_arange, _string_hash64)
 
 #: positions-per-document cap baked into the packed (doc, pos) key
 _MAX_UNITS = 1 << 20
@@ -70,7 +69,7 @@ def _split_units(b: pa.Table, text_col: str, sep: str):
 def unit_dedup(ds, *, sep: str = "\n", text_col: str = "text",
                id_col: str = "doc_id", num_partitions: int | None = None):
     """(id, text_kept, n_units, n_kept) — see module docstring."""
-    from ray.data.aggregate import Min
+    import ray.data
 
     P = num_partitions or default_num_partitions()
 
@@ -80,92 +79,108 @@ def unit_dedup(ds, *, sep: str = "\n", text_col: str = "text",
     docs = ds.map_batches(drop_null, batch_format="pyarrow",
                           zero_copy_batch=True)
 
-    # ---- pass 1: slim explode → Min(packed) winners
+    # ---- exchange 1: slim explode → min(packed) winners, decoded in place
     def explode(b: pa.Table) -> pa.Table:
         _, flat, parents, lens = _split_units(b, text_col, sep)
         if np.any(lens >= _MAX_UNITS):
             raise ValueError(f"document exceeds {_MAX_UNITS} units")
         pos = ragged_arange(lens)
         ids = np.asarray(b[id_col], dtype=np.int64)[parents]
-        # int64 view of the uint64 hash: Ray's hash aggregate rebuilds
-        # uint64 KEY columns via Python ints (>2^63 overflows C long →
-        # pickled-object fallback on every shuffle block); the signed
-        # reinterpretation is bijective so grouping is unchanged
-        return pa.table({
+        # int64 view of the uint64 hash — the signed reinterpretation is
+        # bijective so grouping is unchanged
+        t = pa.table({
             "h": pa.array(_string_hash64(flat).view(np.int64), pa.int64()),
             "packed": pa.array(ids * _MAX_UNITS + pos, pa.int64()),
+        })
+        # per-batch combiner: one row per distinct unit before the shuffle
+        c = t.group_by("h").aggregate([("packed", "min")])
+        out = pa.table({"h": c["h"], "packed": c["packed_min"]})
+        return out.append_column("__part", partition_ids(out["h"], P))
+
+    def win_part(g: pa.Table) -> pa.Table:
+        # per h-partition (all occurrences of a unit co-resident): global
+        # min via one vectorized Arrow reduce, decoded straight to
+        # (doc, pos) winner rows
+        c = g.group_by("h").aggregate([("packed", "min")])
+        packed = np.asarray(c["packed_min"], dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(packed // _MAX_UNITS, pa.int64()),
+            "pos": pa.array(packed % _MAX_UNITS, pa.int64()),
         })
 
     winners = (docs.map_batches(explode, batch_format="pyarrow",
                                 zero_copy_batch=True)
-               .groupby("h").aggregate(Min("packed", alias_name="packed")))
+               .groupby("__part").map_groups(win_part,
+                                             batch_format="pyarrow"))
 
-    # ---- pass 2: decode winners → per-doc sorted position lists
-    def decode(b: pa.Table) -> pa.Table:
-        packed = np.asarray(b["packed"], dtype=np.int64)
+    # ---- exchange 2: id-keyed tagged-union co-shuffle of docs and their
+    # surviving positions; the per-partition merge reassembles directly
+    # (the substrdedup join-strategy shape — one barrier, not two)
+    def tag_docs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
         t = pa.table({
-            id_col: pa.array(packed // _MAX_UNITS, pa.int64()),
-            "pos": pa.array(packed % _MAX_UNITS, pa.int64()),
+            id_col: b[id_col].cast(pa.int64()),
+            text_col: b[text_col],
+            "pos": pa.nulls(n, pa.int64()),
+            "__side": pa.array(np.zeros(n, np.int8), pa.int8()),
         })
         return t.append_column("__part", partition_ids(t[id_col], P))
 
-    def pack_positions(g: pa.Table) -> pa.Table:
-        # positions ride the join as a little-endian int64 BINARY blob —
-        # Acero rejects list-typed non-key join columns (same trick as the
-        # minhash shingle blobs, dedup._verify_jaccard_pairs)
-        t = g.sort_by([(id_col, "ascending"), ("pos", "ascending")])
-        n = t.num_rows
-        change = key_change_mask(t[id_col], n)
-        starts = np.flatnonzero(change)
-        offsets = np.concatenate((starts, [n]))
-        pos_vals = np.asarray(t["pos"], dtype=np.int64)
-        blob = pa.BinaryArray.from_buffers(
-            pa.binary(), len(starts),
-            [None,
-             pa.py_buffer((offsets * 8).astype(np.int32).tobytes()),
-             pa.py_buffer(pos_vals.astype("<i8").tobytes())])
-        return pa.table({
-            id_col: as_array(t[id_col]).take(pa.array(starts, pa.int64())),
-            "pos_blob": blob,
+    def tag_winners(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        t = pa.table({
+            id_col: b[id_col],
+            text_col: pa.nulls(n, pa.string()),
+            "pos": b["pos"],
+            "__side": pa.array(np.ones(n, np.int8), pa.int8()),
         })
+        return t.append_column("__part", partition_ids(t[id_col], P))
 
-    survivors = (winners.map_batches(decode, batch_format="pyarrow",
-                                     zero_copy_batch=True)
-                 .groupby("__part").map_groups(pack_positions,
-                                               batch_format="pyarrow"))
+    unioned = (docs.select_columns([id_col, text_col])
+               .map_batches(tag_docs, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .union(winners.map_batches(tag_winners,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True)))
 
-    # ---- pass 3: the one text shuffle — docs ⋈ position lists, reassemble
-    id_type = pa.int64()
-    joined = schema_pinned_join(
-        docs, survivors, on=(id_col,), num_partitions=P,
-        left_schema=pa.schema([(id_col, id_type), (text_col, pa.string())]),
-        right_schema=pa.schema([(id_col, id_type),
-                                ("pos_blob", pa.binary())]))
+    def merge(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"], dtype=np.int8)
+        tb = g.select([id_col, text_col]).filter(pa.array(side == 0))
+        ids_t = np.asarray(tb[id_col], dtype=np.int64)
+        order_t = np.argsort(ids_t, kind="stable")
+        tb = tb.take(pa.array(order_t))
+        wb = g.filter(pa.array(side == 1))
+        ids_w = np.asarray(wb[id_col], dtype=np.int64)
+        pos_w = np.asarray(wb["pos"], dtype=np.int64)
+        ow = np.lexsort((pos_w, ids_w))
+        ids_w, pos_w = ids_w[ow], pos_w[ow]
+        rows = np.searchsorted(ids_t[order_t], ids_w)
 
-    def reassemble(b: pa.Table) -> pa.Table:
-        from ..util import flat_binary_view
-
-        units, flat, parents, lens = _split_units(b, text_col, sep)
+        units, flat, parents, lens = _split_units(tb, text_col, sep)
         doc_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        data, _, blens = flat_binary_view(as_array(b["pos_blob"]))
-        flat_pos = np.frombuffer(data.tobytes(), dtype="<i8")
-        kept_offsets = blens // 8
-        ppar = np.repeat(np.arange(b.num_rows, dtype=np.int64),
-                         kept_offsets)
-        take = doc_off[ppar] + flat_pos
+        take = doc_off[rows] + pos_w
         kept_flat = flat.take(pa.array(take, pa.int64()))
-        offs = np.concatenate(([0], np.cumsum(kept_offsets)))
+        kept_counts = np.bincount(rows, minlength=tb.num_rows)
+        offs = np.concatenate(([0], np.cumsum(kept_counts)))
         kept_list = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
                                              kept_flat)
-        return pa.table({
-            id_col: b[id_col],
+        out = pa.table({
+            id_col: tb[id_col],
             "text_kept": pc.binary_join(kept_list, sep),
             "n_units": pa.array(lens, pa.int64()),
-            "n_kept": pa.array(kept_offsets, pa.int64()),
+            "n_kept": pa.array(kept_counts.astype(np.int64), pa.int64()),
         })
+        # a document whose every unit first occurred elsewhere is dropped
+        # (inner-join semantics, matching the oracle's GROUP BY over kept)
+        return out.filter(pa.array(kept_counts > 0))
 
-    return joined.map_batches(reassemble, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("text_kept", pa.string()),
+                            ("n_units", pa.int64()),
+                            ("n_kept", pa.int64())])
+    merged = unioned.groupby("__part").map_groups(merge,
+                                                  batch_format="pyarrow")
+    return ray.data.from_arrow(out_schema.empty_table()).union(merged)
 
 
 def unit_dedup_sql(*, sep_sql: str = "chr(10)", table: str = "documents",
