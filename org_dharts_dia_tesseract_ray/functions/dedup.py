@@ -75,15 +75,16 @@ def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """One survivor (min id) per distinct content digest.
 
     Partial work (digesting) happens inside ``map_batches``; the shuffle key
-    is the 32-char digest and the reducer is a vectorized ``Min`` aggregate
-    (NOT per-group ``map_groups`` — one Python call per group would dominate
-    wall time at 10^12 groups)."""
-    from ray.data.aggregate import Min
+    is the 32-char digest and the reducer is ONE vectorized Arrow min per
+    hash partition (``util.grouped_arrow_aggregate`` — NOT per-group
+    ``map_groups``, one Python call per group would dominate wall time at
+    10^12 groups; and not Ray's native sort-aggregate, ~76 µs/row)."""
+    from ..util import grouped_arrow_aggregate
 
     fps = ds.map_batches(
         lambda b: md5_batch(b, text_col=text_col, id_col=id_col),
         batch_format="pyarrow", zero_copy_batch=True)
-    return fps.groupby("fp").aggregate(Min(id_col, alias_name=id_col))
+    return grouped_arrow_aggregate(fps, "fp", [(id_col, "min", id_col)])
 
 
 def exact_dedup_sql(table: str = "documents", text_col: str = "text",

@@ -67,13 +67,13 @@ def token_counts_batch(batch: pa.Table, *, text_col: str = "text",
 def vocab_topk(ds, k: int = 100, *, text_col: str = "text", ngram: int = 1):
     """Top-k most frequent tokens: per-batch combine → Sum groupby →
     sort(count desc, token asc) → limit.  Deterministic tie-break."""
-    from ray.data.aggregate import Sum
+    from ..util import grouped_arrow_aggregate
 
     partial = ds.map_batches(
         lambda b: token_counts_batch(b, text_col=text_col, ngram=ngram),
         batch_format="pyarrow", zero_copy_batch=True)
-    totals = (partial.groupby("token")
-              .aggregate(Sum("partial", alias_name="n")))
+    totals = grouped_arrow_aggregate(partial, "token",
+                                     [("partial", "sum", "n")])
     return (totals.sort(["n", "token"], descending=[True, False]).limit(k))
 
 
@@ -170,8 +170,6 @@ def doc_frequency(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     groupby aggregates the posting stats.  A full posting-list sink would
     replace the aggregate with ``map_groups`` writing sorted id runs.
     """
-    from ray.data.aggregate import Count, Max, Min
-
     def pairs(b: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
             pc.utf8_trim_whitespace(b[text_col]), WS_PATTERN)
@@ -185,10 +183,11 @@ def doc_frequency(ds, *, text_col: str = "text", id_col: str = "doc_id"):
 
     pair_ds = ds.map_batches(pairs, batch_format="pyarrow",
                              zero_copy_batch=True)
-    return (pair_ds.groupby("token")
-            .aggregate(Count(on=id_col, alias_name="n_docs"),
-                       Min(id_col, alias_name="min_doc"),
-                       Max(id_col, alias_name="max_doc")))
+    from ..util import grouped_arrow_aggregate
+    return grouped_arrow_aggregate(
+        pair_ds, "token", [(id_col, "count", "n_docs"),
+                           (id_col, "min", "min_doc"),
+                           (id_col, "max", "max_doc")])
 
 
 def doc_frequency_sql(table: str = "documents", text_col: str = "text",
@@ -234,7 +233,7 @@ def tfidf_top_term(ds, n_corpus: int, *, text_col: str = "text",
     import math
 
     import numpy as np
-    from ray.data.aggregate import Max
+    from ..util import grouped_arrow_aggregate
 
     from ..util import cluster_cpus, key_change_mask, partition_ids
 
@@ -284,10 +283,10 @@ def tfidf_top_term(ds, n_corpus: int, *, text_col: str = "text",
         rank = pc.binary_join_element_wise(bits_str, part["token"], "|")
         return pa.table({id_col: part[id_col], "__rank": rank})
 
-    best = (pairs.groupby("__part").map_groups(score_part,
-                                               batch_format="pyarrow")
-            .groupby(id_col)
-            .aggregate(Max("__rank", alias_name="__best")))
+    best = grouped_arrow_aggregate(
+        pairs.groupby("__part").map_groups(score_part,
+                                           batch_format="pyarrow"),
+        id_col, [("__rank", "max", "__best")])
 
     def unpack(b: pa.Table) -> pa.Table:
         import numpy as np

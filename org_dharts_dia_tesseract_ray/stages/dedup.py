@@ -187,9 +187,8 @@ def dedup_pages(ds, *, combine: bool = True, strategy: str = "partition",
         return ds.groupby("url").map_groups(_keep_latest,
                                             batch_format="pyarrow")
 
-    from ray.data.aggregate import Max
-
-    from ..util import ds_arrow_schema, schema_pinned_join
+    from ..util import (ds_arrow_schema, grouped_arrow_aggregate,
+                        schema_pinned_join)
 
     if num_partitions is None:
         num_partitions = max(2, min(32, cluster_cpus()))
@@ -204,11 +203,11 @@ def dedup_pages(ds, *, combine: bool = True, strategy: str = "partition",
         lambda b: b.append_column(
             "__rank", as_array(_rank_key_batch(b)["__rank"])),
         batch_format="pyarrow", zero_copy_batch=True)
-    best = (ranked
-            .map_batches(lambda b: b.select(["url", "__rank"]),
-                         batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("url")
-            .aggregate(Max("__rank", alias_name="__best")))
+    best = grouped_arrow_aggregate(
+        ranked.map_batches(lambda b: b.select(["url", "__rank"]),
+                           batch_format="pyarrow", zero_copy_batch=True),
+        "url", [("__rank", "max", "__best")],
+        num_partitions=num_partitions)
     joined = schema_pinned_join(
         ranked, best, on=("url",), num_partitions=num_partitions,
         left_schema=ranked_schema,

@@ -178,6 +178,46 @@ def partition_ids(col, num_partitions: int, *, extra_cols=()) -> pa.Array:
                     pa.int32())
 
 
+def grouped_arrow_aggregate(ds, keys, aggs, *, num_partitions=None):
+    """Hash-partition + per-partition Arrow ``group_by`` reduce — the
+    repo-idiom replacement for Ray's native ``groupby().aggregate()`` on
+    HIGH-CARDINALITY keys.  The native sort-based aggregate measured
+    ~76 µs/row on slim int64 rows (57 core-seconds for a 750k-row gram
+    reduce, round 5); one int32-keyed exchange plus a vectorized Arrow
+    reduce does the same work ~10× cheaper at identical exchange volume.
+    Low-cardinality groupbys (≤ hundreds of groups) keep the native form
+    — the sort is trivial there and the output blocks are tiny.
+
+    ``keys``: str or list of key column names (co-hashed for composite
+    keys; every occurrence of a key lands in one partition so per-
+    partition results are globally exact).  ``aggs``: list of
+    ``(col, fn, out_name)`` with ``fn`` an Arrow group_by aggregation
+    ("sum" | "min" | "max" | "count" | …).  Output columns: keys +
+    out_names.  The output of an empty input is an EMPTY DATASET WITH NO
+    SCHEMA — pin downstream (schema_pinned_join does; a bare consumer
+    should union a typed empty table)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    P = num_partitions or default_num_partitions()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "__part", partition_ids(b[keys[0]], P,
+                                    extra_cols=[b[k] for k in keys[1:]]))
+
+    def reduce_part(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["__part"])
+        c = t.group_by(keys).aggregate([(col, fn) for col, fn, _ in aggs])
+        cols = {k: c[k] for k in keys}
+        for col, fn, out in aggs:
+            cols[out] = c[f"{col}_{fn}"]
+        return pa.table(cols)
+
+    return (ds.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("__part").map_groups(reduce_part,
+                                          batch_format="pyarrow"))
+
+
 def ragged_arange(lens):
     """[0..l0), [0..l1), … concatenated — vectorized ragged arange.
     Every length must be ≥ 1 (callers guarantee this)."""
