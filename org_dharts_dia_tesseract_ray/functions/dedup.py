@@ -703,7 +703,6 @@ def neardup_clusters(ids_ds, pairs_ds, *, id_col: str = "doc_id",
     chains), so a handful of rounds converges.
     """
     import pyarrow as pa
-    from ray.data.aggregate import Min
 
     if num_partitions is None:
         num_partitions = default_join_partitions()
@@ -732,6 +731,8 @@ def neardup_clusters(ids_ds, pairs_ds, *, id_col: str = "doc_id",
     # TWICE per round (join probe + union), so a lazy plan re-executes all
     # prior rounds exponentially.  The materialized state is one slim row
     # per node, held distributed in the object store, never on the driver.
+    from ..util import grouped_arrow_aggregate
+
     sym = sym.materialize()
     labels = labels.materialize()
     prev_sum = None
@@ -748,10 +749,10 @@ def neardup_clusters(ids_ds, pairs_ds, *, id_col: str = "doc_id",
         prop_labels = prop.map_batches(
             lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
             batch_format="pyarrow", zero_copy_batch=True)
-        labels = (labels.union(prop_labels)
-                  .groupby("node")
-                  .aggregate(Min("label", alias_name="label"))
-                  .materialize())
+        labels = grouped_arrow_aggregate(
+            labels.union(prop_labels), "node",
+            [("label", "min", "label")],
+            num_partitions=num_partitions).materialize()
         # convergence: labels only ever DECREASE (Min), so the label total
         # is strictly monotone while anything changes — an unchanged sum
         # means a fixed point, and further rounds are pure shuffle cost
