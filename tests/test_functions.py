@@ -2761,3 +2761,49 @@ def test_extract_links_matches_sql_oracle_and_meta(ray_session):
     wantm = con.execute(meta_sql() + " ORDER BY url").arrow()
     con.close()
     assert gotm.equals(wantm.cast(gotm.schema))
+
+
+def test_grouped_arrow_aggregate_matches_native(ray_session):
+    """The hash-partition + Arrow group_by reduce is value-identical to
+    Ray's native aggregate on every supported fn, incl. composite keys."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+    from org_dharts_dia_tesseract_ray.util import grouped_arrow_aggregate
+
+    rng = np.random.RandomState(7)
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 997, 20_000), pa.int64()),
+        "k2": pa.array([f"g{i % 13}" for i in range(20_000)], pa.string()),
+        "v": pa.array(rng.randint(-5_000, 5_000, 20_000), pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    got = grouped_arrow_aggregate(
+        ds, "k", [("v", "sum", "s"), ("v", "min", "lo"),
+                  ("v", "max", "hi"), ("v", "count", "n")],
+        num_partitions=16).to_pandas().sort_values("k").reset_index(drop=True)
+    want = (ds.groupby("k")
+            .aggregate(Sum("v", alias_name="s"), Min("v", alias_name="lo"),
+                       Max("v", alias_name="hi"))
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert (got["k"] == want["k"]).all()
+    for c in ("s", "lo", "hi"):
+        assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
+    counts = t.group_by("k").aggregate([("v", "count")]).to_pandas()
+    counts = counts.sort_values("k").reset_index(drop=True)
+    assert (got["n"].astype("int64")
+            == counts["v_count"].astype("int64")).all()
+
+    # composite key: co-hashed, globally exact per (k2, bucket)
+    got2 = grouped_arrow_aggregate(
+        ds.map_batches(lambda b: b.append_column(
+            "kb", pc.bit_wise_and(b["k"], 7)), batch_format="pyarrow"),
+        ["k2", "kb"], [("v", "sum", "s")],
+        num_partitions=16).to_pandas()
+    want2 = (t.append_column("kb", pc.bit_wise_and(t["k"], 7))
+             .group_by(["k2", "kb"]).aggregate([("v", "sum")]).to_pandas())
+    key = lambda df: df.sort_values(["k2", "kb"]).reset_index(drop=True)
+    got2, want2 = key(got2), key(want2)
+    assert (got2["s"].astype("int64")
+            == want2["v_sum"].astype("int64")).all()
