@@ -70,8 +70,6 @@ def mg_compress(counts: pa.Table, capacity: int) -> tuple[pa.Table, int]:
 def heavy_hitters(ds, k: int = 20, *, capacity: int = 4096,
                   text_col: str = "text", ngram: int = 1):
     """(token, n, err_bound) — top-k tokens by (under-)estimated count."""
-    from ray.data.aggregate import Sum
-
     def summary(b: pa.Table) -> pa.Table:
         exact = token_counts_batch(b, text_col=text_col, ngram=ngram)
         out, t = mg_compress(exact, capacity)
@@ -85,9 +83,11 @@ def heavy_hitters(ds, k: int = 20, *, capacity: int = 4096,
                            "partial": pa.array([t], pa.int64())})])
         return out
 
-    totals = (ds.map_batches(summary, batch_format="pyarrow",
-                             zero_copy_batch=True)
-              .groupby("token").aggregate(Sum("partial", alias_name="n")))
+    from ..util import grouped_arrow_aggregate
+    totals = grouped_arrow_aggregate(
+        ds.map_batches(summary, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "token", [("partial", "sum", "n")])
 
     out_schema = pa.schema([("token", pa.string()), ("n", pa.int64()),
                             ("err_bound", pa.int64())])

@@ -45,7 +45,7 @@ def tumbling_aggregate(ds, *, width_minutes: int = 60, ts_col: str = "ts",
                        key_col: str = "event_type",
                        value_col: str = "value"):
     """Per (window_start, key): count + quantized value sum."""
-    from ray.data.aggregate import Count, Sum
+    from ..util import grouped_arrow_aggregate
 
     width_us = width_minutes * US_PER_MIN
 
@@ -60,10 +60,11 @@ def tumbling_aggregate(ds, *, width_minutes: int = 60, ts_col: str = "ts",
             pc.round(pc.multiply(b[value_col],
                                  pa.scalar(100.0))).cast(pa.int64()))
 
-    agg = (ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby(["window_start", key_col])
-           .aggregate(Count(on=ts_col, alias_name="n_events"),
-                      Sum("value_c", alias_name="total_value_c")))
+    agg = grouped_arrow_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["window_start", key_col],
+        [(ts_col, "count", "n_events"),
+         ("value_c", "sum", "total_value_c")])
 
     def quant(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -126,11 +127,11 @@ def sliding_aggregate(ds, *, width_minutes: int = 60,
             key_col: keys,
         })
 
-    from ray.data.aggregate import Count
-    return (ds.map_batches(explode, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby(["window_start", key_col])
-            .aggregate(Count(on=key_col, alias_name="n_events")))
+    from ..util import grouped_arrow_aggregate
+    return grouped_arrow_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["window_start", key_col], [(key_col, "count", "n_events")])
 
 
 def sliding_aggregate_sql(width_minutes: int = 60, slide_minutes: int = 15,
