@@ -837,6 +837,20 @@ def _q_extract_meta(sf_dir: str):
     return apply_extract_meta(pages_from_documents(sf_dir, meta=True))
 
 
+#: BM25 retrieval queries — corpus-vocabulary keyword sets (TESTDATA's
+#: synthetic prose); fixed constants shared verbatim with the SQL oracle.
+_BM25_QUERIES = ["data spark merge", "sort table scan", "query window"]
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Okapi BM25 top-k retrieval per query — the sparse ranking baseline
+    next to the dense ANN operators (decontamination triage / seed-set
+    construction practice)."""
+    from org_dharts_dia_tesseract_ray.functions.retrieval import bm25_topk
+    return bm25_topk(_read(sf_dir, "documents", ["doc_id", "text"]),
+                     _BM25_QUERIES, k=10)
+
+
 def _q_config_dump(sf_dir: str):
     """Engine-variable introspection dump — the TessBaseAPIPrintVariables
     analogue (decl-only in the reference) over the digits-fixture
@@ -2117,6 +2131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed rollup grains; sampler null semantics; lag_delta null
         # handling; running-total half-away rounding) — every query whose
         # engine path was touched this round sits inside the window ---
+        "bm25_topk": _q_bm25_topk,
         "extract_links": _q_extract_links,
         "extract_meta": _q_extract_meta,
         "langid_multi": _q_langid_multi,
@@ -2531,7 +2546,10 @@ def oracle_sql() -> dict[str, str]:
         boxes_sql, font_words_sql, hocr_sql, links_sql, meta_sql,
         mixed_pdf_sql, mode_sql, subsup_words_sql, unlv_sql,
         word_predicates_sql)
+    from org_dharts_dia_tesseract_ray.functions.retrieval import (
+        bm25_topk_sql)
     return {
+        "bm25_topk": bm25_topk_sql(_BM25_QUERIES, k=10),
         "extract_links": links_sql(),
         "extract_meta": meta_sql(),
         "word_predicates": word_predicates_sql(),

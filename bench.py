@@ -304,7 +304,7 @@ def run_query_suite(sf_dir: str, detail: dict | None = None) -> dict:
              "customers_with_recent_orders", "customer_activity_shift",
              "events_interarrival", "user_event_paths",
              "doc_stats_rollup", "events_distinct_users",
-             "extract_links", "extract_meta",
+             "extract_links", "extract_meta", "bm25_topk",
              "urgent_spend_right_customer", "dup_substr_spans",
              "weighted_mix", "stratified_sample",
              "normalize_text", "events_pivot",

@@ -869,3 +869,36 @@ def test_transition_counts_matches_brute(ray_session, rows):
         for a, b in zip(seq, seq[1:]):
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.text(
+    alphabet=st.sampled_from('abc/:."<> h=ref'), max_size=40), max_size=6))
+def test_extract_links_matches_re_reference(frags):
+    """The two-split link plan == RE2 href="([^"]*)" on arbitrary
+    html-ish byte soup, including hostile quote/attribute fragments —
+    href values, document-order rank, and source attribution all match a
+    Python-re reference, EXCEPT the documented malformed shape (an
+    unterminated value followed by another href=\" — the operator starts
+    a fresh match there by design, so such inputs are skipped)."""
+    import re
+
+    import pyarrow as pa
+
+    from org_dharts_dia_tesseract_ray.functions.links import (
+        extract_links_batch)
+
+    html = 'href="'.join(frags)
+    # skip the documented divergence: an opener whose unclosed value
+    # region contains another opener (possible only on malformed html —
+    # the regex swallows the second attribute into the first value, the
+    # operator starts a fresh match at it)
+    if re.search(r'href="[^"]*href="', html):
+        return
+    t = pa.table({"url": pa.array(["http://s.example/p"], pa.string()),
+                  "html": pa.array([html.encode()], pa.binary())})
+    got = [(r["pos"], r["href"])
+           for r in extract_links_batch(t).to_pylist()]
+    want = list(enumerate(re.findall(r'href="([^"]*)"', html)))
+    assert got == want

@@ -2807,3 +2807,52 @@ def test_grouped_arrow_aggregate_matches_native(ray_session):
     got2, want2 = key(got2), key(want2)
     assert (got2["s"].astype("int64")
             == want2["v_sum"].astype("int64")).all()
+
+
+def test_bm25_topk_matches_reference(ray_session):
+    """Operator vs a direct Python BM25 over a corpus with repeated
+    terms, score ties, null text and a query term absent from the
+    corpus; rank tiebreak (score desc, id asc) pinned."""
+    import math
+
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.retrieval import bm25_topk
+
+    texts = ["data spark data", "spark table", "data data data table",
+             "sort sort merge", None, "spark data table", "zzz qqq",
+             "data spark", "data spark"]          # two identical docs: tie
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    queries = ["data spark", "table nosuchterm"]
+    k1, b = 1.2, 0.75
+
+    docs = [(i, x.split()) for i, x in enumerate(texts) if x is not None]
+    n = len(docs)
+    avg = sum(len(ws) for _, ws in docs) / n
+    def df(term): return sum(term in ws for _, ws in docs)
+    def score(ws, q):
+        s = 0.0
+        for term in sorted(set(q.split())):
+            d = df(term)
+            tf = ws.count(term)
+            if tf == 0:
+                continue
+            s += (math.log(1 + (n - d + 0.5) / (d + 0.5)) * tf * (k1 + 1)
+                  / (tf + k1 * (1 - b + b * len(ws) / avg)))
+        return math.floor(s * 10000 + 0.5) / 10000
+    want = {}
+    for qi, q in enumerate(queries):
+        rows = sorted(((score(ws, q), i) for i, ws in docs
+                       if score(ws, q) > 0), key=lambda r: (-r[0], r[1]))
+        want[qi] = [(i, s, r + 1) for r, (s, i) in enumerate(rows[:3])]
+
+    got = bm25_topk(ray.data.from_arrow(t).repartition(3), queries,
+                    k=3, k1=k1, b=b).to_pandas()
+    for qi in want:
+        sub = got[got["query_id"] == qi].sort_values("rank")
+        assert [(int(r.doc_id), float(r.score), int(r.rank))
+                for r in sub.itertuples()] == want[qi], qi
+    # the tie pair (docs 7 and 8, identical text) breaks on doc id
+    q0 = want[0]
+    tie_ids = [i for i, s, _ in q0 if s == q0[0][1]]
+    assert tie_ids == sorted(tie_ids)
