@@ -657,8 +657,6 @@ def _q_corpus_assembly(sf_dir: str):
     pack into `_SEQ_LEN`-token training sequences (`functions/packing`).
     Only the dedup groupby and packing's range exchange shuffle; the
     scrub/filter/count stages stream as stateless `map_batches`."""
-    from ray.data.aggregate import Min
-
     from org_dharts_dia_tesseract_ray.functions.linefilter import (
         apply_line_filter)
     from org_dharts_dia_tesseract_ray.functions.packing import pack_sequences
@@ -718,9 +716,10 @@ def _q_corpus_assembly(sf_dir: str):
 
     slim = filtered.map_batches(kept_tokens, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    winners = (slim.groupby("digest")
-               .aggregate(Min("doc_id", alias_name="doc_id"),
-                          Min("n_tokens", alias_name="n_tokens")))
+    from org_dharts_dia_tesseract_ray.util import grouped_arrow_aggregate
+    winners = grouped_arrow_aggregate(
+        slim, "digest", [("doc_id", "min", "doc_id"),
+                         ("n_tokens", "min", "n_tokens")])
 
     pinned = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
 
@@ -1614,9 +1613,8 @@ def _q_customer_order_counts(sf_dir: str):
     their order count; customers with no orders survive with a null count
     — the SQL LEFT JOIN shape over an aggregate right side (the exact
     configuration Dataset.join dies on: empty schema-less blocks)."""
-    from ray.data.aggregate import Sum
-
     from org_dharts_dia_tesseract_ray.util import (default_num_partitions,
+                                                   grouped_arrow_aggregate,
                                                    schema_pinned_join)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
@@ -1627,11 +1625,11 @@ def _q_customer_order_counts(sf_dir: str):
         return pa.table({"o_custkey": g["o_custkey"],
                          "__n": g["count_all"].cast(pa.int64())})
 
-    counts = (_read(sf_dir, "orders", ["o_custkey"])
-              .map_batches(partial_counts, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .groupby("o_custkey").aggregate(Sum("__n",
-                                                  alias_name="n_orders")))
+    counts = grouped_arrow_aggregate(
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(partial_counts, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        "o_custkey", [("__n", "sum", "n_orders")])
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({"c_custkey": b["o_custkey"],
@@ -1690,9 +1688,8 @@ def _q_urgent_spend_right_customer(sf_dir: str):
     cents-quantized int64 so the distributed Sum is order-exact) RIGHT
     JOINed to the customer dim — every customer survives; customers with
     no urgent order carry a null spend."""
-    from ray.data.aggregate import Sum
-
     from org_dharts_dia_tesseract_ray.util import (default_num_partitions,
+                                                   grouped_arrow_aggregate,
                                                    schema_pinned_join)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
@@ -1705,12 +1702,12 @@ def _q_urgent_spend_right_customer(sf_dir: str):
         return pa.table({"c_custkey": g["c_custkey"],
                          "__c": g["__c_sum"].cast(pa.int64())})
 
-    spend = (_read(sf_dir, "orders",
-                   ["o_custkey", "o_orderpriority", "o_totalprice"])
-             .map_batches(partial_spend, batch_format="pyarrow",
-                          zero_copy_batch=True)
-             .groupby("c_custkey")
-             .aggregate(Sum("__c", alias_name="urgent_cents")))
+    spend = grouped_arrow_aggregate(
+        _read(sf_dir, "orders",
+              ["o_custkey", "o_orderpriority", "o_totalprice"])
+        .map_batches(partial_spend, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        "c_custkey", [("__c", "sum", "urgent_cents")])
     return schema_pinned_join(
         spend, cust, on=("c_custkey",),
         num_partitions=default_num_partitions(),
@@ -1881,17 +1878,22 @@ def _q_customer_activity_shift(sf_dir: str):
                     pa.scalar(cut_hi, b["o_orderdate"].type)))
             return pa.table({"o_custkey": b.filter(m)["o_custkey"]})
 
-        counts = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-                  .map_batches(prep, batch_format="pyarrow",
-                               zero_copy_batch=True)
-                  .groupby("o_custkey").count())
+        def combine(b: pa.Table) -> pa.Table:
+            # per-batch combiner (≤ customers × batches rows shuffle)
+            g = b.group_by("o_custkey").aggregate([([], "count_all")])
+            return pa.table({"o_custkey": g["o_custkey"],
+                             "__n": g["count_all"].cast(pa.int64())})
 
-        def rename(b: pa.Table) -> pa.Table:
-            return pa.table({"o_custkey": b["o_custkey"],
-                             out_name: b["count()"]})
-
-        return counts.map_batches(rename, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+        from org_dharts_dia_tesseract_ray.util import (
+            grouped_arrow_aggregate)
+        counts = grouped_arrow_aggregate(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+            .map_batches(prep, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(combine, batch_format="pyarrow",
+                         zero_copy_batch=True),
+            "o_custkey", [("__n", "sum", out_name)])
+        return counts
 
     early = side(None, datetime.datetime(1996, 1, 1), "n_early")
     late = side(datetime.datetime(2001, 1, 1), None, "n_late")

@@ -198,12 +198,22 @@ def _marked_positions(b: pa.Table, dup_sorted: np.ndarray, *, w: int,
 
 
 def _islands_table(doc_ids: np.ndarray, p: np.ndarray, *, w: int,
-                   id_col: str, out_schema: pa.Schema) -> pa.Table:
+                   id_col: str, out_schema: pa.Schema,
+                   break_ids: np.ndarray | None = None) -> pa.Table:
     """Merge marked window positions (sorted by (doc, pos)) into maximal
-    spans — break on doc change or coverage gap (> w)."""
+    spans — break on doc change or coverage gap (> w).
+
+    ``break_ids`` (default ``doc_ids``) is the run key the island breaks
+    on: the broadcast path passes BATCH ROW indices so two rows that
+    happen to share a doc id (un-deduped recrawl captures) keep their own
+    correct spans instead of merging into one garbage island (r5 review
+    finding).  The join path has no row identity after its shuffle, so it
+    breaks on doc id and documents a unique-id contract."""
     if len(doc_ids) == 0:
         return out_schema.empty_table()
-    brk = np.r_[True, (np.diff(doc_ids) != 0) | (np.diff(p) > w)]
+    if break_ids is None:
+        break_ids = doc_ids
+    brk = np.r_[True, (np.diff(break_ids) != 0) | (np.diff(p) > w)]
     grp = np.cumsum(brk) - 1
     n_grp = int(grp[-1]) + 1
     starts = p[brk]
@@ -276,7 +286,14 @@ def duplicated_spans(ds, *, w: int = 8, text_col: str = "text",
     ``ray.put``s it (fast; bounded by corpus duplication volume).
     ``strategy="join"`` keeps the dup-gram table distributed and marks
     windows via a hash-partitioned semi-join — the 100-TB path (no driver
-    materialization at all).  Both produce identical spans (tested)."""
+    materialization at all).  Both produce identical spans (tested).
+
+    CONTRACT: ``id_col`` must be unique (the corpus primary key).  The
+    join strategy loses row identity across its shuffle, so duplicate-id
+    rows would merge into one island stream; run url/doc dedup first (the
+    pipeline's own ordering).  The broadcast path keeps per-ROW breaks
+    and degrades gracefully, but the two strategies only coincide under
+    unique ids."""
     import ray
     import ray.data
 
@@ -306,7 +323,11 @@ def duplicated_spans(ds, *, w: int = 8, text_col: str = "text",
         P = num_partitions
 
         def add_part(b: pa.Table) -> pa.Table:
-            return b.append_column("__part", partition_ids(b[id_col], P))
+            # drop the dead gram column BEFORE the id exchange — this
+            # shuffle's volume is the scale bound, and gram is a third
+            # of the marked row
+            t = b.select([id_col, "pos"])
+            return t.append_column("__part", partition_ids(t[id_col], P))
 
         def per_part(g: pa.Table) -> pa.Table:
             # ONE vectorized pass per hash partition (Python calls = P,
@@ -333,8 +354,10 @@ def duplicated_spans(ds, *, w: int = 8, text_col: str = "text",
         dup = ray.get(dup_ref)
         rows, p, _ = _marked_positions(b, dup, w=w, text_col=text_col)
         ids = np.asarray(b[id_col], dtype=np.int64)[rows]
+        # break on the batch ROW, not the doc id: duplicate-id rows keep
+        # their own spans (r5 review finding)
         return _islands_table(ids, p, w=w, id_col=id_col,
-                              out_schema=out_schema)
+                              out_schema=out_schema, break_ids=rows)
 
     return ds.map_batches(mark, batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -414,52 +437,20 @@ def dedup_substrings(ds, *, w: int = 8, text_col: str = "text",
         }))
 
     if strategy == "join":
-        from ..util import partition_ids
+        from ..util import keyed_coshuffle
 
         if num_partitions is None:
             num_partitions = default_num_partitions()
         id_type = ds_arrow_schema(ds).field(id_col).type
         marked = _marked_ds(ds, w=w, text_col=text_col, id_col=id_col,
                             num_partitions=num_partitions)
-        P = num_partitions
 
         # ONE id-keyed exchange carries both the text and the marked
-        # positions (tagged union co-shuffle, the dedup.py attach
-        # precedent) — fusing the former pack-groupby + text-join pair of
-        # barriers into a single one (measured: each extra sort barrier
-        # costs ~2 s of fixed wall at any data size on this box)
-        def tag_text(b: pa.Table) -> pa.Table:
-            n = b.num_rows
-            t = pa.table({
-                id_col: b[id_col].cast(id_type),
-                text_col: b[text_col],
-                "pos": pa.nulls(n, pa.int64()),
-                "__side": pa.array(np.zeros(n, np.int8), pa.int8()),
-            })
-            return t.append_column("__part", partition_ids(t[id_col], P))
-
-        def tag_marked(b: pa.Table) -> pa.Table:
-            n = b.num_rows
-            t = pa.table({
-                id_col: b[id_col].cast(id_type),
-                text_col: pa.nulls(n, pa.string()),
-                "pos": b["pos"],
-                "__side": pa.array(np.ones(n, np.int8), pa.int8()),
-            })
-            return t.append_column("__part", partition_ids(t[id_col], P))
-
-        unioned = (ds.select_columns([id_col, text_col])
-                   .map_batches(tag_text, batch_format="pyarrow",
-                                zero_copy_batch=True)
-                   .union(marked.map_batches(tag_marked,
-                                             batch_format="pyarrow",
-                                             zero_copy_batch=True)))
-
-        def merge(g: pa.Table) -> pa.Table:
-            side = np.asarray(g["__side"], dtype=np.int8)
-            keep = g.select([id_col, text_col])
-            tb = keep.filter(pa.array(side == 0))
-            mb = g.filter(pa.array(side == 1))
+        # positions (util.keyed_coshuffle) — fusing the former
+        # pack-groupby + text-join pair of barriers into a single one
+        # (measured: each extra sort barrier costs ~2 s of fixed wall at
+        # any data size on this box)
+        def merge(tb: pa.Table, mb: pa.Table) -> pa.Table:
             ids_t = np.asarray(tb[id_col], dtype=np.int64)
             order_t = np.argsort(ids_t, kind="stable")
             tb = tb.take(pa.array(order_t))
@@ -471,8 +462,11 @@ def dedup_substrings(ds, *, w: int = 8, text_col: str = "text",
             return _strip_covered(tb, rows, p, w=w, text_col=text_col,
                                   id_col=id_col)
 
-        return unioned.groupby("__part").map_groups(
-            merge, batch_format="pyarrow")
+        return keyed_coshuffle(
+            ds.select_columns([id_col, text_col]), marked, id_col,
+            pa.schema([(id_col, id_type), (text_col, pa.string())]),
+            pa.schema([(id_col, id_type), ("pos", pa.int64())]),
+            merge, num_partitions=num_partitions)
 
     dup_ref = ray.put(_dup_gram_set(ds, w=w, text_col=text_col,
                                     id_col=id_col))

@@ -213,9 +213,12 @@ def langid_batch(batch: pa.Table, *, text_col: str = "text",
     ``init_langs`` restricts the candidate set with the reference's
     init-string grammar (``"en+fr"`` loads two profiles, ``"~de"`` loads
     the default set minus German — :func:`parse_init_languages`); a script
-    short-circuit only fires when its language is loaded, and tie-break
-    priority follows the init string's own order, exactly as the engine
-    consults models in load order.
+    short-circuit only fires when its language is loaded, and the
+    STOPWORD-PROFILE tie-break follows the init string's own order.  The
+    two script short-circuits keep their fixed precedence (ar over zh,
+    matching the base classifier and the SQL oracle) regardless of init
+    order — script detection is a codepoint test, not a model lookup, so
+    "load order" has no analogue there.
     """
     text = batch[text_col]
     loaded = parse_init_languages(init_langs)
@@ -424,7 +427,14 @@ def langid_sql(table: str = "documents", text_col: str = "text",
         conds += [f"h_{l} > h_{m}" for m in langs[:i]]
         cases.append(f"WHEN {' AND '.join(conds) or 'TRUE'} THEN '{l}'")
     case_sql = "\n      ".join(cases)
+    # the explicit NULL arm is REQUIRED whenever the profile cascade can
+    # degenerate to `WHEN TRUE` (0 or 1 loaded profiles): without it a
+    # NULL-text row falls through to the unconditional arm and gets
+    # labeled, while langid_batch returns NULL.  Multi-profile cascades
+    # happen to yield NULL via NULL comparisons, but the arm is kept
+    # unconditionally so the guarantee is structural, not accidental.
     profile_case = (f"""
+    WHEN h_cjk IS NULL THEN NULL
     WHEN {" AND ".join(f"h_{l} = 0" for l in langs)} THEN '{UND}'
     ELSE CASE
       {case_sql}

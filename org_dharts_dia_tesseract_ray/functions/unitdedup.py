@@ -113,43 +113,14 @@ def unit_dedup(ds, *, sep: str = "\n", text_col: str = "text",
                .groupby("__part").map_groups(win_part,
                                              batch_format="pyarrow"))
 
-    # ---- exchange 2: id-keyed tagged-union co-shuffle of docs and their
-    # surviving positions; the per-partition merge reassembles directly
-    # (the substrdedup join-strategy shape — one barrier, not two)
-    def tag_docs(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        t = pa.table({
-            id_col: b[id_col].cast(pa.int64()),
-            text_col: b[text_col],
-            "pos": pa.nulls(n, pa.int64()),
-            "__side": pa.array(np.zeros(n, np.int8), pa.int8()),
-        })
-        return t.append_column("__part", partition_ids(t[id_col], P))
-
-    def tag_winners(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        t = pa.table({
-            id_col: b[id_col],
-            text_col: pa.nulls(n, pa.string()),
-            "pos": b["pos"],
-            "__side": pa.array(np.ones(n, np.int8), pa.int8()),
-        })
-        return t.append_column("__part", partition_ids(t[id_col], P))
-
-    unioned = (docs.select_columns([id_col, text_col])
-               .map_batches(tag_docs, batch_format="pyarrow",
-                            zero_copy_batch=True)
-               .union(winners.map_batches(tag_winners,
-                                          batch_format="pyarrow",
-                                          zero_copy_batch=True)))
-
-    def merge(g: pa.Table) -> pa.Table:
-        side = np.asarray(g["__side"], dtype=np.int8)
-        tb = g.select([id_col, text_col]).filter(pa.array(side == 0))
+    # ---- exchange 2: id-keyed co-shuffle of docs and their surviving
+    # positions (util.keyed_coshuffle); the per-partition merge
+    # reassembles directly (the substrdedup join-strategy shape — one
+    # barrier, not two)
+    def merge(tb: pa.Table, wb: pa.Table) -> pa.Table:
         ids_t = np.asarray(tb[id_col], dtype=np.int64)
         order_t = np.argsort(ids_t, kind="stable")
         tb = tb.take(pa.array(order_t))
-        wb = g.filter(pa.array(side == 1))
         ids_w = np.asarray(wb[id_col], dtype=np.int64)
         pos_w = np.asarray(wb["pos"], dtype=np.int64)
         ow = np.lexsort((pos_w, ids_w))
@@ -174,12 +145,17 @@ def unit_dedup(ds, *, sep: str = "\n", text_col: str = "text",
         # (inner-join semantics, matching the oracle's GROUP BY over kept)
         return out.filter(pa.array(kept_counts > 0))
 
+    from ..util import keyed_coshuffle
+
     out_schema = pa.schema([(id_col, pa.int64()),
                             ("text_kept", pa.string()),
                             ("n_units", pa.int64()),
                             ("n_kept", pa.int64())])
-    merged = unioned.groupby("__part").map_groups(merge,
-                                                  batch_format="pyarrow")
+    merged = keyed_coshuffle(
+        docs.select_columns([id_col, text_col]), winners, id_col,
+        pa.schema([(id_col, pa.int64()), (text_col, pa.string())]),
+        pa.schema([(id_col, pa.int64()), ("pos", pa.int64())]),
+        merge, num_partitions=P)
     return ray.data.from_arrow(out_schema.empty_table()).union(merged)
 
 

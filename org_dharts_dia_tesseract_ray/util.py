@@ -218,6 +218,70 @@ def grouped_arrow_aggregate(ds, keys, aggs, *, num_partitions=None):
                                           batch_format="pyarrow"))
 
 
+def keyed_coshuffle(left, right, key: str, left_schema: pa.Schema,
+                    right_schema: pa.Schema, merge, *,
+                    num_partitions=None):
+    """ONE-exchange tagged-union co-shuffle of two keyed datasets.
+
+    Both sides are projected to their pinned schemas, null-padded into a
+    shared union layout, tagged, hash-partitioned on ``key`` in a single
+    exchange, and each partition's two sides are handed to
+    ``merge(left_part: pa.Table, right_part: pa.Table) -> pa.Table`` —
+    the generalization of :func:`schema_pinned_join` for merges that are
+    NOT a relational join (span stripping, positional reassembly).  It
+    replaces the groupby-then-join chain's two barriers with one
+    (measured ~2 s fixed wall per extra barrier at any data size).
+
+    The key column must carry the same type in both schemas.  Empty
+    partitions never reach ``merge`` (Ray skips them), so a caller whose
+    output can be empty overall should union a typed empty table — the
+    repo's standard schema pin."""
+    key_field = left_schema.field(key)
+    if right_schema.field(key).type != key_field.type:
+        raise TypeError(
+            f"key {key!r} type mismatch: {key_field.type} vs "
+            f"{right_schema.field(key).type}")
+    left_names = [f.name for f in left_schema]
+    right_names = [f.name for f in right_schema]
+    union_fields = list(left_schema) + [
+        f for f in right_schema if f.name not in left_names]
+    P = num_partitions or default_num_partitions()
+
+    def tagger(schema: pa.Schema, side: int):
+        have = {f.name for f in schema}
+
+        def tag(b: pa.Table) -> pa.Table:
+            import numpy as np
+            n = b.num_rows
+            cols = {}
+            for f in union_fields:
+                cols[f.name] = (b[f.name].cast(f.type) if f.name in have
+                                else pa.nulls(n, f.type))
+            t = pa.table(cols)
+            t = t.append_column(
+                "__side", pa.array(np.full(n, side, np.int8), pa.int8()))
+            return t.append_column("__part", partition_ids(t[key], P))
+
+        return tag
+
+    unioned = (left.map_batches(tagger(left_schema, 0),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+               .union(right.map_batches(tagger(right_schema, 1),
+                                        batch_format="pyarrow",
+                                        zero_copy_batch=True)))
+
+    def part_merge(g: pa.Table) -> pa.Table:
+        import numpy as np
+        side = np.asarray(g["__side"], dtype=np.int8)
+        lt = g.select(left_names).filter(pa.array(side == 0))
+        rt = g.select(right_names).filter(pa.array(side == 1))
+        return merge(lt, rt)
+
+    return unioned.groupby("__part").map_groups(part_merge,
+                                                batch_format="pyarrow")
+
+
 def ragged_arange(lens):
     """[0..l0), [0..l1), … concatenated — vectorized ragged arange.
     Every length must be ≥ 1 (callers guarantee this)."""

@@ -2667,7 +2667,9 @@ def test_langid_multi_matches_sql_oracle(ray_session):
              "zzz qqq", None, "the est", "der el le the"]
     t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
                   "text": pa.array(texts, pa.string())})
-    for init in ("~de", "fr+en+zh", "en+es+fr+ar", None):
+    # "en" and "en+zh" pin the r5-review fix: a degenerate single-profile
+    # cascade (`WHEN TRUE`) must still yield NULL for NULL text
+    for init in ("~de", "fr+en+zh", "en+es+fr+ar", "en", "en+zh", None):
         got = langid_batch(t, init_langs=init).sort_by("doc_id")
         con = duckdb.connect()
         con.register("documents", t)
@@ -2856,3 +2858,27 @@ def test_bm25_topk_matches_reference(ray_session):
     q0 = want[0]
     tie_ids = [i for i, s, _ in q0 if s == q0[0][1]]
     assert tie_ids == sorted(tie_ids)
+
+
+def test_duplicated_spans_broadcast_per_row_breaks(ray_session):
+    """r5 review: two rows sharing a doc_id in one batch must keep their
+    OWN spans through the broadcast path (per-row island breaks), not
+    merge into one garbage island."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.functions.substrdedup import (
+        duplicated_spans)
+
+    dup8 = "a b c d e f g h"              # the shared 8-gram
+    t = pa.table({
+        "doc_id": pa.array([1, 1, 2], pa.int64()),
+        "text": pa.array([
+            f"x0 x1 x2 x3 x4 x5 {dup8}",   # row A: span at tokens 6..14
+            f"{dup8} y0 y1",               # row B (same id): span at 0..8
+            f"{dup8} z0",                  # the cross-doc partner
+        ], pa.string())})
+    got = sorted(
+        (r["doc_id"], r["tok_start"], r["tok_end"], r["n_dup_grams"])
+        for r in duplicated_spans(
+            ray.data.from_arrow(t), w=8,
+            strategy="broadcast").take_all())
+    assert got == [(1, 0, 8, 1), (1, 6, 14, 1), (2, 0, 8, 1)]
