@@ -1618,16 +1618,10 @@ def _q_customer_order_counts(sf_dir: str):
                                                    schema_pinned_join)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
-    def partial_counts(b: pa.Table) -> pa.Table:
-        # combiner: the count shuffle carries distinct keys per batch
-        # (≤ customers × batches), never the orders table
-        g = b.group_by(["o_custkey"]).aggregate([([], "count_all")])
-        return pa.table({"o_custkey": g["o_custkey"],
-                         "__n": g["count_all"].cast(pa.int64())})
-
+    from org_dharts_dia_tesseract_ray.util import count_combiner
     counts = grouped_arrow_aggregate(
         _read(sf_dir, "orders", ["o_custkey"])
-        .map_batches(partial_counts, batch_format="pyarrow",
+        .map_batches(count_combiner("o_custkey"), batch_format="pyarrow",
                      zero_copy_batch=True),
         "o_custkey", [("__n", "sum", "n_orders")])
 
@@ -1878,22 +1872,15 @@ def _q_customer_activity_shift(sf_dir: str):
                     pa.scalar(cut_hi, b["o_orderdate"].type)))
             return pa.table({"o_custkey": b.filter(m)["o_custkey"]})
 
-        def combine(b: pa.Table) -> pa.Table:
-            # per-batch combiner (≤ customers × batches rows shuffle)
-            g = b.group_by("o_custkey").aggregate([([], "count_all")])
-            return pa.table({"o_custkey": g["o_custkey"],
-                             "__n": g["count_all"].cast(pa.int64())})
-
         from org_dharts_dia_tesseract_ray.util import (
-            grouped_arrow_aggregate)
-        counts = grouped_arrow_aggregate(
+            count_combiner, grouped_arrow_aggregate)
+        return grouped_arrow_aggregate(
             _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
             .map_batches(prep, batch_format="pyarrow",
                          zero_copy_batch=True)
-            .map_batches(combine, batch_format="pyarrow",
-                         zero_copy_batch=True),
+            .map_batches(count_combiner("o_custkey"),
+                         batch_format="pyarrow", zero_copy_batch=True),
             "o_custkey", [("__n", "sum", out_name)])
-        return counts
 
     early = side(None, datetime.datetime(1996, 1, 1), "n_early")
     late = side(datetime.datetime(2001, 1, 1), None, "n_late")

@@ -218,6 +218,18 @@ def grouped_arrow_aggregate(ds, keys, aggs, *, num_partitions=None):
                                           batch_format="pyarrow"))
 
 
+def count_combiner(key: str, out: str = "__n"):
+    """Per-batch COUNT(*) combiner for :func:`grouped_arrow_aggregate`:
+    collapses each batch to one ``(key, out)`` int64 row per key present,
+    so the exchange carries ≤ keys × batches rows, never the fact table.
+    Reduce with ``[(out, "sum", <final name>)]``."""
+    def fn(b: pa.Table) -> pa.Table:
+        g = b.group_by(key).aggregate([([], "count_all")])
+        return pa.table({key: g[key],
+                         out: g["count_all"].cast(pa.int64())})
+    return fn
+
+
 def keyed_coshuffle(left, right, key: str, left_schema: pa.Schema,
                     right_schema: pa.Schema, merge, *,
                     num_partitions=None):
@@ -243,6 +255,16 @@ def keyed_coshuffle(left, right, key: str, left_schema: pa.Schema,
             f"{right_schema.field(key).type}")
     left_names = [f.name for f in left_schema]
     right_names = [f.name for f in right_schema]
+    # a shared non-key name is fine when the types agree (the side tag
+    # keeps the rows apart), but a TYPE mismatch would silently cast one
+    # side through the other's type in the union — reject it up front,
+    # like schema_pinned_join's collision check
+    for f in right_schema:
+        if f.name != key and f.name in left_names \
+                and left_schema.field(f.name).type != f.type:
+            raise TypeError(
+                f"shared non-key column {f.name!r} type mismatch: "
+                f"{left_schema.field(f.name).type} vs {f.type}")
     union_fields = list(left_schema) + [
         f for f in right_schema if f.name not in left_names]
     P = num_partitions or default_num_partitions()

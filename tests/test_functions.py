@@ -2876,9 +2876,12 @@ def test_duplicated_spans_broadcast_per_row_breaks(ray_session):
             f"{dup8} y0 y1",               # row B (same id): span at 0..8
             f"{dup8} z0",                  # the cross-doc partner
         ], pa.string())})
+    # repartition(1): the three rows MUST share one mark() batch — the
+    # pre-fix bug only merged islands within a batch, so a multi-block
+    # layout would make this test vacuously green
     got = sorted(
         (r["doc_id"], r["tok_start"], r["tok_end"], r["n_dup_grams"])
         for r in duplicated_spans(
-            ray.data.from_arrow(t), w=8,
+            ray.data.from_arrow(t).repartition(1), w=8,
             strategy="broadcast").take_all())
     assert got == [(1, 0, 8, 1), (1, 6, 14, 1), (2, 0, 8, 1)]
