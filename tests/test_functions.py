@@ -2885,3 +2885,39 @@ def test_duplicated_spans_broadcast_per_row_breaks(ray_session):
             ray.data.from_arrow(t).repartition(1), w=8,
             strategy="broadcast").take_all())
     assert got == [(1, 0, 8, 1), (1, 6, 14, 1), (2, 0, 8, 1)]
+
+
+def test_keyed_coshuffle_guards_and_merge(ray_session):
+    """keyed_coshuffle: key-type and shared-non-key-type mismatches are
+    rejected up front; a same-type shared column passes and each side's
+    rows arrive intact in the per-partition merge."""
+    import ray.data
+    from org_dharts_dia_tesseract_ray.util import keyed_coshuffle
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1, 3], pa.int64()),
+        "v": pa.array([7, 8, 9], pa.int64())}))
+    ls = pa.schema([("k", pa.int64()), ("v", pa.int64())])
+
+    with pytest.raises(TypeError):
+        keyed_coshuffle(left, right, "k", ls,
+                        pa.schema([("k", pa.int32()), ("v", pa.int64())]),
+                        lambda a, b: a)
+    with pytest.raises(TypeError):
+        keyed_coshuffle(left, right, "k", ls,
+                        pa.schema([("k", pa.int64()), ("v", pa.float64())]),
+                        lambda a, b: a)
+
+    def merge(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        lsum = {r["k"]: r["v"] for r in lt.to_pylist()}
+        out = [(k, lsum[k] + sum(r["v"] for r in rt.to_pylist()
+                                 if r["k"] == k)) for k in sorted(lsum)]
+        return pa.table({"k": pa.array([k for k, _ in out], pa.int64()),
+                         "tot": pa.array([v for _, v in out], pa.int64())})
+
+    got = sorted((r["k"], r["tot"]) for r in keyed_coshuffle(
+        left, right, "k", ls, ls, merge, num_partitions=4).take_all())
+    assert got == [(1, 25), (2, 20), (3, 39)]
